@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+table (doc_id BIGINT, text STRING). All are pure DataFrame pipelines —
+no Python UDFs — so at 100 TB they are shuffle-bound, not CPU-bound:
+
+- exact:    one groupBy on a 128-bit content hash (map-side partial agg).
+- minhash:  explode shingles -> one groupBy(doc) computing all H minima
+            -> band keys -> groupBy(band) to bucket candidates ->
+            verify. The only wide ops are two groupBys and the
+            candidate self-join, which is restricted to LSH buckets
+            (linear in collisions, never O(n^2)).
+- simhash:  one explode + one groupBy(doc) with 32 conditional sums.
+- jaccard:  shingle-explode self-join, equi-join on shingle hash — the
+            classic sparse-similarity join; prune-by-frequency keeps
+            hot shingles from exploding (df cap).
+
+Hashing is engine-neutral: base hash = first 15 hex digits of md5
+(60 bits, exactly reproducible in DuckDB via ('0x'||substr(md5(x),1,15))::BIGINT),
+then universal hashing h_i(x) = (a_i*(x mod p) + b_i) mod p with
+p = 2^31-1 — all int64-safe arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# Deterministic universal-hash parameters; same constants are inlined in
+# the DuckDB oracle SQL.
+def _hash_params(h: int) -> list[tuple[int, int]]:
+    return [((2 * i + 1) * 2654435761 % P, (i * 40503 + 17) % P) for i in range(h)]
+
+
+def content_hash(col) -> F.Column:
+    """128-bit content hash for exact dedup (md5 — same on any engine)."""
+    return F.md5(col)
+
+
+def base_hash(col) -> F.Column:
+    """60-bit engine-neutral hash: first 15 hex chars of md5 as BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per identical text.
+    Single shuffle on the md5; the text column itself never shuffles."""
+    return (
+        docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Pure SQL expressions -> codegen'd, no Python."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
+        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))"
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature as columns mh_0..mh_{H-1}.
+    One explode + one groupBy(doc) computing all H minima at once
+    (partial aggregation collapses shingles map-side)."""
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    x = (base_hash(F.col("shingle")) % P).alias("x")
+    sh = sh.select(F.col(id_col), x)
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures -> bucket join ->
+    verify by signature similarity >= threshold.
+
+    Returns (doc_a, doc_b, sig_sim) with doc_a < doc_b. The candidate
+    join is per-band-bucket (equi-join on the band key), so cost is
+    linear in true collisions — the property that makes this the 100 TB
+    dedup strategy.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}").cast("string")
+                                 for r in range(rows)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+                        *band_cols)
+
+    # candidates: same band value in any band
+    band_kv = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}")) for b in range(bands)
+        ])).alias("bucket"),
+    )
+    cand = (
+        band_kv.alias("l")
+        .join(band_kv.alias("r"), on="bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+    l_sig = sig.select(F.col(id_col).alias("doc_a"),
+                       *[F.col(f"mh_{i}").alias(f"la_{i}") for i in range(num_hashes)])
+    r_sig = sig.select(F.col(id_col).alias("doc_b"),
+                       *[F.col(f"mh_{i}").alias(f"lb_{i}") for i in range(num_hashes)])
+    matches = sum(
+        (F.col(f"la_{i}") == F.col(f"lb_{i}")).cast("int") for i in range(num_hashes)
+    )
+    verified = (
+        cand.join(l_sig, "doc_a").join(r_sig, "doc_b")
+        .select("doc_a", "doc_b",
+                (matches / F.lit(float(num_hashes))).alias("sig_sim"))
+        .filter(F.col("sig_sim") >= threshold)
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash fingerprint (bits-wide, default 32).
+    explode tokens -> 60-bit token hash -> per-bit +/-1 vote ->
+    fingerprint = sum(bit_j << j). One explode + one groupBy."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    toks = toks.select(F.col(id_col), base_hash(F.col("tok")).alias("x"))
+    votes = [
+        F.sum(F.when(F.expr(f"(x >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"v_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(bits)
+    )
+    return agg.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 32, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Scale path: block on 4 byte-bands of the fingerprint (a pair within
+    hamming 3 of a 32-bit hash must agree on >= 1 of 4 bytes), then
+    verify with bit_count(xor)."""
+    fp = simhash(docs, bits=bits, **kw)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        F.expr(f"(simhash >> {b * 8}) & 255").cast("string"))
+            for b in range(4)
+        ])).alias("bucket"),
+    )
+    cand = (
+        bands.alias("l").join(bands.alias("r"), "bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("l.simhash").alias("sh_a"),
+                F.col("r.doc_id").alias("doc_b"), F.col("r.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with
+    |A∩B| / |A∪B| >= threshold, doc_a < doc_b.
+
+    Sparse-join strategy: explode distinct shingles, equi-join on
+    shingle, count intersections, recover union from per-doc sizes.
+    At 100 TB, cap shingle document-frequency (drop shingles appearing
+    in > df_cap docs) to bound the join fan-out — standard ppjoin-style
+    pruning (not applied at test SF for oracle exactness).
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("l").join(sh.alias("r"), "shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                 F.col(f"r.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b",
+                F.round(F.col("jaccard"), 6).alias("jaccard"))
+    )
+    return out
+
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; the ANN variants in
+    similarity.py are the scale path). Dot/norms computed in DOUBLE via
+    JVM higher-order functions — no Python in the loop."""
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.withColumn("norm", norm)
+    pairs = (
+        v.alias("l").join(v.alias("r"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            (
+                F.aggregate(F.zip_with("l.v", "r.v", lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x)
+                / (F.col("l.norm") * F.col("r.norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+    )
+    return pairs

@@ -1,0 +1,141 @@
+"""Multi-stream correlation & enrichment (SURVEY §2.4 J1-J5) plus the
+general join surface the reference lacks (equi/broadcast/as-of/interval)
+— Spark gives these natively and they're required for a complete engine.
+
+Scale notes:
+- Enrichment dims (sensor locations, rule tables) are tiny at every SF:
+  ALWAYS broadcast (`F.broadcast`) — no shuffle of the 100 TB fact side.
+- The as-of join (J1's "latest control value at event time") is
+  implemented as a union-merge + last_value window, which shuffles each
+  side once by (key) and sorts within partitions — the standard
+  scalable as-of strategy (no pairwise range-join blowup).
+- Rule changelogs reduce to latest-per-key via max_by before the join,
+  so the broadcast side stays one-row-per-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def enrichment_join(stream: DataFrame, dim: DataFrame, on: str | list[str],
+                    how: str = "left") -> DataFrame:
+    """J3/J4 — the Derby lookup (chapter8/AsyncFunctionExample.scala:103-159)
+    as a broadcast hash join. Micro-batch amortization replaces per-record
+    async I/O; at 100 TB the dim broadcast costs O(dim) once per batch
+    while the fact side never shuffles."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def latest_rules(rules: DataFrame, key: str = "id", seq: str = "seq",
+                 threshold: str = "threshold") -> DataFrame:
+    """J5 — collapse a rule changelog to current state: latest update
+    per key (max_by over seq), dropping deletes (threshold == 0.0,
+    chapter7/BroadcastStateFunction.scala:92-98)."""
+    latest = rules.groupBy(key).agg(
+        F.max_by(threshold, F.col(seq)).alias(threshold)
+    )
+    return latest.filter(F.col(threshold) != 0.0)
+
+
+def broadcast_rules_join(readings: DataFrame, rules: DataFrame,
+                         key: str = "id") -> DataFrame:
+    """J5 — KeyedBroadcastProcessFunction twin
+    (chapter7/BroadcastStateFunction.scala:69-126): alert when
+    |temperature| exceeds the sensor's current threshold. Rule updates
+    apply per micro-batch instead of mid-stream (documented gap)."""
+    rules_now = latest_rules(rules, key=key)
+    joined = readings.join(F.broadcast(rules_now), on=key, how="inner")
+    return joined.filter(F.col("temperature") > F.col("threshold"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts: str = "ts",
+              right_cols: list[str] | None = None,
+              key: str | None = None) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts (per key if given). Backs J1's 'current smoke
+    level at reading time' correlation
+    (chapter5/MultiStreamTransformations.scala:77-91) and is a
+    first-class operator the reference cannot express relationally.
+
+    Strategy: union the two sides tagged, single shuffle on (key),
+    in-partition sort by (ts, tag), forward-fill the right columns with
+    last_value(ignorenulls) — O(n log n) per partition, no range-join
+    cross product, skew-safe under AQE.
+    """
+    right_cols = right_cols or [c for c in right.columns if c != ts and c != key]
+    lcols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(1).alias("__tag"),
+    )
+
+    r_sel = []
+    for c in lcols:
+        if c == ts:
+            r_sel.append(F.col(ts))
+        elif key is not None and c == key:
+            r_sel.append(F.col(key))
+        else:
+            r_sel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
+    r_tagged = right.select(
+        *r_sel,
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.lit(0).alias("__tag"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    parts = [key] if key else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("__tag"),
+        *[F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def smoke_alert(readings: DataFrame, smoke: DataFrame,
+                threshold: float = 100.0) -> DataFrame:
+    """J1 — RaiseAlertFlatMap twin: emit an alert for every reading with
+    temperature > threshold while the (global, un-keyed) smoke level is
+    'High'. The control value 'currently in effect' is the as-of
+    semantics of the reference's mutable per-task variable."""
+    enriched = asof_join(readings, smoke, ts="ts", right_cols=["level"])
+    return (
+        enriched.filter((F.col("level") == "High") & (F.col("temperature") > threshold))
+        .select(
+            F.concat(F.lit("Risk of fire! "), F.col("id")).alias("message"),
+            F.col("timestamp").alias("timestamp"),
+            F.col("temperature"),
+        )
+    )
+
+
+def switch_filter(readings: DataFrame, switches: DataFrame,
+                  key: str = "id") -> DataFrame:
+    """J2 — ReadingFilter twin (chapter6/CoProcessFunctionTimers.scala:49-102):
+    a switch (id, enable_ts, duration_ms) forwards that sensor's readings
+    for duration_ms. Batch/relational form: interval join — readings
+    within [enable_ts, enable_ts + duration]. Broadcast the tiny switch
+    table; the fact side stays unshuffled."""
+    sw = switches.select(
+        F.col(key),
+        F.col("enable_ts"),
+        (F.col("enable_ts") + F.make_interval(secs=F.col("duration_ms") / 1000.0)).alias("disable_ts"),
+    )
+    return readings.alias("r").join(
+        F.broadcast(sw).alias("s"),
+        (F.col(f"r.{key}") == F.col(f"s.{key}"))
+        & (F.col("r.ts") >= F.col("s.enable_ts"))
+        & (F.col("r.ts") < F.col("s.disable_ts")),
+        "inner",
+    ).select("r.*")

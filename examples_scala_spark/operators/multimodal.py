@@ -1,0 +1,107 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is carried as opaque BINARY columns + typed metadata structs —
+the parquet-native layout that scales: binaries stay columnar,
+metadata predicates prune row groups without touching bytes.
+
+The decode/feature-extract step runs as Arrow-batched `mapInPandas`
+(one Python worker per partition, whole record batches across the
+JVM<->Python boundary). The image/audio codec libraries are NOT
+available in this container, so `decode_media` is STUBBED with a
+deterministic fake (documented below); the Spark-side plumbing —
+schema, batch iteration, partitioning — is real and tested, and a real
+deployment only swaps `_fake_decode` for PIL/ffmpeg calls.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media", BinaryType()),
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_frames", LongType()),
+])
+
+
+def media_table(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Build a media-shaped table from the documents fixture: the text
+    bytes stand in for an encoded payload. In production this is
+    `spark.read.parquet` on a table with a real binary column."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col),
+        payload.alias("media"),
+        F.when(F.col(id_col) % 3 == 0, "image/png")
+         .when(F.col(id_col) % 3 == 1, "audio/wav")
+         .otherwise("video/mp4").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(media: bytes, mime: str) -> tuple[int, int, int]:
+    """STUB decoder (deterministic fake): derives (width, height,
+    n_frames) from payload length. Replace with PIL / soundfile /
+    pyav in a real deployment:
+
+        raise NotImplementedError("install pillow/av and swap me in")
+
+    Keeping it deterministic lets the driver oracle-check the plumbing.
+    """
+    n = len(media)
+    if mime.startswith("image/"):
+        return (n % 1920) + 1, (n % 1080) + 1, 1
+    if mime.startswith("audio/"):
+        return 0, 0, n * 100  # "samples"
+    return (n % 1920) + 1, (n % 1080) + 1, (n % 240) + 1
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode over mapInPandas. Partition-parallel; each
+    batch decodes vectorized-ish in the Python worker. The output
+    schema drops the payload (decoded features only) so downstream
+    stages never re-shuffle the heavy binary column."""
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _fake_decode(m, t) for m, t in zip(pdf["media"], pdf["mime"])
+            ]
+            out = pd.DataFrame(decoded, columns=["width", "height", "n_frames"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "mime", pdf["mime"].values)
+            out.insert(2, "n_bytes", pdf["n_bytes"].values)
+            yield out
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 24) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled
+    frame index — posexplode of a frame-index sequence, JVM-side."""
+    return (
+        decoded.filter(F.col("mime").startswith("video/"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)))
+            .alias("frame_idx"),
+        )
+    )

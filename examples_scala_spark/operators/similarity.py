@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+- brute-force top-k: exact, O(Q*N) — the baseline and the verifier.
+  All math stays JVM-side (zip_with/aggregate fold in double).
+- LSH-bucketed top-k: random-hyperplane signatures partition the space;
+  candidates only within the query's bucket. At 100 TB this is the
+  serving path: signature computation is a narrow map, the join is an
+  equi-join on the signature, and per-bucket top-k bounds compute.
+  Hyperplanes are derived from deterministic integer arithmetic so the
+  whole pipeline is reproducible on any engine (see oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# deterministic pseudo-random hyperplane component for (plane, dim):
+# ((p*131 + d)*2654435761 mod 1000003)/1000003 - 0.5
+_M = 1_000_003
+_A = 2_654_435_761
+
+
+def _plane_component(p: int, d: int) -> float:
+    return ((p * 131 + d) * _A % _M) / _M - 0.5
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return emb.withColumn("v", v).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+
+
+def cosine(l_vec, r_vec, l_norm, r_norm) -> F.Column:
+    dot = F.aggregate(F.zip_with(l_vec, r_vec, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (l_norm * r_norm)
+
+
+def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k for query vectors (id % query_mod == 0).
+    Output: (query_id, neighbor_id, rank, cos). Broadcast the small
+    query side; rank ties broken by neighbor id for determinism."""
+    base = with_norm(emb, vec_col)
+    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = base.alias("b").join(F.broadcast(queries)) \
+        .filter(F.col(id_col) != F.col("query_id")) \
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("cos"),
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def lsh_signature(vec_col, num_planes: int, dim: int) -> F.Column:
+    """Random-hyperplane signature: bit p = (v . plane_p) >= 0."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        comps = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        dot = F.aggregate(F.zip_with(vec_col, comps, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+             num_planes: int = 8, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+    The join is an equi-join on the signature — at scale, bucket the
+    table by signature so lookups are partition-pruned."""
+    base = with_norm(emb, vec_col).withColumn(
+        "sig", lsh_signature(F.col("v"), num_planes, dim))
+    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"), F.col("sig").alias("qsig"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("sig") == F.col("qsig"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

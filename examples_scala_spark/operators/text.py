@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure SQL expressions (regexp/string built-ins) — codegen'd, scan
+bound, embarrassingly parallel; zero Python in the row path. At 100 TB
+these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language for the n-gram/stopword
+# voting heuristic; enough for a synthetic-corpus heuristic and exactly
+# reproducible in the oracle.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _word_regex(word: str) -> str:
+    return rf"\b{word}\b"
+
+
+def lang_marker_counts(text_col) -> dict[str, F.Column]:
+    return {
+        lang: sum(F.regexp_count(text_col, F.lit(_word_regex(w))) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: count language-marker stopwords, argmax
+    with deterministic tie-break (count desc, lang asc), 'und'
+    (undetermined) when no marker hits."""
+    lower = F.lower(F.col(text_col))
+    counts = lang_marker_counts(lower)
+    pairs = F.array(*[
+        F.struct(counts[lang].alias("cnt"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    best = F.array_sort(
+        pairs, lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
+        .when(a["cnt"] < b["cnt"], 1)
+        .when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1)
+        .otherwise(0)
+    )[0]
+    return docs.select(
+        F.col(id_col),
+        F.when(best["cnt"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (words + punctuation marks counted separately, ~GPT-style
+    len/4 char heuristic as a third column)."""
+    t = F.trim(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(t, r"\s+")).alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).alias("n_punct"),
+        (F.length(F.col(text_col)) / F.lit(4)).cast("long").alias("n_tokens_est"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score:
+    length, word count, mean word length, punctuation ratio, digit
+    ratio, stopword ratio. Deterministic arithmetic only."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_stop = sum(F.regexp_count(F.lower(t), F.lit(_word_regex(w))) for w in STOPWORDS)
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = n_punct / n_chars
+    digit_ratio = n_digit / n_chars
+    stop_ratio = n_stop / n_words
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.25).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text — the canonical near-exact-dup key (case/spacing-invariant)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))

@@ -1,0 +1,1296 @@
+"""Query registry — the driver contract.
+
+Each entry pairs a Spark DataFrame builder `(spark, sf_dir) -> DataFrame`
+with an equivalent DuckDB oracle SQL string over the same parquet tables
+(driver registers views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Engine-neutral determinism rules used throughout (so order-insensitive
+value hashes match bit-for-bit across Spark and DuckDB):
+- money/measure doubles (all 2 dp in the testdata) are summed as
+  DECIMAL (exact, order-independent), cast to DOUBLE at the end;
+  averages are exact-sum / count divided in double.
+- timestamps are emitted as BIGINT epoch seconds (or ms), never as
+  raw timestamp columns; the session timezone is forced to UTC.
+- integer outputs are BIGINT on both engines (DuckDB sums promote to
+  HUGEINT, Spark's to BIGINT — we cast explicitly).
+- hashing is md5-based (identical everywhere); pseudo-randomness is
+  integer arithmetic on md5 prefixes, never engine RNG.
+- rankings always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .session import tune
+from .sources.tables import load_table, sensor_readings, SENSOR_READINGS_SQL
+from .operators import aggregations as agg
+from .operators import dedup, joins, late_data, similarity, text, multimodal
+from .operators.aggregations import dec
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        return fn
+    return deco
+
+
+def _sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return sensor_readings(spark, sf_dir)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+SENSORS_CTE = f"WITH sensors AS ({SENSOR_READINGS_SQL})"
+
+
+# ======================================================================
+# Reference surface: projections / filters / flatMap (SURVEY §2.2)
+# ======================================================================
+
+@register(
+    "map_celsius",
+    SENSORS_CTE + """
+    SELECT event_id, id, (temperature - 32) * 5.0 / 9.0 AS celsius
+    FROM sensors""",
+    "reference", "P1",
+)
+def map_celsius(spark, sf_dir):
+    """P1 — chapter1/AverageSensorReadings.scala:50-51."""
+    s = _sensors(spark, sf_dir)
+    return s.select("event_id", "id",
+                    ((F.col("temperature") - 32) * 5.0 / 9.0).alias("celsius"))
+
+
+@register(
+    "filter_high_temp",
+    SENSORS_CTE + """
+    SELECT event_id, id, temperature FROM sensors WHERE temperature >= 25""",
+    "reference", "P4",
+)
+def filter_high_temp(spark, sf_dir):
+    """P4 — chapter5/BasicTransformations.scala:46-47. Predicate is
+    pushed to the parquet scan."""
+    s = _sensors(spark, sf_dir)
+    return s.filter(F.col("temperature") >= 25).select("event_id", "id", "temperature")
+
+
+@register(
+    "flatmap_split_tokens",
+    SENSORS_CTE + """
+    SELECT token, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(id, '_')) AS token FROM sensors
+    ) GROUP BY token""",
+    "reference", "P5",
+)
+def flatmap_split_tokens(spark, sf_dir):
+    """P5 — chapter5/BasicTransformations.scala:62-63 ('sensor_7' ->
+    ['sensor','7']), aggregated to keep output small."""
+    s = _sensors(spark, sf_dir)
+    return (
+        s.select(F.explode(F.split(F.col("id"), "_")).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "iso_format",
+    SENSORS_CTE + """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso FROM sensors""",
+    "reference", "scalar",
+)
+def iso_format(spark, sf_dir):
+    """§2.11 — epoch→ISO formatting (chapter8/TransactionalSinkExample.scala:83-85)."""
+    s = _sensors(spark, sf_dir)
+    return s.select("event_id",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"))
+
+
+# ======================================================================
+# Rolling keyed aggregation (A2/A3)
+# ======================================================================
+
+@register(
+    "rolling_max_by",
+    SENSORS_CTE + """
+    SELECT id, temperature, event_id FROM (
+      SELECT id, temperature, event_id,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY temperature DESC, event_id DESC) AS rn
+      FROM sensors) WHERE rn = 1""",
+    "reference", "A2",
+)
+def rolling_max_by(spark, sf_dir):
+    """A2 — running max-by (chapter5/KeyedTransformations.scala:49-52);
+    batch twin = final state. max(struct) gives lexicographic argmax
+    with a unique tie-break, one shuffle with partial agg."""
+    s = _sensors(spark, sf_dir)
+    m = s.groupBy("id").agg(F.max(F.struct("temperature", "event_id")).alias("m"))
+    return m.select("id", F.col("m.temperature").alias("temperature"),
+                    F.col("m.event_id").alias("event_id"))
+
+
+@register(
+    "rolling_sum_final",
+    SENSORS_CTE + """
+    SELECT id, SUM(CAST(temperature AS DECIMAL(12,2)))::DOUBLE AS total
+    FROM sensors GROUP BY id""",
+    "reference", "A3",
+)
+def rolling_sum_final(spark, sf_dir):
+    """A3 — rolling sum (chapter5/RollingSum.scala:31-33), final state."""
+    s = _sensors(spark, sf_dir)
+    return s.groupBy("id").agg(agg.exact_sum("temperature", "total"))
+
+
+@register(
+    "rolling_sum_trace",
+    SENSORS_CTE + """
+    SELECT event_id, id,
+           (SUM(CAST(temperature AS DECIMAL(12,2)))
+              OVER (PARTITION BY id ORDER BY event_id))::DOUBLE AS running_sum
+    FROM sensors""",
+    "reference", "A3",
+)
+def rolling_sum_trace(spark, sf_dir):
+    """A3 with the reference's per-record emission cadence: cumulative
+    sum in arrival order — the exact update-mode output history."""
+    s = _sensors(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "event_id", "id",
+        F.sum(dec("temperature")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+@register(
+    "high_count",
+    SENSORS_CTE + """
+    SELECT id, count(*)::BIGINT AS high_count FROM sensors
+    WHERE temperature > 100 GROUP BY id""",
+    "reference", "A11",
+)
+def high_count(spark, sf_dir):
+    """A11/A12 — HighTempCounter (chapter7/OperatorListStateFunction.scala:62-69)
+    re-modeled as keyed count (per-subtask counts are an execution
+    artifact, not a query semantic)."""
+    return agg.high_count(_sensors(spark, sf_dir), threshold=100.0)
+
+
+# ======================================================================
+# Windowed aggregation (A4-A10, W1-W5) — epoch-second window bounds
+# ======================================================================
+
+def _win_sql(size_s: int, start: bool = True) -> str:
+    col = "start" if start else "end"
+    off = 0 if start else size_s
+    return f"(epoch_us(ts) // {size_s * 1_000_000}) * {size_s} + {off}"
+
+
+@register(
+    "w_avg_temp",
+    SENSORS_CTE + f"""
+    SELECT {_win_sql(10)} AS window_start, id,
+           ((SUM(CAST(temperature AS DECIMAL(12,2)))::DOUBLE / count(*)) - 32)
+             * 5.0 / 9.0 AS avg_celsius
+    FROM sensors GROUP BY 1, 2""",
+    "reference", "A5", "W1", "flagship",
+)
+def w_avg_temp(spark, sf_dir):
+    """FLAGSHIP — chapter1/AverageSensorReadings.scala:48-57: tumbling
+    10 s window per sensor, average temperature in Celsius. The
+    reference's explicit AggregateFunction partial/final merge is
+    Catalyst's partial HashAggregate, for free."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "10 seconds"), "id").agg(
+        F.sum(dec("temperature")).alias("s"), F.count(F.lit(1)).alias("c"))
+    return out.select(
+        F.col("window.start").cast("long").alias("window_start"),
+        "id",
+        ((F.col("s").cast("double") / F.col("c") - 32) * 5.0 / 9.0).alias("avg_celsius"),
+    )
+
+
+@register(
+    "w_min_temp",
+    SENSORS_CTE + f"""
+    SELECT {_win_sql(15)} AS window_start, id, min(temperature) AS min_temp
+    FROM sensors GROUP BY 1, 2""",
+    "reference", "A4", "W1",
+)
+def w_min_temp(spark, sf_dir):
+    """A4 — 15 s tumbling min (chapter6/WindowFunctions.scala:37-41)."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "15 seconds"), "id").agg(
+        F.min("temperature").alias("min_temp"))
+    return out.select(F.col("window.start").cast("long").alias("window_start"),
+                      "id", "min_temp")
+
+
+@register(
+    "w_min_max_temp",
+    SENSORS_CTE + f"""
+    SELECT {_win_sql(5, start=False)} AS window_end, id,
+           min(temperature) AS min_temp, max(temperature) AS max_temp
+    FROM sensors GROUP BY 1, 2""",
+    "reference", "A6", "A7",
+)
+def w_min_max_temp(spark, sf_dir):
+    """A6/A7 — MinMaxTemp with window end
+    (chapter6/WindowFunctions.scala:56-72,107-143)."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "5 seconds"), "id").agg(
+        F.min("temperature").alias("min_temp"),
+        F.max("temperature").alias("max_temp"))
+    return out.select(F.col("window.end").cast("long").alias("window_end"),
+                      "id", "min_temp", "max_temp")
+
+
+@register(
+    "w_count_30s",
+    SENSORS_CTE + f"""
+    SELECT {_win_sql(30, start=False)} AS window_end, id,
+           count(*)::BIGINT AS cnt
+    FROM sensors GROUP BY 1, 2""",
+    "reference", "A9", "W3", "W4",
+)
+def w_count_30s(spark, sf_dir):
+    """A9/W3 — the custom ThirtySecondsWindows assigner + CountFunction
+    (chapter6/CustomWindow.scala:56-84,152-168): identical bucketing
+    arithmetic (ts - ts % 30s) via window('30 seconds')."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "30 seconds"), "id").agg(
+        F.count("*").alias("cnt"))
+    return out.select(F.col("window.end").cast("long").alias("window_end"),
+                      "id", "cnt")
+
+
+@register(
+    "w_global_avg",
+    SENSORS_CTE + f"""
+    SELECT {_win_sql(60, start=False)} AS window_end,
+           SUM(CAST(temperature AS DECIMAL(12,2)))::DOUBLE / count(*) AS avg_temp
+    FROM sensors GROUP BY 1""",
+    "reference", "A10", "W2",
+)
+def w_global_avg(spark, sf_dir):
+    """A10/W2 — non-keyed global window average
+    (chapter8/TransactionalSinkExample.scala:78-89). Flink forces
+    parallelism 1 here; Spark still computes distributed partials."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "60 seconds")).agg(
+        F.sum(dec("temperature")).alias("s"), F.count(F.lit(1)).alias("c"))
+    return out.select(
+        F.col("window.end").cast("long").alias("window_end"),
+        (F.col("s").cast("double") / F.col("c")).alias("avg_temp"),
+    )
+
+
+# ======================================================================
+# Stateful per-record processing — batch twins (F1/F2)
+# ======================================================================
+
+@register(
+    "alert_temp_delta",
+    SENSORS_CTE + """
+    SELECT event_id, id, temperature, diff FROM (
+      SELECT event_id, id, temperature,
+             temperature - lag(temperature) OVER
+               (PARTITION BY id ORDER BY event_id) AS diff
+      FROM sensors) WHERE abs(diff) > 17""",
+    "reference", "F2",
+)
+def alert_temp_delta(spark, sf_dir):
+    """F2 — TemperatureAlertFunction (chapter7/KeyedStateFunction.scala:73-100):
+    emit (id, temp, diff) when |temp - lastTemp| > threshold. Batch twin
+    of the keyed-state flatMap via lag(); streaming form lives in
+    streaming/stateful.py."""
+    s = _sensors(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("event_id")
+    return (
+        s.withColumn("diff", F.col("temperature") - F.lag("temperature").over(w))
+        .filter(F.abs(F.col("diff")) > 17)
+        .select("event_id", "id", "temperature", "diff")
+    )
+
+
+@register(
+    "alert_temp_increase",
+    SENSORS_CTE + """
+    SELECT event_id, id FROM (
+      SELECT event_id, id, temperature,
+             lag(temperature) OVER (PARTITION BY id ORDER BY event_id) AS prev
+      FROM sensors) WHERE temperature > prev""",
+    "reference", "F1",
+)
+def alert_temp_increase(spark, sf_dir):
+    """F1 — TempIncreaseAlertFunction (chapter6/ProcessFunctionTimers.scala:42-97)
+    batch twin: readings whose temperature rose vs the previous reading
+    of the same sensor. Timer semantics are covered by the streaming
+    implementation (streaming/stateful.py) + tests."""
+    s = _sensors(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("event_id")
+    return (
+        s.withColumn("prev", F.lag("temperature").over(w))
+        .filter(F.col("temperature") > F.col("prev"))
+        .select("event_id", "id")
+    )
+
+
+# ======================================================================
+# Multi-stream correlation (J1-J5)
+# ======================================================================
+
+_SMOKE_SQL = (
+    "(VALUES (TIMESTAMP '2024-01-01 00:00:00','Low'),"
+    "(TIMESTAMP '2024-01-05 00:00:00','High'),"
+    "(TIMESTAMP '2024-01-10 00:00:00','Low'),"
+    "(TIMESTAMP '2024-01-20 00:00:00','High'),"
+    "(TIMESTAMP '2024-01-25 00:00:00','Low')) AS sm(sts, level)"
+)
+
+
+@register(
+    "asof_smoke_alert",
+    SENSORS_CTE + f"""
+    , enriched AS MATERIALIZED (
+      SELECT s.event_id, s.id, s.temperature, sm.level
+      FROM sensors s ASOF LEFT JOIN {_SMOKE_SQL} ON s.ts >= sm.sts)
+    SELECT event_id, id, temperature FROM enriched
+    WHERE level = 'High' AND temperature > 100""",
+    "reference", "J1",
+)
+def asof_smoke_alert(spark, sf_dir):
+    """J1 — RaiseAlertFlatMap (chapter5/MultiStreamTransformations.scala:77-91):
+    alert when temperature > 100 while the control stream's latest value
+    is High — an as-of join against the control stream (our as-of
+    operator; DuckDB oracle uses native ASOF JOIN)."""
+    from .sources.fixtures import smoke_levels_batch
+    s = _sensors(spark, sf_dir)
+    smoke = smoke_levels_batch(spark)
+    enriched = joins.asof_join(s, smoke, ts="ts", right_cols=["level"])
+    return (
+        enriched.filter((F.col("level") == "High") & (F.col("temperature") > 100))
+        .select("event_id", "id", "temperature")
+    )
+
+
+_SWITCHES_SQL = (
+    "(VALUES ('sensor_2', TIMESTAMP '2024-01-03 00:00:00', 172800000),"
+    "('sensor_7', TIMESTAMP '2024-01-15 00:00:00', 432000000)) "
+    "AS sw(id, enable_ts, duration_ms)"
+)
+
+
+@register(
+    "switch_forward",
+    SENSORS_CTE + f"""
+    SELECT s.event_id, s.id FROM sensors s JOIN {_SWITCHES_SQL}
+      ON s.id = sw.id
+     AND epoch_us(s.ts) >= epoch_us(sw.enable_ts)
+     AND epoch_us(s.ts) < epoch_us(sw.enable_ts) + sw.duration_ms::BIGINT * 1000""",
+    "reference", "J2",
+)
+def switch_forward(spark, sf_dir):
+    """J2 — ReadingFilter (chapter6/CoProcessFunctionTimers.scala:49-102):
+    a switch enables forwarding a sensor's readings for duration_ms.
+    Relational form: broadcast interval join; the processing-time-timer
+    form lives in streaming/stateful.py."""
+    s = _sensors(spark, sf_dir)
+    sw = spark.createDataFrame(
+        [("sensor_2", "2024-01-03 00:00:00", 172_800_000),
+         ("sensor_7", "2024-01-15 00:00:00", 432_000_000)],
+        ["id", "enable_str", "duration_ms"],
+    ).select("id", F.to_timestamp("enable_str").alias("enable_ts"), "duration_ms")
+    r = s.alias("r")
+    j = r.join(
+        F.broadcast(sw).alias("s"),
+        (F.col("r.id") == F.col("s.id"))
+        & (F.expr("unix_micros(r.ts) >= unix_micros(s.enable_ts)"))
+        & (F.expr("unix_micros(r.ts) < unix_micros(s.enable_ts) + s.duration_ms * 1000")),
+        "inner",
+    )
+    return j.select(F.col("r.event_id").alias("event_id"), F.col("r.id").alias("id"))
+
+
+_LOCATIONS_SQL = (
+    "(VALUES " + ",".join(
+        f"('sensor_{i}', 'room_{i % 10}')" for i in range(1, 11)
+    ) + ") AS loc(sensor, room)"
+)
+
+
+@register(
+    "enrich_locations",
+    SENSORS_CTE + f"""
+    SELECT s.event_id, s.id, loc.room
+    FROM sensors s LEFT JOIN {_LOCATIONS_SQL} ON s.id = loc.sensor""",
+    "reference", "J3", "J4",
+)
+def enrich_locations(spark, sf_dir):
+    """J3/J4 — the Derby lookup enrichment
+    (chapter8/AsyncFunctionExample.scala:103-204) as a broadcast hash
+    join: micro-batch join replaces per-record async I/O; the 100 TB
+    fact side never shuffles."""
+    s = _sensors(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [(f"sensor_{i}", f"room_{i % 10}") for i in range(1, 11)],
+        ["sensor", "room"],
+    )
+    out = joins.enrichment_join(s, dim, on=[s.id == dim.sensor], how="left")
+    return out.select("event_id", "id", "room")
+
+
+_RULES_SQL = (
+    "(VALUES ('sensor_1',5.0,1),('sensor_2',0.9,2),('sensor_3',0.5,3),"
+    "('sensor_1',1.2,4),('sensor_3',0.0,5)) AS r(id, threshold, seq)"
+)
+
+
+@register(
+    "broadcast_thresholds",
+    SENSORS_CTE + f"""
+    , rules AS (
+      SELECT id, threshold FROM (
+        SELECT id, threshold,
+               row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+        FROM {_RULES_SQL}) WHERE rn = 1 AND threshold != 0.0)
+    SELECT s.event_id, s.id, s.temperature, r.threshold
+    FROM sensors s JOIN rules r ON s.id = r.id
+    WHERE s.temperature > r.threshold""",
+    "reference", "J5",
+)
+def broadcast_thresholds(spark, sf_dir):
+    """J5 — KeyedBroadcastProcessFunction
+    (chapter7/BroadcastStateFunction.scala:69-126): rule changelog
+    collapsed to latest-per-key (deletes = threshold 0.0), broadcast,
+    alert where temperature exceeds the rule."""
+    from .sources.fixtures import threshold_updates
+    s = _sensors(spark, sf_dir)
+    out = joins.broadcast_rules_join(s, threshold_updates(spark))
+    return out.select("event_id", "id", "temperature", "threshold")
+
+
+# ======================================================================
+# Late data (T1-T7) — deterministic out-of-order twin
+# ======================================================================
+
+_SHIFT_SQL = (
+    "(('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 600000)"
+)
+_LATE_CTE = SENSORS_CTE + f"""
+    , shifted AS (
+      SELECT event_id, id, timestamp + {_SHIFT_SQL} AS ts2_ms
+      FROM sensors),
+    marked AS (
+      SELECT event_id, id, ts2_ms,
+             max(ts2_ms) OVER (ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) - 60000 AS wm_ms
+      FROM shifted)
+"""
+
+
+def _shifted_sensors(spark, sf_dir):
+    """Deterministically out-of-order sensor stream: P6's
+    TimestampShuffler (chapter6/LateDataHandling.scala:175-183) with an
+    md5-derived shift so both engines agree."""
+    s = _sensors(spark, sf_dir)
+    shift = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+             .cast("bigint") % 600_000)
+    return s.select("event_id", "id", (F.col("timestamp") + shift).alias("ts2_ms"))
+
+
+@register(
+    "late_classify",
+    _LATE_CTE + """
+    SELECT event_id, (ts2_ms < wm_ms)::INT AS is_late FROM marked""",
+    "reference", "T5", "T6", "P6",
+)
+def late_classify(spark, sf_dir):
+    """T5/T6 — LateReadingsFilter (chapter6/LateDataHandling.scala:60-76):
+    per-row late classification against the running watermark
+    (max event time seen in arrival order − 60 s). SS drops these rows
+    silently; this is the row-level capture, and
+    numRowsDroppedByWatermark is the streaming observability twin."""
+    sh = _shifted_sensors(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    return sh.select(
+        "event_id",
+        (F.col("ts2_ms") < (F.max("ts2_ms").over(w) - 60_000)).cast("int").alias("is_late"),
+    )
+
+
+@register(
+    "late_window_updates",
+    _LATE_CTE + """
+    , accepted AS (
+      SELECT id, (ts2_ms // 1000 // 3600) * 3600 + 3600 AS window_end,
+             (ts2_ms < wm_ms)::INT AS is_late, wm_ms
+      FROM marked)
+    SELECT id, window_end, count(*)::BIGINT AS cnt,
+           sum(is_late)::BIGINT AS update_cnt
+    FROM accepted
+    WHERE wm_ms < window_end * 1000 + 300000
+    GROUP BY id, window_end""",
+    "reference", "T7",
+)
+def late_window_updates(spark, sf_dir):
+    """T7 — allowedLateness + UpdatingWindowCountFunction
+    (chapter6/LateDataHandling.scala:112-172): per key+window count of
+    rows accepted while the window was open (watermark 60 s + 5 min
+    allowed lateness on 1 h windows); update_cnt = late-but-accepted
+    rows (the reference's 'update' re-fires)."""
+    sh = _shifted_sensors(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    marked = sh.select(
+        "event_id", "id", "ts2_ms",
+        (F.max("ts2_ms").over(w) - 60_000).alias("wm_ms"),
+    )
+    win_end = F.expr("ts2_ms div 1000 div 3600") * 3600 + 3600  # exact int div
+    accepted = marked.select(
+        "id", win_end.alias("window_end"),
+        (F.col("ts2_ms") < F.col("wm_ms")).cast("int").alias("is_late"),
+        "wm_ms",
+    ).filter(F.col("wm_ms") < F.col("window_end") * 1000 + 300_000)
+    return accepted.groupBy("id", "window_end").agg(
+        F.count("*").alias("cnt"),
+        F.sum("is_late").cast("bigint").alias("update_cnt"),
+    )
+
+
+@register(
+    "side_output_freezing",
+    SENSORS_CTE + """
+    SELECT event_id, 'Freezing Alarm for ' || id AS alarm, temperature
+    FROM sensors WHERE temperature < 32""",
+    "reference", "O1",
+)
+def side_output_freezing(spark, sf_dir):
+    """O1 — FreezingMonitor side output (chapter6/SideOutputs.scala:50-67).
+    The main output is the input stream itself; this is the side branch
+    (Catalyst shares the scan between branches)."""
+    s = _sensors(spark, sf_dir)
+    return s.filter(F.col("temperature") < 32).select(
+        "event_id",
+        F.concat(F.lit("Freezing Alarm for "), F.col("id")).alias("alarm"),
+        "temperature",
+    )
+
+
+# ======================================================================
+# Relational suite (TPC-H-style) — the general analytics surface a
+# complete engine needs; also the bench headliners. All money math goes
+# through DECIMAL for engine-exact, order-independent results.
+# ======================================================================
+
+_DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(10,2)) * "
+               "(CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))")
+_CHARGE = _DISC_PRICE + " * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+def _disc_price():
+    one = F.lit(1.0).cast("decimal(3,2)")
+    return dec("l_extendedprice", 10, 2) * (one - dec("l_discount", 3, 2))
+
+
+def _charge():
+    one = F.lit(1.0).cast("decimal(3,2)")
+    return _disc_price() * (one + dec("l_tax", 3, 2))
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(10,2)))::DOUBLE AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(10,2)))::DOUBLE AS sum_base_price,
+           SUM(""" + _DISC_PRICE + """)::DOUBLE AS sum_disc_price,
+           SUM(""" + _CHARGE + """)::DOUBLE AS sum_charge,
+           SUM(CAST(l_quantity AS DECIMAL(10,2)))::DOUBLE / count(*) AS avg_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(10,2)))::DOUBLE / count(*) AS avg_price,
+           SUM(CAST(l_discount AS DECIMAL(3,2)))::DOUBLE / count(*) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+    "relational", "bench",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pricing summary. Single scan + single partial/final
+    hash aggregate on 6 groups; shipdate predicate pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity", 10, 2)).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice", 10, 2)).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(_charge()).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity", 10, 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice", 10, 2)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum(dec("l_discount", 3, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           SUM(""" + _DISC_PRICE + """)::DOUBLE AS revenue,
+           epoch_us(o_orderdate) // 1000000 AS o_orderdate_s,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10""",
+    "relational", "bench",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: top-10 unshipped orders by revenue. customer dim is
+    broadcast; orders↔lineitem is the only big shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    out = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"))
+    return (
+        out.select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority""",
+    "relational",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4-style: priority counts for orders with a late-shipping
+    lineitem — LEFT SEMI join (no fact duplication, early exit)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q5_local_supplier",
+    """
+    SELECT n_name, SUM(""" + _DISC_PRICE + """)::DOUBLE AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                                AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name""",
+    "relational", "bench",
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5: local-supplier revenue by nation. All dims broadcast;
+    the plan is one big fact shuffle (orders↔lineitem) with dimension
+    broadcasts hanging off it."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+               * CAST(l_discount AS DECIMAL(3,2)))::DOUBLE AS revenue,
+           count(*)::BIGINT AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24""",
+    "relational", "bench",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-agg — every predicate pushes into the
+    parquet scan; zero shuffle (single global agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(
+        F.sum(dec("l_extendedprice", 10, 2) * dec("l_discount", 3, 2))
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           SUM(""" + _DISC_PRICE + """)::DOUBLE AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20""",
+    "relational", "bench",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-07-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    out = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"))
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "events_cube",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*)::BIGINT AS cnt,
+           SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE AS total
+    FROM events GROUP BY CUBE (event_type, user_id % 10)""",
+    "relational",
+)
+def events_cube(spark, sf_dir):
+    """Grouping-sets surface (beyond the reference — Spark built-in):
+    CUBE over (event_type, user_bucket)."""
+    ev = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(dec("value")).cast("double").alias("total"))
+    )
+
+
+@register(
+    "events_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type""",
+    "relational",
+)
+def events_distinct_users(spark, sf_dir):
+    """Distinct aggregation (two-phase partial distinct under AQE)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"))
+
+
+# ======================================================================
+# LLM-data-pipeline surface: dedup / similarity / text / multimodal.
+# Oracle SQL mirrors the exact md5-based integer hashing used by the
+# Spark operators, so results are engine-identical.
+# ======================================================================
+
+_SHINGLES_CTE = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingle
+      FROM w)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*)::BIGINT AS dup_count
+    FROM documents GROUP BY md5(text)""",
+    "llm", "dedup",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: one shuffle on md5(text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"min((x * {a} + {b}) % {dedup.P})::BIGINT AS mh_{i}"
+        for i, (a, b) in enumerate(dedup._hash_params(16))
+    )
+    return (
+        _SHINGLES_CTE
+        + f""",
+    x AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.P} AS x
+      FROM sh)
+    SELECT doc_id,
+           {mins}
+    FROM x GROUP BY doc_id"""
+    )
+
+
+@register("minhash_signatures", _minhash_sig_sql(), "llm", "dedup")
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 universal hashes over word 3-shingles):
+    one explode + one groupBy computing all minima map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=16, n=3)
+
+
+def _minhash_pairs_sql(bands: int = 4, rows: int = 4, threshold: float = 0.5) -> str:
+    sig = _minhash_sig_sql()
+    band_exprs = ",\n           ".join(
+        "md5(concat_ws(','," + ",".join(
+            f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+        ) + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    buckets = ",".join(f"'{b}|' || band_{b}" for b in range(bands))
+    matches = " + ".join(
+        f"(l.mh_{i} = r.mh_{i})::INT" for i in range(bands * rows)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (
+      SELECT doc_id,
+           {band_exprs}
+      FROM sig),
+    kv AS (
+      SELECT doc_id, unnest([{buckets}]) AS bucket FROM banded),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM kv l JOIN kv r USING (bucket)
+      WHERE l.doc_id < r.doc_id)
+    SELECT doc_a, doc_b, (({matches}) / 16.0) AS sig_sim
+    FROM cand JOIN sig l ON l.doc_id = doc_a
+              JOIN sig r ON r.doc_id = doc_b
+    WHERE (({matches}) / 16.0) >= {threshold}"""
+
+
+@register("minhash_lsh_pairs", _minhash_pairs_sql(), "llm", "dedup", "bench")
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs: 4 bands x 4 rows, verified at
+    signature similarity >= 0.5. Candidate join restricted to LSH
+    buckets — linear in collisions, never O(n^2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS v_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v_{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    x AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x FROM toks),
+    votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM x GROUP BY doc_id)
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes"""
+
+
+@register("simhash_fingerprints", _simhash_sql(), "llm", "dedup")
+def simhash_fingerprints(spark, sf_dir):
+    """32-bit SimHash fingerprints (per-bit majority vote over token
+    hashes): one explode + one groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+def _simhash_pairs_sql() -> str:
+    sim = _simhash_sql()
+    buckets = ",".join(
+        f"'{b}|' || ((simhash >> {b * 8}) & 255)::VARCHAR" for b in range(4)
+    )
+    return f"""
+    WITH fp AS ({sim}),
+    kv AS (
+      SELECT doc_id, simhash, unnest([{buckets}]) AS bucket FROM fp),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, l.simhash AS sh_a,
+             r.doc_id AS doc_b, r.simhash AS sh_b
+      FROM kv l JOIN kv r USING (bucket)
+      WHERE l.doc_id < r.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""
+
+
+@register("simhash_near_pairs", _simhash_pairs_sql(), "llm", "dedup")
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) via byte-band blocking."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_pairs(docs, max_hamming=3, bits=32)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLES_CTE + """,
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS inter
+      FROM sh l JOIN sh r USING (shingle)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a
+               JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""",
+    "llm", "dedup",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join at threshold 0.5
+    (sparse equi-join on shingles; df-capped at production scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@register(
+    "embedding_near_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+    SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+           round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cos
+    FROM n l JOIN n r ON l.vec_id < r.vec_id
+    WHERE list_dot_product(l.v, r.v) / (l.norm * r.norm) >= 0.35""",
+    "llm", "dedup",
+)
+def embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>= 0.35), brute force — the
+    LSH-bucketed variant is the scale path (ann_topk_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_pairs(emb, threshold=0.35)
+
+
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+      FROM n WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             list_dot_product(qv, v) / (qnorm * norm) AS cos
+      FROM n, q WHERE vec_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5""",
+    "llm", "similarity", "bench",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for query vectors (vec_id % 50 == 0):
+    broadcast queries, JVM-side double fold, rank with unique
+    tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, k=5, query_mod=50)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
+def _lsh_topk_sql(num_planes: int = 8, dim: int = 64) -> str:
+    planes = []
+    for p in range(num_planes):
+        comps = ",".join(repr(similarity._plane_component(p, d)) for d in range(dim))
+        planes.append(
+            f"(CASE WHEN list_dot_product(v, [{comps}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(planes)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+             ({sig})::BIGINT AS sig
+      FROM e),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm, sig AS qsig
+      FROM n WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             list_dot_product(qv, v) / (qnorm * norm) AS cos
+      FROM n JOIN q ON sig = qsig AND vec_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5"""
+
+
+@register("ann_topk_lsh", _lsh_topk_sql(), "llm", "similarity")
+def ann_topk_lsh(spark, sf_dir):
+    """Approximate top-5: random-hyperplane LSH (8 deterministic
+    planes) buckets candidates; equi-join on the signature — the
+    partition-pruned serving path at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, k=5, query_mod=50, num_planes=8, dim=64)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
+def _lang_sql() -> str:
+    cnts = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in words
+        )
+        for lang, words in text.LANG_MARKERS.items()
+    }
+    cols = ",\n             ".join(
+        f"({expr})::BIGINT AS cnt_{lang}" for lang, expr in cnts.items()
+    )
+    langs = sorted(text.LANG_MARKERS)  # alphabetical tie-break order
+    mx = "greatest(" + ", ".join(f"cnt_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN cnt_{la} = mx THEN '{la}'" for la in langs)
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             {cols}
+      FROM documents),
+    m AS (SELECT doc_id, *, {mx} AS mx FROM c)
+    SELECT doc_id,
+           CASE WHEN mx = 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+    FROM m"""
+
+
+@register("lang_id", _lang_sql(), "llm", "text")
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker voting with deterministic
+    alphabetical tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lang_id(docs)
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+           len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+           (length(text) // 4)::BIGINT AS n_tokens_est
+    FROM documents""",
+    "llm", "text", "bench",
+)
+def token_count(spark, sf_dir):
+    """Whitespace token count + punctuation count + chars/4 estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.token_count(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_punct").cast("bigint").alias("n_punct"),
+        F.col("n_tokens_est"),
+    )
+
+
+def _quality_sql() -> str:
+    stop = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in text.STOPWORDS
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_m,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+             len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+             ({stop})::BIGINT AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars_m, n_words,
+           round((n_chars_m - (n_words - 1)) / n_words, 6) AS mean_word_len,
+           round(n_punct / n_chars_m, 6) AS punct_ratio,
+           round(n_digit / n_chars_m, 6) AS digit_ratio,
+           round(n_stop / n_words, 6) AS stop_ratio,
+           round(
+             (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars_m - (n_words - 1)) / n_words >= 3
+                    AND (n_chars_m - (n_words - 1)) / n_words <= 10
+                   THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_punct / n_chars_m < 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / n_words > 0.01 THEN 0.25 ELSE 0.0 END), 2)
+             AS quality_score
+    FROM f"""
+
+
+@register("quality_score", _quality_sql(), "llm", "text")
+def quality_score(spark, sf_dir):
+    """Document quality features + composite score."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_m").cast("bigint").alias("n_chars_m"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "mean_word_len", "punct_ratio", "digit_ratio", "stop_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents""",
+    "llm", "text",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Whitespace/case-normalized md5 fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+_MEDIA_N = "octet_length(encode(text))"
+
+
+@register(
+    "media_meta",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS mime,
+             {_MEDIA_N}::BIGINT AS n
+      FROM documents)
+    SELECT doc_id, mime, n AS n_bytes,
+           (CASE WHEN mime = 'audio/wav' THEN 0 ELSE (n % 1920) + 1 END)::BIGINT AS width,
+           (CASE WHEN mime = 'audio/wav' THEN 0 ELSE (n % 1080) + 1 END)::BIGINT AS height,
+           (CASE WHEN mime = 'image/png' THEN 1
+                 WHEN mime = 'audio/wav' THEN n * 100
+                 ELSE (n % 240) + 1 END)::BIGINT AS n_frames
+    FROM m""",
+    "llm", "multimodal",
+)
+def media_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata, decoded
+    via Arrow-batched mapInPandas (decode itself is a deterministic
+    stub — codec libs not in this container; see operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.media_table(docs))
+
+
+@register(
+    "frame_sample",
+    f"""
+    WITH m AS (
+      SELECT doc_id, {_MEDIA_N}::BIGINT AS n FROM documents
+      WHERE doc_id % 3 = 2)
+    SELECT doc_id, unnest(range(0, (n % 240) + 1, 24))::BIGINT AS frame_idx
+    FROM m""",
+    "llm", "multimodal",
+)
+def frame_sample(spark, sf_dir):
+    """Frame-sampling plan over decoded video rows (every 24th frame)."""
+    docs = _t(spark, sf_dir, "documents")
+    decoded = multimodal.decode_media(multimodal.media_table(docs))
+    return multimodal.frame_sample(decoded, every_n=24)

@@ -1,0 +1,60 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference configures its environment per-program
+(StreamExecutionEnvironment.getExecutionEnvironment +
+setStreamTimeCharacteristic, see
+reference chapter1/AverageSensorReadings.scala:34-39). Here a single
+builder applies the settings we want on every session:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- UTC session timezone (determinism of every time expression)
+- Arrow for all Python<->JVM transfer
+- shuffle partitions sized to the local core count; on a real cluster
+  AQE coalescing makes the initial number mostly a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (e.g. the
+    driver-provided one) so query semantics are deterministic."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # driver testdata events.parquet stores TIMESTAMP(NANOS) which the
+    # Spark parquet reader rejects by default; read as BIGINT nanos and
+    # convert explicitly (values are micro-aligned).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except Exception:
+        pass  # immutable under AQE in some builds; fine
+    return spark
+
+
+def get_spark(app_name: str = "examples-scala-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    return tune(builder.getOrCreate())

@@ -1,0 +1,101 @@
+"""Local twin of the driver's t2 correctness gate: run every registry
+query on Spark AND its DuckDB oracle, compare row count, column names,
+and an order-insensitive value hash.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from examples_scala_spark.queries import REGISTRY  # noqa: E402
+from examples_scala_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive: sort columns by name, then rows by all values."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(
+        tuple(repr(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(REGISTRY)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("verify-local")
+    failures = []
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name:28s} spark error: {str(e)[:300]}")
+            continue
+        t1 = time.time()
+        if spec.oracle is None:
+            print(f"rows  {name:28s} {len(sdf):>8} rows (no oracle) "
+                  f"[spark {t1 - t0:.1f}s]")
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name:28s} duckdb error: {str(e)[:300]}")
+            continue
+        t2 = time.time()
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name:28s} {'; '.join(problems)} "
+                  f"[spark {t1 - t0:.1f}s duck {t2 - t1:.1f}s]")
+            # show a small diff sample
+            try:
+                sk = sdf.reindex(sorted(sdf.columns), axis=1)
+                ok = odf.reindex(sorted(odf.columns), axis=1)
+                print("  spark:", sk.head(3).to_dict("records"))
+                print("  duck :", ok.head(3).to_dict("records"))
+            except Exception:
+                pass
+        else:
+            print(f"OK    {name:28s} {len(sdf):>8} rows "
+                  f"[spark {t1 - t0:.1f}s duck {t2 - t1:.1f}s]")
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
