@@ -58,10 +58,13 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
     Pure SQL expressions -> codegen'd, no Python."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: sequence(1, 0) in Spark is DESCENDING [1,0], so docs with
+    # fewer than n words need an explicit empty-array branch
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
-        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))"
+        f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= {n} "
+        f"THEN transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
+        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return (
         docs.select(F.col(id_col), F.explode(grams).alias("shingle"))

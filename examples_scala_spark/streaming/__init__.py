@@ -1,0 +1,1 @@
+from . import pipelines, sinks, stateful  # noqa: F401

@@ -1,0 +1,53 @@
+"""End-to-end streaming pipelines mirroring the reference's example
+mains — each returns an unstarted streaming DataFrame (callers attach a
+sink + checkpoint and start it). These are the unbounded twins of the
+oracle-checked batch queries in queries.py (SS's unified model:
+same plan, streaming source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sensor import sensor_source_stream
+from ..operators.aggregations import dec
+
+
+def average_sensor_readings(spark: SparkSession,
+                            rows_per_second: int = 100) -> DataFrame:
+    """chapter1/AverageSensorReadings.scala:31-64 — the book's hello
+    world: event-time 1 s tumbling window, per-sensor average Celsius,
+    5 s watermark (util/SensorTimeAssigner.scala:26)."""
+    s = sensor_source_stream(spark, rows_per_second)
+    out = (
+        s.withColumn("celsius", (F.col("temperature") - 32) * 5.0 / 9.0)
+        .withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 second"), "id")
+        .agg(F.avg("celsius").alias("avg_temp"))
+    )
+    return out.select(F.col("window.end").alias("window_end"), "id", "avg_temp")
+
+
+def global_window_average(spark: SparkSession,
+                          rows_per_second: int = 100) -> DataFrame:
+    """chapter8/TransactionalSinkExample.scala:78-89 — non-keyed 1 s
+    window global average with ISO window-end string."""
+    s = sensor_source_stream(spark, rows_per_second)
+    out = (
+        s.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 second"))
+        .agg(F.avg("temperature").alias("avg_temp"))
+    )
+    return out.select(
+        F.date_format("window.end", "yyyy-MM-dd'T'HH:mm:ss").alias("window_end_iso"),
+        "avg_temp",
+    )
+
+
+def rolling_max_stream(spark: SparkSession,
+                       rows_per_second: int = 100) -> DataFrame:
+    """chapter5/KeyedTransformations.scala:49-52 — running per-key max,
+    update output mode re-emits refreshed values each micro-batch."""
+    s = sensor_source_stream(spark, rows_per_second)
+    return s.groupBy("id").agg(F.max("temperature").alias("max_temp"))

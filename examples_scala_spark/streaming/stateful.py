@@ -1,0 +1,274 @@
+"""Stateful per-record streaming operators (SURVEY §2.8 F1-F6) on
+Structured Streaming's arbitrary-state API.
+
+Spark-first mapping: Flink's per-key ValueState + TimerService becomes
+`applyInPandasWithState` — state is the per-group handle, timers are
+group timeouts (processing- or event-time). Data crosses the
+JVM<->Python boundary in Arrow batches, so per-key logic is vectorized
+within each micro-batch, not row-at-a-time RPC.
+
+At scale: state lives in the executor state store (RocksDB in prod
+conf), keyed by the shuffle partitioning of groupBy — the same hash
+partitioning Flink's keyBy declares. Nothing here collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+ALERT_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("temperature", DoubleType()),
+    StructField("diff", DoubleType()),
+])
+
+_DELTA_STATE = StructType([StructField("last_temp", DoubleType())])
+
+
+def temperature_delta_alerts(readings: DataFrame,
+                             threshold: float = 1.7) -> DataFrame:
+    """F2 — TemperatureAlertFunction (reference
+    chapter7/KeyedStateFunction.scala:73-100): per key, keep lastTemp in
+    ValueState; emit (id, temp, diff) when |temp - lastTemp| > threshold.
+
+    Batch twin (oracle-checked): queries.alert_temp_delta via lag().
+    """
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        last = state.get[0] if state.exists else None
+        out_t, out_d = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for t in pdf["temperature"]:
+                if last is not None and abs(t - last) > threshold:
+                    out_t.append(float(t))
+                    out_d.append(float(t - last))
+                last = float(t)
+        state.update((last,))
+        yield pd.DataFrame({
+            "id": [sensor_id] * len(out_t),
+            "temperature": out_t,
+            "diff": out_d,
+        })
+
+    return readings.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=ALERT_SCHEMA, stateStructType=_DELTA_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+WARNING_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("message", StringType()),
+])
+
+_RISE_STATE = StructType([
+    StructField("last_temp", DoubleType()),
+    StructField("rising_since_ms", LongType()),
+])
+
+
+def temperature_rise_warnings(readings: DataFrame,
+                              rise_ms: int = 1_000) -> DataFrame:
+    """F1 — TempIncreaseAlertFunction
+    (chapter6/ProcessFunctionTimers.scala:42-97): warn when a sensor's
+    temperature rises monotonically for `rise_ms` of processing time.
+
+    The reference registers a processing-time timer on the first rise
+    and deletes it on any fall; here the group timeout plays the timer:
+    each batch updates (last_temp, rising_since); on timeout expiry with
+    a still-armed rising_since, the warning fires — timeout expiry is
+    Spark's onTimer() (state.hasTimedOut), evaluated at the next
+    micro-batch, a documented cadence difference vs Flink's exact
+    timer thread.
+    """
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        if state.hasTimedOut:
+            last, since = state.get
+            if since is not None:
+                yield pd.DataFrame({
+                    "id": [sensor_id],
+                    "message": [f"Temperature of sensor '{sensor_id}' "
+                                f"monotonically increased for {rise_ms} ms."],
+                })
+            state.update((last, None))
+            return
+        last, since = state.get if state.exists else (None, None)
+        now = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for _, row in pdf.iterrows():
+                t = float(row["temperature"])
+                if last is not None and t > last:
+                    if since is None:
+                        since = int(row["timestamp"])
+                else:
+                    since = None
+                last = t
+                now = int(row["timestamp"])
+        state.update((last, since))
+        if since is not None:
+            state.setTimeoutDuration(rise_ms)
+        yield pd.DataFrame({"id": [], "message": []}).astype(
+            {"id": "object", "message": "object"})
+
+    return readings.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=WARNING_SCHEMA, stateStructType=_RISE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+_TTL_STATE = StructType([
+    StructField("last_temp", DoubleType()),
+    StructField("last_event_ms", LongType()),
+])
+
+
+def self_cleaning_delta_alerts(readings: DataFrame, threshold: float = 1.7,
+                               ttl_ms: int = 3_600_000) -> DataFrame:
+    """F4 — SelfCleaningTemperatureAlertFunction
+    (chapter7/StatefulProcessFunction.scala:56-110): same delta alert,
+    but state is dropped when a key is silent for ttl_ms of event time —
+    the reference re-arms an event-time cleanup timer per record; here
+    it's EventTimeTimeout with a timeout timestamp re-armed per batch.
+    Requires a watermark on the input."""
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        if state.hasTimedOut:
+            state.remove()  # the reference's onTimer state.clear()
+            return
+        last, last_ms = state.get if state.exists else (None, None)
+        out_t, out_d = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for _, row in pdf.iterrows():
+                t = float(row["temperature"])
+                if last is not None and abs(t - last) > threshold:
+                    out_t.append(t)
+                    out_d.append(t - last)
+                last = t
+                last_ms = int(row["timestamp"])
+        state.update((last, last_ms))
+        if last_ms is not None:
+            state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame({
+            "id": [sensor_id] * len(out_t),
+            "temperature": out_t,
+            "diff": out_d,
+        })
+
+    return readings.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=ALERT_SCHEMA, stateStructType=_TTL_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+FORWARD_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("timestamp", LongType()),
+    StructField("temperature", DoubleType()),
+])
+
+_SWITCH_STATE = StructType([StructField("disable_at_ms", LongType())])
+
+
+def switchable_forwarder(readings: DataFrame, switches: DataFrame) -> DataFrame:
+    """J2 — ReadingFilter (chapter6/CoProcessFunctionTimers.scala:49-102):
+    two-input keyed co-process as a union of tagged rows into one
+    stateful operator. A switch row (tag='switch') arms forwarding of
+    that sensor for duration_ms; reading rows (tag='data') pass while
+    armed. The disable timer is the state value (checked per record),
+    with a processing-time timeout as the cleanup path.
+
+    Both inputs must share the schema: (id, timestamp, temperature,
+    tag, duration_ms).
+    """
+    tagged_r = readings.select(
+        "id", F.col("timestamp").cast("long").alias("timestamp"),
+        "temperature", F.lit("data").alias("tag"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    tagged_s = switches.select(
+        "id", F.col("timestamp").cast("long").alias("timestamp"),
+        F.lit(None).cast("double").alias("temperature"),
+        F.lit("switch").alias("tag"),
+        F.col("duration_ms").cast("long"),
+    )
+    unioned = tagged_r.unionByName(tagged_s)
+
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        disable_at = state.get[0] if state.exists else None
+        out_ts, out_t = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for _, row in pdf.iterrows():
+                if row["tag"] == "switch":
+                    # arm forwarding: processing-time based in the
+                    # reference; event-ms based here for determinism
+                    disable_at = int(row["timestamp"]) + int(row["duration_ms"])
+                elif disable_at is not None and int(row["timestamp"]) < disable_at:
+                    out_ts.append(int(row["timestamp"]))
+                    out_t.append(float(row["temperature"]))
+        state.update((disable_at,))
+        yield pd.DataFrame({
+            "id": [sensor_id] * len(out_ts),
+            "timestamp": out_ts,
+            "temperature": out_t,
+        })
+
+    return unioned.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=FORWARD_SCHEMA, stateStructType=_SWITCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+COUNT_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("high_count", LongType()),
+])
+
+_COUNT_STATE = StructType([StructField("cnt", LongType())])
+
+
+def high_temp_counter(readings: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """F5/A12 — HighTempCounter keyed half
+    (chapter7/CheckpointedFunctionExample.scala:45-85): running per-key
+    count of readings above threshold, emitted per micro-batch. The
+    operator-state half (per-subtask count) is an execution artifact —
+    its observability twin is a SparkListener/accumulator, not a query.
+    Snapshot/restore hooks are unnecessary: the state store checkpoints
+    this automatically (R1/R4)."""
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += int((pdf["temperature"] > threshold).sum())
+        state.update((cnt,))
+        yield pd.DataFrame({"id": [sensor_id], "high_count": [cnt]})
+
+    return readings.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=COUNT_SCHEMA, stateStructType=_COUNT_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+    )

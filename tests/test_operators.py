@@ -1,0 +1,160 @@
+"""Batch operator unit tests on tiny deterministic fixtures
+(FIXTURES.md §5 expectations) plus plan-hygiene assertions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from examples_scala_spark.operators import aggregations as agg
+from examples_scala_spark.operators import dedup, joins, similarity, text, transforms
+from examples_scala_spark.plans.inspect import (
+    assert_broadcast_join, assert_no_python_in_plan, explain_str,
+)
+from examples_scala_spark.sources.fixtures import int_triples, threshold_updates
+from examples_scala_spark.sources.tables import sensor_readings
+
+
+def test_rolling_sum_trace_matches_reference_fixture(spark):
+    # chapter5/RollingSum.scala expected outputs (FIXTURES.md §5):
+    # (1,2,2) (2,3,1) (2,5,1) (1,7,2) — running sum of _2 keyed by _1
+    df = int_triples(spark).withColumn("order", F.monotonically_increasing_id())
+    out = agg.rolling_sum_trace(df, key="_1", val="_2", order="order")
+    got = {(r["_1"], r["_2"], r["running_sum"]) for r in out.collect()}
+    assert got == {(1, 2, 2), (2, 3, 3), (2, 2, 5), (1, 5, 7)}
+
+
+def test_fahrenheit_to_celsius(spark):
+    df = spark.createDataFrame([("s1", 32.0), ("s1", 212.0)], ["id", "temperature"])
+    out = transforms.fahrenheit_to_celsius(df).collect()
+    assert [r.temperature for r in out] == [0.0, 100.0]
+
+
+def test_split_ids(spark):
+    df = spark.createDataFrame([("sensor_7",)], ["id"])
+    out = transforms.split_ids(df).collect()
+    assert [r.token for r in out] == ["sensor", "7"]
+
+
+def test_rolling_max_by_keeps_whole_row(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 5.0, 11), ("b", 2.0, 12)],
+        ["id", "temperature", "payload"])
+    out = {r["id"]: (r["temperature"], r["payload"])
+           for r in agg.rolling_max_by(df).collect()}
+    assert out == {"a": (5.0, 11), "b": (2.0, 12)}
+
+
+def test_latest_rules_drops_deletes(spark):
+    latest = joins.latest_rules(threshold_updates(spark)).collect()
+    got = {r["id"]: r["threshold"] for r in latest}
+    # sensor_1 updated 5.0 -> 1.2; sensor_3 deleted (0.0)
+    assert got == {"sensor_1": 1.2, "sensor_2": 0.9}
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05"), (2, "2024-01-01 00:00:15"),
+         (3, "2023-12-31 00:00:00")], ["k", "ts_s"]
+    ).select("k", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "A"), ("2024-01-01 00:00:10", "B"),
+         ("2024-01-01 00:00:15", "C")], ["ts_s", "v"]
+    ).select(F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {r["k"]: r["v"] for r in
+           joins.asof_join(left, right, ts="ts", right_cols=["v"]).collect()}
+    # k=2 at :15 ties with C -> right row at equal ts included
+    assert out == {1: "A", 2: "C", 3: None}
+
+
+def test_enrichment_join_is_broadcast(spark, sf_dir):
+    s = sensor_readings(spark, sf_dir)
+    dim = spark.createDataFrame([("sensor_1", "r1")], ["sensor", "room"])
+    out = joins.enrichment_join(s, dim, on=[s.id == dim.sensor])
+    assert_broadcast_join(out)
+    assert_no_python_in_plan(out)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from examples_scala_spark.sources.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") < 24).select("l_quantity", "l_discount")
+    plan = explain_str(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,24.0)]" in plan
+    # column pruning: scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_discount:double>" in plan
+
+
+def test_exact_dedup_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"])
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["shingle"] for r in dedup.word_shingles(docs, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+    # shorter than n -> no shingles, no crash
+    docs2 = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert dedup.word_shingles(docs2, n=3).count() == 0
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "q r s t u")],
+        ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["doc_a"] == 1 and out[0]["doc_b"] == 2
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert [(p["doc_a"], p["doc_b"], p["sig_sim"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_equal_fp(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "hello world foo")], ["doc_id", "text"])
+    fps = [r["simhash"] for r in dedup.simhash(docs).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_brute_force_topk_self_similarity_excluded(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (50, [1.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(emb, k=2, query_mod=50)
+    rows = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in out.collect()]
+    # queries are 0 and 50; nearest to 0 is 50 (identical), then 1
+    assert (0, 50, 1) in rows and (0, 1, 2) in rows
+    assert all(q != n for q, n, _ in rows)
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze ist da"),
+         (3, "zzz qqq www")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_range(spark, sf_dir):
+    from examples_scala_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.quality_score(docs)
+    bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1))
+    assert bad.count() == 0
+    assert_no_python_in_plan(out)
+
+
+def test_exact_aggs_stay_jvm_side(spark, sf_dir):
+    s = sensor_readings(spark, sf_dir)
+    out = s.groupBy("id").agg(agg.exact_sum("temperature", "t"))
+    assert_no_python_in_plan(out)

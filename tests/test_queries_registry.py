@@ -1,0 +1,54 @@
+"""Registry-level checks: every query runs at sf0.001 and a sampled
+subset hash-matches its DuckDB oracle (the full gate runs in
+tools/verify_local.py / the driver)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from examples_scala_spark.queries import REGISTRY
+
+import sys
+sys.path.insert(0, "/root/repo/tools")
+from verify_local import TABLES, value_hash  # noqa: E402
+
+# fast, structurally diverse sample for the pytest loop; the driver
+# and verify_local cover all of them
+SAMPLE = [
+    "w_avg_temp", "rolling_max_by", "alert_temp_delta", "asof_smoke_alert",
+    "late_window_updates", "q1_pricing_summary", "q5_local_supplier",
+    "dedup_exact", "minhash_lsh_pairs", "ann_topk_bruteforce",
+    "quality_score", "media_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_all_queries_have_oracles():
+    missing = [n for n, s in REGISTRY.items() if s.oracle is None]
+    # non-SQL-expressible ops may be oracle-less, but today all have one
+    assert missing == []
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    odf = duck.sql(spec.oracle).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    rows = e.entry(spark).limit(5).collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
