@@ -55,21 +55,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
-    Pure SQL expressions -> codegen'd, no Python."""
+                  id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle).
+    Pure SQL expressions -> codegen'd, no Python. The words array is
+    materialized once per row (not re-split per gram). distinct=False
+    skips the dedup shuffle for consumers where duplicates are harmless
+    (MinHash minima)."""
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    )
     # guard: sequence(1, 0) in Spark is DESCENDING [1,0], so docs with
     # fewer than n words need an explicit empty-array branch
     grams = F.expr(
-        f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= {n} "
-        f"THEN transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
-        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' ')) "
+        f"CASE WHEN size(__w) >= {n} "
+        f"THEN transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> array_join(slice(__w, i, {n}), ' ')) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    return (
-        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = words.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
@@ -77,7 +82,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     """Per-doc MinHash signature as columns mh_0..mh_{H-1}.
     One explode + one groupBy(doc) computing all H minima at once
     (partial aggregation collapses shingles map-side)."""
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # duplicates don't change minima — skip the distinct shuffle
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                       distinct=False)
     x = (base_hash(F.col("shingle")) % P).alias("x")
     sh = sh.select(F.col(id_col), x)
     aggs = [
@@ -202,7 +209,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     in > df_cap docs) to bound the join fan-out — standard ppjoin-style
     pruning (not applied at test SF for oracle exactness).
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # join on the 60-bit shingle hash, not the string: the shuffle
+    # carries 8-byte keys instead of full n-grams (the dominant cost at
+    # scale); the oracle mirrors the same hashing so results stay
+    # engine-identical even under (negligible) collisions.
+    sh = (
+        word_shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                      distinct=False)
+        .select(F.col(id_col), base_hash(F.col("shingle")).alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("l").join(sh.alias("r"), "shingle")

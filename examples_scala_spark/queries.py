@@ -1020,7 +1020,20 @@ def simhash_near_pairs(spark, sf_dir):
 
 @register(
     "ngram_jaccard_pairs",
-    _SHINGLES_CTE + """,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh_str AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingle_str
+      FROM w),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(shingle_str), 1, 15))::BIGINT AS shingle
+      FROM sh_str)""" + """,
     sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS inter
@@ -1294,3 +1307,122 @@ def frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     decoded = multimodal.decode_media(multimodal.media_table(docs))
     return multimodal.frame_sample(decoded, every_n=24)
+
+
+# ======================================================================
+# Beyond-parity window surface: sliding + session windows (the book
+# covers them; the reference examples don't — Spark has them built in),
+# approximate aggregates, and a genuine Structured Streaming entry.
+# ======================================================================
+
+@register(
+    "w_sliding_counts",
+    SENSORS_CTE + """
+    , k AS (SELECT unnest(range(0, 3)) AS k)
+    SELECT (epoch_us(ts) // 10000000 - k.k) * 10 AS window_start, id,
+           count(*)::BIGINT AS cnt,
+           SUM(CAST(temperature AS DECIMAL(12,2)))::DOUBLE AS total
+    FROM sensors, k
+    GROUP BY 1, 2""",
+    "beyond", "W_sliding",
+)
+def w_sliding_counts(spark, sf_dir):
+    """Sliding window 30 s / slide 10 s per sensor: each event lands in
+    exactly 3 windows (size/slide); Spark's window() replicates rows
+    JVM-side — the oracle mirrors via an unnested 0..2 multiplier."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "30 seconds", "10 seconds"), "id").agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec("temperature")).cast("double").alias("total"))
+    return out.select(F.col("window.start").cast("long").alias("window_start"),
+                      "id", "cnt", "total")
+
+
+@register(
+    "session_windows",
+    SENSORS_CTE + """
+    , s AS (SELECT id, epoch_us(ts) AS us FROM sensors),
+    m AS (
+      SELECT id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY id ORDER BY us) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY id ORDER BY us)
+                       >= 600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM s),
+    g AS (
+      SELECT id, us,
+             sum(new_s) OVER (PARTITION BY id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT id, (min(us) // 1000000) AS session_start,
+           ((max(us) + 600000000) // 1000000) AS session_end,
+           count(*)::BIGINT AS cnt
+    FROM g GROUP BY id, sid""",
+    "beyond", "W_session",
+)
+def session_windows(spark, sf_dir):
+    """Session windows (10 min gap) per sensor — Spark's
+    session_window() merges events closer than the gap; session end =
+    last event + gap. The oracle sessionizes via lag()+cumsum, the
+    standard SQL formulation."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.session_window("ts", "10 minutes"), "id").agg(
+        F.count("*").alias("cnt"))
+    return out.select(
+        "id",
+        F.col("session_window.start").cast("long").alias("session_start"),
+        F.col("session_window.end").cast("long").alias("session_end"),
+        "cnt",
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch result is algorithm-specific — rows-only check
+    "beyond",
+)
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per event_type — the
+    approximate-aggregate surface (SURVEY §2.3 note). No DuckDB oracle:
+    sketch estimates are engine-specific; the exact twin is
+    events_distinct_users."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+
+
+@register(
+    "stream_delta_alerts",
+    None,  # genuine stateful streaming (applyInPandasWithState) — rows-only
+    "streaming", "F2",
+)
+def stream_delta_alerts(spark, sf_dir):
+    """F2 as REAL Structured Streaming: the events table replayed as a
+    bounded stream through applyInPandasWithState (keyed ValueState),
+    availableNow trigger, memory sink — returns the materialized result.
+    Streaming-vs-batch equivalence is asserted in tests; the driver
+    records a rows-only check here."""
+    import tempfile
+
+    tune(spark)
+    from .streaming.stateful import temperature_delta_alerts
+
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    readings = src.select(
+        F.concat(F.lit("sensor_"), ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
+        F.expr("ts div 1000").alias("timestamp"),
+        F.col("value").alias("temperature"),
+    )
+    out = temperature_delta_alerts(readings, threshold=17.0)
+    name = "stream_delta_alerts_result"
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -56,11 +56,12 @@ def temperature_delta_alerts(readings: DataFrame,
                     out_d.append(float(t - last))
                 last = float(t)
         state.update((last,))
-        yield pd.DataFrame({
-            "id": [sensor_id] * len(out_t),
-            "temperature": out_t,
-            "diff": out_d,
-        })
+        if out_t:
+            yield pd.DataFrame({
+                "id": [sensor_id] * len(out_t),
+                "temperature": out_t,
+                "diff": out_d,
+            })
 
     return readings.groupBy("id").applyInPandasWithState(
         fn, outputStructType=ALERT_SCHEMA, stateStructType=_DELTA_STATE,
@@ -122,8 +123,8 @@ def temperature_rise_warnings(readings: DataFrame,
         state.update((last, since))
         if since is not None:
             state.setTimeoutDuration(rise_ms)
-        yield pd.DataFrame({"id": [], "message": []}).astype(
-            {"id": "object", "message": "object"})
+        return
+        yield  # generator protocol; nothing to emit on the data path
 
     return readings.groupBy("id").applyInPandasWithState(
         fn, outputStructType=WARNING_SCHEMA, stateStructType=_RISE_STATE,
@@ -166,11 +167,12 @@ def self_cleaning_delta_alerts(readings: DataFrame, threshold: float = 1.7,
         state.update((last, last_ms))
         if last_ms is not None:
             state.setTimeoutTimestamp(last_ms + ttl_ms)
-        yield pd.DataFrame({
-            "id": [sensor_id] * len(out_t),
-            "temperature": out_t,
-            "diff": out_d,
-        })
+        if out_t:
+            yield pd.DataFrame({
+                "id": [sensor_id] * len(out_t),
+                "temperature": out_t,
+                "diff": out_d,
+            })
 
     return readings.groupBy("id").applyInPandasWithState(
         fn, outputStructType=ALERT_SCHEMA, stateStructType=_TTL_STATE,
@@ -230,11 +232,12 @@ def switchable_forwarder(readings: DataFrame, switches: DataFrame) -> DataFrame:
                     out_ts.append(int(row["timestamp"]))
                     out_t.append(float(row["temperature"]))
         state.update((disable_at,))
-        yield pd.DataFrame({
-            "id": [sensor_id] * len(out_ts),
-            "timestamp": out_ts,
-            "temperature": out_t,
-        })
+        if out_ts:
+            yield pd.DataFrame({
+                "id": [sensor_id] * len(out_ts),
+                "timestamp": out_ts,
+                "temperature": out_t,
+            })
 
     return unioned.groupBy("id").applyInPandasWithState(
         fn, outputStructType=FORWARD_SCHEMA, stateStructType=_SWITCH_STATE,
