@@ -19,6 +19,7 @@ Design for scale:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -139,7 +140,7 @@ def avg_temp_pandas_udaf(df: DataFrame, key: str = "id",
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def mean_udaf(v) -> float:  # pd.Series -> float
+    def mean_udaf(v: pd.Series) -> float:
         return float(v.sum() / len(v)) if len(v) else float("nan")
 
     return df.groupBy(key).agg(mean_udaf(F.col(temp_col)).alias("avg_temp"))

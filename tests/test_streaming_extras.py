@@ -1,0 +1,149 @@
+"""Timer firing (F1), socket sink (K2), pandas UDAF (A5), and
+late-drop observability (T5 streaming twin)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import socket
+import socketserver
+import tempfile
+import threading
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from examples_scala_spark.operators.aggregations import avg_temp_pandas_udaf
+from examples_scala_spark.streaming import sinks, stateful
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgs_extra_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_temperature_rise_warning_fires(spark, tmpdir):
+    """F1 — the ProcessingTimeTimeout 'timer' fires in a later batch
+    once the rise has persisted for rise_ms of wall-clock."""
+    path = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    got: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id string, timestamp long, temperature double")
+            .parquet(path)
+        )
+        out = stateful.temperature_rise_warnings(stream, rise_ms=500)
+        q = (out.writeStream.foreachBatch(
+                lambda df, bid: got.extend((r.id, r.message) for r in df.collect()))
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: monotonically rising temperatures for s1 -> timer armed
+    spark.createDataFrame([("s1", 1, 10.0), ("s1", 2, 20.0)],
+                          ["id", "timestamp", "temperature"]) \
+        .repartition(1).write.mode("overwrite").parquet(path)
+    run_once()
+    # (the first run may already fire the timeout in its trailing
+    # no-data batch if it outlives 500 ms — cadence is micro-batch)
+    time.sleep(1.0)   # let the 500 ms processing-time timeout expire
+    # batch 2: data for a different key; s1 has no new data -> its
+    # timed-out state is invoked (hasTimedOut=True) -> warning
+    spark.createDataFrame([("s2", 3, 5.0)],
+                          ["id", "timestamp", "temperature"]) \
+        .repartition(1).write.mode("append").parquet(path)
+    run_once()
+    assert ("s1", "Temperature of sensor 's1' monotonically increased "
+                  "for 500 ms.") in got
+
+
+class _LineCollector(socketserver.StreamRequestHandler):
+    def handle(self):
+        for line in self.rfile:
+            self.server.lines.append(line.decode().strip())
+
+
+def test_socket_writer(spark, tmpdir):
+    """K2 — SimpleSocketSink twin: rows arrive as lines on a TCP socket."""
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _LineCollector)
+    srv.lines = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        path = os.path.join(tmpdir, "in")
+        spark.createDataFrame([("s1", 1, 10.0), ("s2", 2, 20.0)],
+                              ["id", "timestamp", "temperature"]) \
+            .repartition(1).write.mode("overwrite").parquet(path)
+        stream = (
+            spark.readStream.schema("id string, timestamp long, temperature double")
+            .parquet(path)
+        )
+        q = (stream.writeStream.foreach(sinks.SocketWriter(host, port))
+             .option("checkpointLocation", os.path.join(tmpdir, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        deadline = time.time() + 10
+        while len(srv.lines) < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert sorted(srv.lines) == ["('s1', 1, 10.0)", "('s2', 2, 20.0)"]
+    finally:
+        srv.shutdown()
+
+
+def test_avg_pandas_udaf_matches_builtin(spark, sf_dir):
+    """A5 — the custom-accumulator UDAF path agrees with built-in avg."""
+    from examples_scala_spark.sources.tables import sensor_readings
+    s = sensor_readings(spark, sf_dir)
+    udaf = {r["id"]: r["avg_temp"] for r in avg_temp_pandas_udaf(s).collect()}
+    builtin = {r["id"]: r["a"] for r in
+               s.groupBy("id").agg(F.avg("temperature").alias("a")).collect()}
+    assert set(udaf) == set(builtin)
+    for k in udaf:
+        assert abs(udaf[k] - builtin[k]) < 1e-9
+
+
+def test_watermark_drop_observability(spark, tmpdir):
+    """T5/T6 streaming twin: SS drops late rows silently; the count is
+    observable via numRowsDroppedByWatermark in the progress metrics."""
+    path = os.path.join(tmpdir, "in")
+    # SS only drops a late row once its window's state has been EVICTED
+    # (append correctness would otherwise duplicate output); watermark
+    # advancement lags one batch, hence the 4-batch choreography:
+    # b0: row in window [0,10); b1: t=100 s (wm after b1 -> 99 s);
+    # b2: filler (eviction of [0,10) happens with wm=99 s);
+    # b3: late row t=6 s for the evicted window -> DROPPED.
+    batches = [[("s1", 5_000, 1.0)], [("s1", 100_000, 1.0)],
+               [("s1", 101_000, 1.0)], [("s1", 6_000, 2.0)]]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["id", "timestamp", "temperature"]) \
+            .repartition(1).write.mode("append" if i else "overwrite").parquet(path)
+        time.sleep(1.05)  # keep file mtimes ordered => batch order
+    stream = (
+        spark.readStream.schema("id string, timestamp long, temperature double")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "10 seconds"), "id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (agg.writeStream.format("memory").queryName("wm_drop")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress for op in p["stateOperators"]
+    )
+    assert dropped >= 1
+    # and append output has exactly one (non-duplicated) [0,10) row
+    out = spark.sql("SELECT * FROM wm_drop").collect()
+    assert len([r for r in out if r.window.start.second == 0]) == 1
