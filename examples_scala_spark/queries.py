@@ -1426,3 +1426,44 @@ def stream_delta_alerts(spark, sf_dir):
          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "stream_early_firing",
+    None,  # timer-driven early firing is not SQL-expressible — rows-only
+    "streaming", "W4", "W6",
+)
+def stream_early_firing(spark, sf_dir):
+    """W4 as REAL Structured Streaming: the events table replayed as a
+    bounded stream through the early-firing tumbling window counter
+    (streaming/timers.py — event-time timeout re-armed as a timer
+    service; partial FIREs per interval tick, FIRE_AND_PURGE at window
+    end). The fixed-window final counts are oracle-checked separately
+    by w_count_30s; this entry exercises the timer path itself, so the
+    driver records a rows-only check."""
+    import tempfile
+
+    tune(spark)
+    from .streaming.timers import early_firing_window_counts
+
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    readings = src.select(
+        F.concat(F.lit("sensor_"), ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
+        F.expr("ts div 1000000").alias("timestamp"),  # TIMESTAMP(NANOS) -> ms
+        F.col("value").alias("temperature"),
+    )
+    out = early_firing_window_counts(
+        readings, window_ms=3_600_000, interval_ms=600_000,
+        watermark_delay="5 seconds")
+    name = "stream_early_firing_result"
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

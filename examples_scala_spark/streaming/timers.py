@@ -1,0 +1,161 @@
+"""Event-time timer semantics (W4 early firing, T5/T6 late capture,
+W6 watermark introspection) on `applyInPandasWithState`.
+
+The reference's timer service multiplexes many event-time timers per
+key; Spark's arbitrary-state API exposes ONE timeout per group — but a
+timeout re-armed to the earliest pending timer IS a timer service, and
+`GroupState.getCurrentWatermarkMs()` is the reference's
+`ctx.timerService.currentWatermark()` (chapter6/LateDataHandling.scala:68).
+Because SS advances the watermark only at micro-batch boundaries, all
+timers that became due since the previous batch fire in the next
+invocation — the same behavior Flink exhibits when a watermark jumps
+past several timers at once.
+
+Consecutive due interval ticks with no interleaving data would emit
+identical partial counts; they are coalesced into one fire at the
+latest due tick (documented delta: fewer duplicate partials, same
+final results).
+
+These run with no extra dependencies; the Spark-4
+`transformWithStateInPandas` ports of the same operators live in
+streaming/tws.py (needs protobuf).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+EARLY_FIRING_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("window_start", LongType()),
+    StructField("window_end", LongType()),
+    StructField("fire_ms", LongType()),
+    StructField("cnt", LongType()),
+    StructField("is_final", BooleanType()),
+])
+
+_EF_STATE = StructType([StructField("counts_json", StringType())])
+
+
+def early_firing_window_counts(readings: DataFrame,
+                               window_ms: int = 30_000,
+                               interval_ms: int = 1_000,
+                               watermark_delay: str = "5 seconds") -> DataFrame:
+    """W4+A9+W6 — ThirtySecondsWindows + OneSecondIntervalTrigger +
+    CountFunction (chapter6/CustomWindow.scala:56-168): per-key tumbling
+    count windows that FIRE a partial result at every event-time
+    interval tick and FIRE_AND_PURGE when the watermark passes window
+    end.
+
+    State: {window_start: count} (the window contents reduced to the
+    count accumulator). The group's event-time timeout is re-armed to
+    the next interval tick past the watermark, so closed windows fire
+    even when the key receives no further data — the reference's
+    per-window end timer.
+
+    readings: (id string, timestamp long event-ms, temperature double).
+    """
+    def fire(sensor_id: str, counts: dict, wm: int) -> list[tuple]:
+        out = []
+        for start in sorted(counts):
+            end = start + window_ms
+            if wm >= end:
+                # FIRE_AND_PURGE (onEventTime t == window.getEnd)
+                out.append((sensor_id, start, end, end, counts[start], True))
+            elif wm >= start + interval_ms:
+                # early FIRE at the latest due tick (coalesced)
+                tick = wm - (wm % interval_ms)
+                out.append((sensor_id, start, end, tick, counts[start], False))
+        for row in out:
+            if row[5]:
+                del counts[row[1]]
+        return out
+
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        wm = state.getCurrentWatermarkMs()
+        counts: dict[int, int] = (
+            {int(k): int(v) for k, v in json.loads(state.get[0]).items()}
+            if state.exists else {})
+        for pdf in pdfs:
+            for ts in pdf["timestamp"].astype("int64"):
+                start = int(ts) - int(ts) % window_ms
+                counts[start] = counts.get(start, 0) + 1
+        rows = fire(sensor_id, counts, wm)
+        if counts:
+            state.update((json.dumps(counts),))
+            # next pending timer: the earliest of (next tick, any window
+            # end) strictly beyond the current watermark
+            next_tick = wm - (wm % interval_ms) + interval_ms
+            pending = min([next_tick] +
+                          [s + window_ms for s in counts
+                           if s + window_ms > wm])
+            state.setTimeoutTimestamp(pending)
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              EARLY_FIRING_SCHEMA.fields])
+
+    wm_df = readings.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp"))
+    ).withWatermark("event_time", watermark_delay)
+    return wm_df.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=EARLY_FIRING_SCHEMA, stateStructType=_EF_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+TAGGED_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("timestamp", LongType()),
+    StructField("temperature", DoubleType()),
+    StructField("is_late", BooleanType()),
+])
+
+_NO_STATE = StructType([StructField("unused", LongType())])
+
+
+def tag_late_rows(readings: DataFrame,
+                  watermark_delay: str = "5 seconds") -> DataFrame:
+    """T5/T6 — LateReadingsFilter (chapter6/LateDataHandling.scala:60-76):
+    a row is late iff its event time < the current watermark
+    (`ctx.timerService.currentWatermark`, here
+    `GroupState.getCurrentWatermarkMs`). The reference routes late rows
+    to a side output; here every row is emitted with an `is_late` tag
+    and the two outputs are filter branches over one result (the O1
+    DAG-reuse idiom) — late rows are CAPTURED, not silently dropped.
+
+    Stateless; the stateful API is used only for watermark access (W6).
+    """
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        wm = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            if len(pdf):
+                yield pd.DataFrame({
+                    "id": pdf["id"],
+                    "timestamp": pdf["timestamp"].astype("int64"),
+                    "temperature": pdf["temperature"],
+                    "is_late": pdf["timestamp"].astype("int64") < wm,
+                })
+
+    wm_df = readings.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp"))
+    ).withWatermark("event_time", watermark_delay)
+    return wm_df.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=TAGGED_SCHEMA, stateStructType=_NO_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )

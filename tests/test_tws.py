@@ -1,0 +1,161 @@
+"""Timer-semantics ports: W4 early firing, T5 late capture (streaming/
+timers.py, runnable anywhere) and their transformWithStateInPandas
+twins (streaming/tws.py, skipped where protobuf is unavailable)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from examples_scala_spark.streaming import timers, tws
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgs_tws_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _staged_stream(spark, tmpdir, batches):
+    """One parquet file per batch + maxFilesPerTrigger=1 → one
+    micro-batch per element of `batches` (watermark advances between)."""
+    path = os.path.join(tmpdir, "in")
+    os.makedirs(path, exist_ok=True)
+    for rows in batches:
+        spark.createDataFrame(rows, ["id", "timestamp", "temperature"]) \
+            .coalesce(1).write.mode("append").parquet(path)
+    return (
+        spark.readStream.schema("id string, timestamp long, temperature double")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+
+
+def _run(stream_df, tmpdir, name):
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_early_firing_window_fire_and_purge(spark, tmpdir):
+    # 30 s window [0, 30000); batch 1 puts 3 rows in it (max ts 27000
+    # → watermark 22000 for batch 2); batch 2's row at ts=40000 lifts
+    # the watermark to 35000 > window end → final fire + purge in
+    # batch 3.
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 1_000, 1.0), ("s1", 5_000, 2.0), ("s1", 27_000, 3.0)],
+        [("s1", 40_000, 4.0)],
+        [("s1", 80_000, 5.0)],
+    ])
+    out = timers.early_firing_window_counts(stream, window_ms=30_000,
+                                            interval_ms=1_000)
+    _run(out, tmpdir, "early_firing")
+    rows = spark.sql(
+        "SELECT * FROM early_firing ORDER BY fire_ms, window_start").collect()
+    w0 = [r for r in rows if r.window_start == 0]
+    partials = [r for r in w0 if not r.is_final]
+    finals = [r for r in w0 if r.is_final]
+    # early fires emitted partial counts before the window closed,
+    # stamped with the due event-time tick (not processing time)
+    assert partials and all(r.cnt == 3 for r in partials)
+    assert all(r.fire_ms % 1_000 == 0 and r.fire_ms < 30_000
+               for r in partials)
+    # exactly one FIRE_AND_PURGE with the full count at window end
+    assert [(r.cnt, r.fire_ms) for r in finals] == [(3, 30_000)]
+
+
+def test_early_firing_closes_window_without_new_key_data(spark, tmpdir):
+    # s2's window [0,30000) gets data only in batch 1; the watermark
+    # advance comes from s1's rows — the re-armed event-time timeout
+    # must still final-fire s2's window (the per-window end timer).
+    stream = _staged_stream(spark, tmpdir, [
+        [("s2", 2_000, 1.0), ("s2", 3_000, 1.0), ("s1", 1_000, 1.0)],
+        [("s1", 50_000, 2.0)],
+        [("s1", 99_000, 3.0)],
+    ])
+    out = timers.early_firing_window_counts(stream, window_ms=30_000,
+                                            interval_ms=1_000)
+    _run(out, tmpdir, "early_firing_timer")
+    finals = [r for r in spark.sql(
+        "SELECT * FROM early_firing_timer").collect()
+        if r.is_final and r.id == "s2"]
+    assert [(r.window_start, r.cnt) for r in finals] == [(0, 2)]
+
+
+def test_late_rows_tagged_not_dropped(spark, tmpdir):
+    # batch 1 lifts the watermark to 55000 (60000 - 5 s delay);
+    # batch 2 delivers ts=10000 (< wm → late) and ts=70000 (on time).
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 60_000, 1.0)],
+        [("s1", 10_000, 2.0), ("s1", 70_000, 3.0)],
+    ])
+    out = timers.tag_late_rows(stream, watermark_delay="5 seconds")
+    _run(out, tmpdir, "late_tagged")
+    rows = {r.timestamp: r.is_late
+            for r in spark.sql("SELECT * FROM late_tagged").collect()}
+    assert rows[10_000] is True      # captured AND tagged, not dropped
+    assert rows[70_000] is False
+    assert rows[60_000] is False     # first batch: watermark still 0
+
+
+# ---------------------------------------------------------------
+# transformWithStateInPandas twins — need protobuf (real clusters)
+# ---------------------------------------------------------------
+
+needs_tws = pytest.mark.skipif(
+    not tws.HAS_PROTOBUF,
+    reason="transformWithStateInPandas state server needs protobuf")
+
+
+@needs_tws
+def test_tws_ttl_delta_alerts(spark, tmpdir):
+    tws.enable_tws(spark)
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 1, 10.0), ("s1", 2, 10.5), ("s1", 3, 20.0),
+         ("s2", 1, 5.0), ("s2", 2, 5.1)],
+    ])
+    out = tws.ttl_delta_alerts(stream, threshold=1.7, ttl_ms=3_600_000)
+    _run(out, tmpdir, "ttl_alerts")
+    got = [(r.id, r.temperature, round(r.diff, 3))
+           for r in spark.sql("SELECT * FROM ttl_alerts").collect()]
+    assert got == [("s1", 20.0, 9.5)]
+
+
+@needs_tws
+def test_tws_rise_warning_timer_register_and_delete(spark, tmpdir):
+    tws.enable_tws(spark)
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 1, 10.0), ("s1", 2, 11.0), ("s2", 1, 10.0),
+         ("s2", 2, 11.0), ("s2", 3, 9.0)],
+        [("s1", 3, 12.0)],
+        [("s1", 4, 13.0)],
+    ])
+    out = tws.temperature_rise_warnings_tws(stream, rise_ms=1)
+    _run(out, tmpdir, "rise_tws")
+    got = {r.id for r in spark.sql("SELECT * FROM rise_tws").collect()}
+    assert "s1" in got and "s2" not in got
+
+
+@needs_tws
+def test_tws_early_firing(spark, tmpdir):
+    tws.enable_tws(spark)
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 1_000, 1.0), ("s1", 5_000, 2.0), ("s1", 27_000, 3.0)],
+        [("s1", 40_000, 4.0)],
+        [("s1", 80_000, 5.0)],
+    ])
+    out = tws.early_firing_window_counts(stream, window_ms=30_000,
+                                         interval_ms=1_000)
+    _run(out, tmpdir, "early_tws")
+    rows = spark.sql("SELECT * FROM early_tws").collect()
+    finals = [r for r in rows if r.is_final and r.window_start == 0]
+    assert len(finals) == 1 and finals[0].cnt == 3
