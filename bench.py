@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_volume_customer",
     "w_avg_temp",
     "rolling_max_by",
     "alert_temp_delta",

@@ -832,6 +832,430 @@ def q10_returned_items(spark, sf_dir):
 
 
 @register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, SUM(volume)::DOUBLE AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year, """ + _DISC_PRICE + """ AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year""",
+    "relational",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume by year. nation is broadcast
+    twice (supplier side / customer side); the nation-name disjunction
+    prunes most rows right after the broadcasts; lineitem↔orders is
+    the only big shuffle. supplier/customer joins are left to AQE,
+    which broadcasts while they fit and falls back to shuffle joins at
+    larger SFs."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           (SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0.00 AS DECIMAL(10,2)) END)::DOUBLE
+            / SUM(volume)::DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate)::BIGINT AS o_year,
+             """ + _DISC_PRICE + """ AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year""",
+    "relational",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3's share of ECONOMY-part revenue in AMERICA by
+    order year. Conditional aggregate keeps one pass over the joined
+    fact; both sums stay DECIMAL until the final division."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00"))
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    zero = F.lit("0.00").cast("decimal(10,2)")
+    return j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        (F.sum(F.when(F.col("supp_nation") == "NATION_3", _disc_price())
+               .otherwise(zero)).cast("double")
+         / F.sum(_disc_price()).cast("double")).alias("mkt_share"))
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, SUM(amount)::DOUBLE AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+             """ + _DISC_PRICE + """ AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO'
+    ) profit
+    GROUP BY nation, o_year""",
+    "relational",
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 adapted: the testdata has no partsupp table, so profit
+    reduces to discounted revenue of PROMO parts by supplier nation and
+    order year (the join/agg shape of Q9 without the ps_supplycost
+    term)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(F.sum(_disc_price()).cast("double").alias("sum_profit"))
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count""",
+    "relational",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of orders-per-customer (zero included
+    via the left outer join). Two aggregations; the second groups on
+    the first's output so it reuses the shuffle only logically —
+    c_count has few distinct values, so the second agg is cheap."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT (100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN """ + _DISC_PRICE + """
+                         ELSE CAST(0.00 AS DECIMAL(10,2)) END)::DOUBLE
+            / SUM(""" + _DISC_PRICE + """)::DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "relational",
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month. The shipdate range
+    is pushed to the parquet scan; part join is AQE's choice (broadcast
+    at test SFs, shuffle at scale)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-10-01 00:00:00"))
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    zero = F.lit("0.00").cast("decimal(10,2)")
+    return j.agg(
+        (F.lit(100.0)
+         * F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())
+                 .otherwise(zero)).cast("double")
+         / F.sum(_disc_price()).cast("double")).alias("promo_revenue"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(""" + _DISC_PRICE + """) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue::DOUBLE AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "relational",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with max quarterly revenue. The revenue
+    CTE computes once; the max is a broadcast scalar (1 row), not a
+    sort — ties are all returned, and DECIMAL sums make the equality
+    exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-04-01 00:00:00"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev),
+                     revenue.total_revenue == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size""",
+    "relational",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 adapted: no partsupp table, so the part↔supplier
+    relation observed in lineitem stands in for it. Distinct-aggregate
+    over the joined fact; Catalyst plans the distinct as a two-phase
+    aggregate (partial distinct per partition, then final)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(10,2)))::DOUBLE / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT (SUM(CAST(l_extendedprice AS DECIMAL(10,2)))::DOUBLE / 7.0) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < 0.2 * avg_qty""",
+    "relational",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue lost to small-quantity orders. The correlated
+    subquery (per-part average quantity) is decorrelated into an
+    aggregate + self-join — the plan Catalyst produces for the SQL form
+    too. The average is exact-decimal-sum / count, so the 0.2*avg
+    threshold bit-matches across engines and partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum(dec("l_quantity", 10, 2)).cast("double") / F.count(F.lit(1)))
+        .alias("avg_qty"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        (F.sum(dec("l_extendedprice", 10, 2)).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"))
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) // 1000000 AS o_orderdate_s,
+           CAST(o_totalprice AS DECIMAL(12,2))::DOUBLE AS o_totalprice,
+           SUM(CAST(l_quantity AS DECIMAL(10,2)))::DOUBLE AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100""",
+    "relational", "bench",
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18: customers with very large orders. The HAVING
+    pre-aggregate runs on lineitem alone (map-side partials), and its
+    key set joins back LEFT SEMI — the big 3-way join only sees
+    qualifying orders. Threshold 150 fits the testdata's ~4-lineitem
+    orders (TPC-H's 300 assumes 7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec("l_quantity", 10, 2)).alias("sq"))
+           .filter(F.col("sq") > 150)
+           .select(F.col("l_orderkey").alias("big_orderkey")))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = (
+        orders.join(big, orders.o_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    out = j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice").agg(
+        F.sum(dec("l_quantity", 10, 2)).cast("double").alias("total_qty"))
+    return (
+        out.select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_s"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("o_totalprice"),
+            "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT SUM(""" + _DISC_PRICE + """)::DOUBLE AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)""",
+    "relational",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 adapted (no p_container column): disjunctive
+    brand/size/quantity predicates over one part join — the OR of ANDs
+    stays a single join condition pass, not three unioned scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.00)
+    SELECT cntrycode, count(*)::BIGINT AS numcust,
+           SUM(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS totacctbal
+    FROM (
+      SELECT (c_nationkey % 10)::BIGINT AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT ab FROM avg_bal)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode""",
+    "relational",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 adapted (no c_phone column → country code from
+    nationkey; every testdata customer has *some* order, so lapsed =
+    no order since 2000): above-average-balance customers with no
+    recent orders. The scalar average broadcasts; the no-recent-orders
+    test is a LEFT ANTI join."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(dec("c_acctbal", 12, 2)).cast("double")
+                     / F.count(F.lit(1))).alias("ab")))
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01 00:00:00")
+    rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy(
+        (F.col("c_nationkey") % 10).cast("long").alias("cntrycode")
+    ).agg(
+        F.count("*").alias("numcust"),
+        F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("totacctbal"))
+
+
+@register(
     "events_cube",
     """
     SELECT event_type, user_id % 10 AS user_bucket,
