@@ -106,6 +106,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     dedup strategy.
     """
     rows = num_hashes // bands
+    # the signature table feeds three consumers (banding + both sides
+    # of the verify join); no persist() — the signature aggregate's
+    # shuffle is identical in all three subplans, so ReuseExchange
+    # computes it once (persist measured slower: it blocks pipelining
+    # and pays a cache write/read)
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
 
     band_cols = [
@@ -213,6 +218,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     # carries 8-byte keys instead of full n-grams (the dominant cost at
     # scale); the oracle mirrors the same hashing so results stay
     # engine-identical even under (negligible) collisions.
+    # three consumers (sizes + both join sides) share the distinct's
+    # shuffle via ReuseExchange — no persist needed
     sh = (
         word_shingles(docs, n=n, text_col=text_col, id_col=id_col,
                       distinct=False)
