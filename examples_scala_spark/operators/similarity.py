@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two strategies:
+Three strategies:
 - brute-force top-k: exact, O(Q*N) — the baseline and the verifier.
   All math stays JVM-side (zip_with/aggregate fold in double).
 - LSH-bucketed top-k: random-hyperplane signatures partition the space;
@@ -9,6 +9,13 @@ Two strategies:
   equi-join on the signature, and per-bucket top-k bounds compute.
   Hyperplanes are derived from deterministic integer arithmetic so the
   whole pipeline is reproducible on any engine (see oracle SQL).
+- IVF top-k: coarse-quantizer cells (inverted file). Every vector is
+  assigned to its nearest centroid once (narrow map vs broadcast
+  centroids); a query probes its `nprobe` nearest cells and scores only
+  those cells' vectors. At scale the table is written partitioned by
+  cell, so a query touches nprobe partitions — classic IVF layout on
+  parquet. Centroids here are sampled deterministically by id (a real
+  deployment swaps in k-means means; the plumbing is identical).
 """
 
 from __future__ import annotations
@@ -103,4 +110,68 @@ def lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+             centroid_mod: int = 23, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k.
+
+    1. centroids: vectors with id % centroid_mod == 1 (deterministic
+       sample standing in for k-means means).
+    2. assign: every vector -> argmax-cosine centroid (broadcast join +
+       rank-1; ties broken by centroid id).
+    3. probe: each query keeps its nprobe best cells.
+    4. score: candidates = vectors whose cell is probed (equi-join on
+       cell — the partition-pruned path at scale), exact cosine, top-k.
+
+    Output: (query_id, neighbor_id, rank, cos).
+    """
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col("v"), F.col("norm"))
+    cents = base.filter((F.col(id_col) % centroid_mod) == 1).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    # cell affinity of every vector to every centroid (C is small)
+    affinity = base.join(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cent_id"),
+        cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm"))
+        .alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assign = (affinity.withColumn("r", F.row_number().over(w_assign))
+              .filter(F.col("r") == 1)
+              .select(F.col(id_col), F.col("cent_id").alias("cell")))
+    data = base.join(assign, id_col)
+
+    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    probes = (affinity.filter((F.col(id_col) % query_mod) == 0)
+              .withColumn("r", F.row_number().over(w_assign))
+              .filter(F.col("r") <= nprobe)
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("cent_id").alias("cell")))
+    scored = (
+        data.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm"))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cos"))
     )

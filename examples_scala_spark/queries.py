@@ -1562,6 +1562,57 @@ def _lsh_topk_sql(num_planes: int = 8, dim: int = 64) -> str:
     FROM ranked WHERE rank <= 5"""
 
 
+_IVF_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1),
+    affinity AS (
+      SELECT vec_id, cent_id,
+             list_dot_product(v, cv) / (norm * cnorm) AS ccos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC,
+                                         cent_id) AS r
+      FROM n, c),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM affinity WHERE r = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM affinity
+      WHERE vec_id % 50 = 0 AND r <= 2),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+      FROM n WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             list_dot_product(qv, v) / (qnorm * norm) AS cos
+      FROM n JOIN assign ON n.vec_id = assign.vec_id
+             JOIN probes ON assign.cell = probes.cell
+             JOIN q ON probes.query_id = q.query_id
+      WHERE n.vec_id != q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5"""
+
+
+@register("ann_topk_ivf", _IVF_SQL, "llm", "similarity")
+def ann_topk_ivf(spark, sf_dir):
+    """IVF approximate top-5: deterministic coarse-quantizer cells
+    (vec_id % 23 == 1 sampled centroids), nprobe=2 probed cells per
+    query — the inverted-file layout that partition-prunes at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, k=5, query_mod=50, centroid_mod=23,
+                              nprobe=2)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
 @register("ann_topk_lsh", _lsh_topk_sql(), "llm", "similarity")
 def ann_topk_lsh(spark, sf_dir):
     """Approximate top-5: random-hyperplane LSH (8 deterministic

@@ -158,3 +158,25 @@ def test_exact_aggs_stay_jvm_side(spark, sf_dir):
     s = sensor_readings(spark, sf_dir)
     out = s.groupBy("id").agg(agg.exact_sum("temperature", "t"))
     assert_no_python_in_plan(out)
+
+
+def test_ivf_topk_probing_all_cells_equals_bruteforce(spark, sf_dir):
+    """Probing every cell makes IVF exact — catches broken cell
+    assignment or candidate routing, which would still produce
+    syntactically valid output. Also: recall is monotone in nprobe.
+    (A recall *level* test would be meaningless here: the synthetic
+    embeddings are i.i.d. random, IVF's adversarial case.)"""
+    from examples_scala_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, k=5).collect()}
+    ivf_all = {(r.query_id, r.neighbor_id)
+               for r in similarity.ivf_topk(emb, k=5, nprobe=10**6).collect()}
+    assert ivf_all == exact
+    ivf_1 = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivf_topk(emb, k=5, nprobe=1).collect()}
+    ivf_3 = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivf_topk(emb, k=5, nprobe=3).collect()}
+    assert len(ivf_1 & exact) <= len(ivf_3 & exact) <= len(exact)
+    assert all(q % 50 == 0 for q, _ in ivf_1)
