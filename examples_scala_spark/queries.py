@@ -1386,6 +1386,36 @@ def minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
 
 
+def _dedup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
+    SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id"""
+
+
+@register("dedup_clusters", _dedup_clusters_sql(), "llm", "dedup")
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS from the MinHash-LSH pair graph:
+    iterative min-label propagation (operators/graph.py) labels every
+    doc with the min doc_id of its connected component — the canonical
+    representative a dedup pass keeps. Oracle: recursive CTE transitive
+    closure over the same pairs."""
+    from .operators.graph import dedup_clusters as clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    return clusters(docs, pairs)
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = ",\n           ".join(
         f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS v_{j}"

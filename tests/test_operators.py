@@ -180,3 +180,16 @@ def test_ivf_topk_probing_all_cells_equals_bruteforce(spark, sf_dir):
              for r in similarity.ivf_topk(emb, k=5, nprobe=3).collect()}
     assert len(ivf_1 & exact) <= len(ivf_3 & exact) <= len(exact)
     assert all(q % 50 == 0 for q, _ in ivf_1)
+
+
+def test_connected_components_known_graph(spark):
+    from examples_scala_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7]], ["id"])
+    # chain 1-2-3 (only transitive propagation finds 3 -> 1), pair 5-6,
+    # singleton 7; edge orientation deliberately mixed
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], ["src", "dst"])
+    got = {r.id: r.component
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
