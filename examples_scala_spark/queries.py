@@ -1256,6 +1256,56 @@ def q22_global_sales_opportunity(spark, sf_dir):
 
 
 @register(
+    "salted_event_type_stats",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
+    FROM events GROUP BY event_type""",
+    "scale", "skew",
+)
+def salted_event_type_stats(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators/skew.py): event_type
+    has ~5 values over the whole table — the canonical hot-key shape.
+    Stage 1 shuffles on (event_type, md5-salt), stage 2 combines the 16
+    partials per key; results are bit-identical to the direct groupBy
+    (the oracle)."""
+    from .operators.skew import salted_agg_count_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg_count_sum(
+        ev, key="event_type", val="value",
+        salt_from=["event_id"], buckets=16)
+
+
+@register(
+    "salted_enrich_segments",
+    """
+    SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment""",
+    "scale", "skew",
+)
+def salted_enrich_segments(spark, sf_dir):
+    """Skew-safe salted join (operators/skew.py): the fact side is
+    salted 8 ways, the dimension exploded 8x, so a hot user_id spreads
+    over 8 reducers. Equivalent to the plain join (the oracle); AQE
+    skew-join handles the sort-merge case at runtime, this builder is
+    the deterministic pre-planned variant."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = salted_join(ev, cust, key="user_id", salt_from=["event_id"],
+                    buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("total"))
+
+
+@register(
     "events_cube",
     """
     SELECT event_type, user_id % 10 AS user_bucket,

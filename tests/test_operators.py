@@ -193,3 +193,30 @@ def test_connected_components_known_graph(spark):
     got = {r.id: r.component
            for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_salted_agg_matches_direct(spark):
+    from examples_scala_spark.operators.skew import salted_agg_count_sum
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        ["rid", "k", "v"])
+    got = {r.k: (r.cnt, r.total)
+           for r in salted_agg_count_sum(df, "k", "v", ["rid"], 16).collect()}
+    direct = {r.k: (r["count(1)"], r["sum(v)"]) for r in
+              df.groupBy("k").agg(F.count(F.lit(1)), F.sum("v")).collect()}
+    assert got == {k: (c, float(s)) for k, (c, s) in direct.items()}
+
+
+def test_salted_join_matches_plain(spark):
+    from examples_scala_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)], ["rid", "k", "v"])
+    small = spark.createDataFrame([(0, "a"), (1, "b")], ["k", "tag"])
+    salted = salted_join(big, small, "k", salt_from=["rid"], buckets=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 200
+    got = {(r.rid, r.tag) for r in salted.select("rid", "tag").collect()}
+    want = {(r.rid, r.tag) for r in plain.select("rid", "tag").collect()}
+    assert got == want
