@@ -32,7 +32,8 @@ def duck(sf_dir):
 
 
 # declared rows-only (non-SQL-expressible / algorithm-specific) queries
-ROWS_ONLY = {"approx_distinct_users", "stream_delta_alerts"}
+ROWS_ONLY = {"approx_distinct_users", "stream_delta_alerts",
+             "stream_early_firing"}
 
 
 def test_all_queries_have_oracles():
