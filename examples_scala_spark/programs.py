@@ -1,0 +1,339 @@
+"""Runnable programs — one per reference main().
+
+The reference's user-facing surface is 20+ runnable example programs
+(one `main` per concept, printing to stdout). This module mirrors that
+surface on live rate sources so a user of the reference can run the
+same program here:
+
+    python -m examples_scala_spark.programs                   # list
+    python -m examples_scala_spark.programs average_sensor_readings
+    python -m examples_scala_spark.programs custom_window --duration 20
+
+Each program declares the streaming DataFrame (and optionally a
+foreachBatch writer); the runner attaches a console sink, runs for
+--duration seconds, and stops. The semantics of every program are
+oracle-verified through its batch twin in queries.py — this layer is
+the interactive parity surface, not the correctness gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregations as agg
+from .operators import joins, transforms
+from .operators.side_outputs import freezing_monitor
+from .sources.sensor import (
+    count_source_stream, sensor_source_stream, smoke_level_stream,
+)
+from .streaming import stateful, timers
+from .streaming.sinks import IdempotentBatchWriter
+
+
+@dataclass
+class Program:
+    build: Callable[[SparkSession], DataFrame]
+    reference: str
+    output_mode: str = "append"
+    doc: str = ""
+    foreach_batch: Optional[Callable] = None
+
+
+PROGRAMS: dict[str, Program] = {}
+
+
+def program(name: str, reference: str, output_mode: str = "append",
+            foreach_batch: Optional[Callable] = None):
+    def deco(fn):
+        PROGRAMS[name] = Program(build=fn, reference=reference,
+                                 output_mode=output_mode,
+                                 doc=(fn.__doc__ or "").strip(),
+                                 foreach_batch=foreach_batch)
+        return fn
+    return deco
+
+
+# ------------------------------------------------------------------ ch1
+
+@program("average_sensor_readings", "chapter1/AverageSensorReadings.scala:31-64")
+def average_sensor_readings(spark):
+    """Per-sensor 1 s tumbling average Celsius, 5 s watermark."""
+    s = sensor_source_stream(spark)
+    c = transforms.fahrenheit_to_celsius(s)
+    return agg.windowed_agg(c, "1 second",
+                            F.avg("temperature").alias("avg_temp"),
+                            watermark="5 seconds")
+
+
+# ------------------------------------------------------------------ ch5
+
+@program("basic_transformations", "chapter5/BasicTransformations.scala:40-66")
+def basic_transformations(spark):
+    """filter(>=25F) -> project -> flatMap(split id) chain."""
+    s = sensor_source_stream(spark)
+    return transforms.split_ids(
+        transforms.filter_min_temperature(s, 25.0).select("id"))
+
+
+@program("keyed_transformations", "chapter5/KeyedTransformations.scala:44-52",
+         output_mode="update")
+def keyed_transformations(spark):
+    """Running per-key max temperature (rolling reduce)."""
+    s = sensor_source_stream(spark)
+    return s.groupBy("id").agg(
+        F.max("temperature").alias("max_temp"))
+
+
+@program("rolling_sum", "chapter5/RollingSum.scala:28-33", output_mode="update")
+def rolling_sum(spark):
+    """Running per-key sum over the counter stream (key = value % 3)."""
+    c = count_source_stream(spark, rows_per_second=100)
+    return c.groupBy((F.col("value") % 3).alias("k")).agg(
+        F.sum("value").alias("running_sum"))
+
+
+@program("multi_stream_transformations",
+         "chapter5/MultiStreamTransformations.scala:40-91")
+def multi_stream_transformations(spark):
+    """Fire alert: temp > 100F while the smoke control stream reads
+    High within the last 10 s (stream-stream interval join — the
+    relational form of the reference's CoFlatMap shared variable)."""
+    readings = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    smoke = (smoke_level_stream(spark)
+             .select(F.col("ts").alias("s_ts"), "level")
+             .withWatermark("s_ts", "5 seconds"))
+    j = readings.join(
+        smoke,
+        F.expr("s_ts BETWEEN ts - INTERVAL 10 SECONDS AND ts")
+        & (F.col("level") == "High"),
+    )
+    return j.filter(F.col("temperature") > 100.0).select(
+        F.concat(F.lit("Risk of fire! "), F.col("id")).alias("message"),
+        "timestamp", "temperature")
+
+
+# ------------------------------------------------------------------ ch6
+
+@program("window_functions", "chapter6/WindowFunctions.scala:30-72")
+def window_functions(spark):
+    """Per-key 5 s (min, max, window-end) — the reference's
+    reduce+process combo as one incremental aggregate."""
+    s = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    return agg.min_max_window(s, "5 seconds")
+
+
+@program("process_function_timers", "chapter6/ProcessFunctionTimers.scala:14-97",
+         output_mode="update")
+def process_function_timers(spark):
+    """Warn when a sensor rises monotonically for 1 s of processing
+    time (keyed state + timer)."""
+    s = sensor_source_stream(spark)
+    return stateful.temperature_rise_warnings(s, rise_ms=1_000)
+
+
+@program("co_process_function_timers",
+         "chapter6/CoProcessFunctionTimers.scala:14-102")
+def co_process_function_timers(spark):
+    """Dynamic filter switch: a control event enables forwarding of one
+    sensor's readings for 10 s (union-tagged keyed co-process)."""
+    readings = sensor_source_stream(spark)
+    # a switch every 5 s for a rotating sensor
+    switches = (
+        count_source_stream(spark, rows_per_second=1)
+        .filter(F.col("value") % 5 == 0)
+        .select(
+            F.concat(F.lit("sensor_"), ((F.col("value") % 10) + 1)
+                     .cast("string")).alias("id"),
+            F.expr("unix_micros(ts) div 1000").alias("timestamp"),
+            F.lit(10_000).cast("long").alias("duration_ms"),
+        )
+    )
+    r = readings.select("id", F.col("timestamp"), "temperature")
+    return stateful.switchable_forwarder(r, switches)
+
+
+@program("side_outputs", "chapter6/SideOutputs.scala:26-67")
+def side_outputs(spark):
+    """Freezing alarms (the side output; the main output is the input
+    stream — print the alarm branch)."""
+    s = sensor_source_stream(spark)
+    _, side = freezing_monitor(s, threshold=32.0)
+    return side
+
+
+@program("late_data_handling", "chapter6/LateDataHandling.scala:36-183")
+def late_data_handling(spark):
+    """Timestamps shuffled by up to 7 s of disorder, then every row
+    tagged late/on-time against the running watermark (the reference's
+    side-output split as a tag column)."""
+    s = transforms.shuffle_timestamps(sensor_source_stream(spark))
+    return timers.tag_late_rows(
+        s.select("id", "timestamp", "temperature"),
+        watermark_delay="5 seconds")
+
+
+@program("custom_window", "chapter6/CustomWindow.scala:32-168")
+def custom_window(spark):
+    """30 s tumbling count windows with 1 s early firing and
+    FIRE_AND_PURGE at window end (event-time timer service)."""
+    s = sensor_source_stream(spark)
+    return timers.early_firing_window_counts(
+        s.select("id", "timestamp", "temperature"),
+        window_ms=30_000, interval_ms=1_000)
+
+
+@program("watermark_generation", "chapter6/WatermarkGeneration.scala:14-86")
+def watermark_generation(spark):
+    """The periodic-assigner variant: 1 min bounded disorder on the
+    same windowed average (punctuated assignment is documented as
+    non-expressible in SS)."""
+    s = sensor_source_stream(spark)
+    return agg.windowed_agg(s, "10 seconds",
+                            F.avg("temperature").alias("avg_temp"),
+                            watermark="1 minute")
+
+
+# ------------------------------------------------------------------ ch7
+
+@program("keyed_state_function", "chapter7/KeyedStateFunction.scala:26-100")
+def keyed_state_function(spark):
+    """Delta alert: |temp - lastTemp| > 1.7 per key (ValueState)."""
+    s = sensor_source_stream(spark)
+    return stateful.temperature_delta_alerts(
+        s.select("id", "timestamp", "temperature"), threshold=1.7)
+
+
+@program("stateful_process_function",
+         "chapter7/StatefulProcessFunction.scala:30-110")
+def stateful_process_function(spark):
+    """Self-cleaning delta alert: state dropped after 1 h of key
+    silence (event-time TTL timer)."""
+    s = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    return stateful.self_cleaning_delta_alerts(
+        s.select("id", "timestamp", "temperature"), threshold=1.7)
+
+
+@program("broadcast_state_function",
+         "chapter7/BroadcastStateFunction.scala:16-126")
+def broadcast_state_function(spark):
+    """Per-sensor alert thresholds from a rule changelog: latest rule
+    per key broadcast-joined to the stream (re-resolved per batch)."""
+    from .sources.fixtures import threshold_updates
+
+    s = sensor_source_stream(spark)
+    return joins.broadcast_rules_join(
+        s.select("id", "timestamp", "temperature"),
+        threshold_updates(spark))
+
+
+@program("checkpointed_function",
+         "chapter7/CheckpointedFunctionExample.scala:22-85",
+         output_mode="update")
+def checkpointed_function(spark):
+    """Running count of readings above threshold per key; state is
+    checkpointed automatically (the reference's snapshot hooks)."""
+    s = sensor_source_stream(spark)
+    return stateful.high_temp_counter(
+        s.select("id", "timestamp", "temperature"), threshold=100.0)
+
+
+@program("queryable_state", "chapter7/QueryableState.scala:28-113",
+         output_mode="complete")
+def queryable_state(spark):
+    """Per-key max temperature; run with the memory sink and poll
+    `SELECT * FROM <queryName>` — the dashboard side of R3."""
+    s = sensor_source_stream(spark)
+    return s.groupBy("id").agg(F.max("temperature").alias("maxTemperature"))
+
+
+# ------------------------------------------------------------------ ch8
+
+@program("source_function", "chapter8/SourceFunctionExample.scala:14-81")
+def source_function(spark):
+    """The counter source; replay/exactly-once comes from checkpointed
+    rate-source offsets."""
+    return count_source_stream(spark, rows_per_second=1_000)
+
+
+@program("async_function", "chapter8/AsyncFunctionExample.scala:40-204")
+def async_function(spark):
+    """Room-lookup enrichment: broadcast dimension join per micro-batch
+    replaces the reference's per-record async JDBC lookup."""
+    s = sensor_source_stream(spark)
+    dim = spark.createDataFrame(
+        [(f"sensor_{i}", f"room{(i - 1) // 2 + 1}") for i in range(1, 11)],
+        ["sensor", "room"])
+    return joins.enrichment_join(s, dim, on=[s.id == dim.sensor])
+
+
+def _wal_writer():
+    import tempfile
+
+    writer = IdempotentBatchWriter(tempfile.mkdtemp(prefix="sgs_txn_sink_"))
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        writer(batch_df, batch_id)
+    return write
+
+
+@program("transactional_sink", "chapter8/TransactionalSinkExample.scala:38-197",
+         foreach_batch=_wal_writer())
+def transactional_sink(spark):
+    """Global 1 s average through the batchId-idempotent committer —
+    the reference's WAL/2PC sinks collapse to idempotent-by-batchId
+    writes aligned to checkpoints."""
+    s = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    return agg.windowed_agg(
+        s, "1 second", F.avg("temperature").alias("avg_temp"), key=None)
+
+
+# ------------------------------------------------------------------ runner
+
+def run_program(spark: SparkSession, name: str, duration: int = 10,
+                sink: str = "console") -> None:
+    import tempfile
+
+    p = PROGRAMS[name]
+    df = p.build(spark)
+    ckpt = tempfile.mkdtemp(prefix=f"sgs_prog_{name}_")
+    if p.foreach_batch is not None:
+        w = (df.writeStream.foreachBatch(p.foreach_batch)
+             .outputMode(p.output_mode))
+    elif sink == "memory":
+        w = (df.writeStream.format("memory").queryName(name)
+             .outputMode(p.output_mode))
+    else:
+        w = (df.writeStream.format("console")
+             .option("truncate", "false").option("numRows", "20")
+             .outputMode(p.output_mode))
+    q = w.option("checkpointLocation", ckpt).start()
+    q.awaitTermination(duration)
+    q.stop()
+    if sink == "memory":
+        spark.sql(f"SELECT * FROM {name}").show(20, truncate=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("name", nargs="?", help="program to run")
+    ap.add_argument("--duration", type=int, default=10)
+    ap.add_argument("--sink", choices=["console", "memory"], default="console")
+    args = ap.parse_args()
+    if not args.name:
+        for n, p in PROGRAMS.items():
+            print(f"{n:32s} {p.reference}")
+        return
+    from .session import get_spark
+
+    spark = get_spark(f"program-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    run_program(spark, args.name, args.duration, args.sink)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Program surface (programs.py): every reference main has a runnable
+twin. Build-only analysis check for all; a sampled few run live."""
+
+from __future__ import annotations
+
+import pytest
+
+from examples_scala_spark import programs
+
+
+def test_every_program_builds(spark):
+    """Analysis-time check: each program's plan resolves (schema
+    available) — catches signature drift without running streams."""
+    for name, p in programs.PROGRAMS.items():
+        df = p.build(spark)
+        assert df.schema.fields, name
+        assert df.isStreaming, name
+
+
+@pytest.mark.parametrize("name", ["average_sensor_readings",
+                                  "keyed_transformations",
+                                  "custom_window"])
+def test_program_runs_live(spark, name):
+    """Start on the live rate source, let a few micro-batches run,
+    assert the query makes progress without error."""
+    import tempfile
+
+    p = programs.PROGRAMS[name]
+    df = p.build(spark)
+    q = (df.writeStream.format("memory").queryName(f"prog_{name}")
+         .outputMode(p.output_mode)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"sgs_test_prog_{name}_"))
+         .start())
+    try:
+        q.awaitTermination(12)
+        assert q.exception() is None
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
+
+
+def test_program_count_covers_reference_mains():
+    # 20 runnable concept programs in the reference (SURVEY §2/§3);
+    # the registry must not silently shrink
+    assert len(programs.PROGRAMS) >= 20
