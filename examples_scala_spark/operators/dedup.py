@@ -204,7 +204,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        df_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with
     |A∩B| / |A∪B| >= threshold, doc_a < doc_b.
 
@@ -226,6 +227,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .select(F.col(id_col), base_hash(F.col("shingle")).alias("shingle"))
         .distinct()
     )
+    if df_cap is not None:
+        # ppjoin-style pruning: a shingle appearing in > df_cap docs
+        # contributes O(df²) candidate pairs but almost no Jaccard
+        # signal (stop-phrase). Dropping it bounds the self-join
+        # fan-out at 100 TB; Jaccard is then computed over the pruned
+        # shingle space (sizes and intersections stay consistent).
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > df_cap).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("l").join(sh.alias("r"), "shingle")

@@ -63,6 +63,11 @@ def early_firing_window_counts(readings: DataFrame,
     even when the key receives no further data — the reference's
     per-window end timer.
 
+    Late input: with EventTimeTimeout, SS drops rows not newer than the
+    current watermark before they reach the operator — the same
+    drop-late default as the reference's window operator (route rows
+    through tag_late_rows first to capture them instead).
+
     readings: (id string, timestamp long event-ms, temperature double).
     """
     def fire(sensor_id: str, counts: dict, wm: int) -> list[tuple]:

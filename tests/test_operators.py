@@ -220,3 +220,22 @@ def test_salted_join_matches_plain(spark):
     got = {(r.rid, r.tag) for r in salted.select("rid", "tag").collect()}
     want = {(r.rid, r.tag) for r in plain.select("rid", "tag").collect()}
     assert got == want
+
+
+def test_ngram_jaccard_df_cap_prunes_stop_shingles(spark):
+    # "x y z" appears in every doc (a stop-phrase); docs 1/2 also share
+    # unique content. With df_cap=2 the universal shingle is pruned:
+    # docs 3/4 (which ONLY share the stop-phrase) stop pairing, while
+    # 1/2 still pair on their unique shingles.
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z"), (2, "a b c d x y z"),
+         (3, "p q r s x y z"), (4, "t u v w x y z")],
+        ["doc_id", "text"])
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1,
+                                                 df_cap=2).collect()}
+    assert (3, 4) in uncapped
+    assert (3, 4) not in capped
+    assert (1, 2) in capped

@@ -1,0 +1,69 @@
+"""Registry-wide physical-plan hygiene: the properties SCALE.md claims
+must be visible in the actual plans, not just intended."""
+
+from __future__ import annotations
+
+import pytest
+
+from examples_scala_spark.plans.inspect import explain_str
+from examples_scala_spark.queries import REGISTRY
+
+RELATIONAL = [n for n, s in REGISTRY.items() if "relational" in s.tags]
+
+# queries whose semantics REQUIRE Python (Arrow-batched by design)
+PYTHON_BY_DESIGN = {"media_meta", "frame_sample", "stream_delta_alerts",
+                    "stream_early_firing"}
+
+
+def test_relational_suite_stays_jvm_side(spark, sf_dir):
+    """No TPC-H query may regress into a Python UDF — the whole suite
+    must run inside whole-stage codegen."""
+    offenders = []
+    for name in RELATIONAL:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs in relational plans: {offenders}"
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """A CartesianProduct node in any registry plan is a scale bug —
+    every intentional cross join here is a broadcast of a tiny side
+    (scalar subqueries, ANN query sets), which plans as
+    BroadcastNestedLoopJoin instead."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if "streaming" in spec.tags:
+            continue  # building them starts real streams; covered elsewhere
+        plan = explain_str(spec.fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier",
+                                  "q10_returned_items"])
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, name
+
+
+@pytest.mark.parametrize("name,frag", [
+    ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+    ("q6_forecast_revenue", "GreaterThanOrEqual(l_shipdate"),
+    ("q19_discounted_revenue", "IsNotNull(l_partkey)"),
+])
+def test_predicates_reach_scan(spark, sf_dir, name, frag):
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert frag in pushed, f"{name}: {frag} not in {pushed}"
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (per-
+    partition heaps), never a global Sort followed by Limit."""
+    for name in ["q3_shipping_priority", "q10_returned_items",
+                 "q18_large_volume_customer"]:
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "TakeOrderedAndProject" in plan, name

@@ -159,3 +159,60 @@ def test_tws_early_firing(spark, tmpdir):
     rows = spark.sql("SELECT * FROM early_tws").collect()
     finals = [r for r in rows if r.is_final and r.window_start == 0]
     assert len(finals) == 1 and finals[0].cnt == 3
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              # >= 1: with EventTimeTimeout, SS pre-filters rows not
+              # newer than the watermark — an epoch-0 row at the
+              # initial watermark 0 is dropped as late (the same
+              # drop-late default as the reference's window operator)
+              st.integers(min_value=1, max_value=100_000)),
+    min_size=1, max_size=50))
+def test_early_firing_finals_equal_batch_window_counts(spark, rows):
+    """Property: once the watermark passes every window, the timer
+    path's FIRE_AND_PURGE counts must equal a plain batch
+    groupBy(window) — the two implementations of the same semantics
+    cross-check each other on arbitrary event sequences. All rows
+    arrive in one batch (watermark 0), so none are dropped as late."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sgs_prop_")
+    try:
+        path = os.path.join(d, "in")
+        batches = [
+            [(i, t, 0.0) for i, t in rows],
+            [("z", 10_000_000, 0.0)],   # lifts watermark past all windows
+            [("z", 20_000_000, 0.0)],   # lets the final-fire batch run
+        ]
+        for b in batches:
+            spark.createDataFrame(b, "id string, timestamp long, temperature double") \
+                .coalesce(1).write.mode("append").parquet(path)
+        stream = (spark.readStream
+                  .schema("id string, timestamp long, temperature double")
+                  .option("maxFilesPerTrigger", 1).parquet(path))
+        out = timers.early_firing_window_counts(stream, window_ms=30_000,
+                                                interval_ms=1_000)
+        q = (out.writeStream.format("memory").queryName("prop_ef")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(d, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        finals = {(r.id, r.window_start): r.cnt for r in spark.sql(
+            "SELECT * FROM prop_ef WHERE is_final AND id != 'z'").collect()}
+        expected = {}
+        for i, t in rows:
+            k = (i, t - t % 30_000)
+            expected[k] = expected.get(k, 0) + 1
+        assert finals == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.dropTempView("prop_ef")
