@@ -1466,6 +1466,58 @@ def dedup_clusters(spark, sf_dir):
     return clusters(docs, pairs)
 
 
+def _dedup_canonical_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    clusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id::BIGINT AS keep_id, count(*)::BIGINT AS cluster_size
+    FROM clusters GROUP BY cluster_id"""
+
+
+@register("dedup_canonical", _dedup_canonical_sql(), "llm", "dedup")
+def dedup_canonical(spark, sf_dir):
+    """The APPLY step of fuzzy dedup: one row per near-duplicate
+    cluster — the canonical doc to keep (min doc_id) and how many
+    documents it absorbs. Composes minhash_lsh_pairs -> connected
+    components -> groupBy(cluster); a writer keeps exactly
+    `keep_id`-rows of the corpus."""
+    from .operators.graph import dedup_clusters as clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    return (clusters(docs, pairs)
+            .groupBy(F.col("cluster_id").alias("keep_id"))
+            .agg(F.count("*").alias("cluster_size")))
+
+
+@register(
+    "vocab_top_ngrams",
+    _SHINGLES_CTE + """
+    SELECT shingle, count(*)::BIGINT AS df
+    FROM sh GROUP BY shingle
+    ORDER BY df DESC, shingle LIMIT 100""",
+    "llm", "text",
+)
+def vocab_top_ngrams(spark, sf_dir):
+    """Vocabulary building: top-100 word 3-grams by document frequency
+    (distinct per doc). One explode + one groupBy; top-k plans as
+    TakeOrderedAndProject, so no global sort at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3, distinct=True)
+    return (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("shingle")).limit(100))
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = ",\n           ".join(
         f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS v_{j}"
