@@ -51,6 +51,33 @@ def broadcast_rules_join(readings: DataFrame, rules: DataFrame,
     return joined.filter(F.col("temperature") > F.col("threshold"))
 
 
+def asof_join_broadcast(left: DataFrame, right: DataFrame, ts: str = "ts",
+                        right_cols: list[str] | None = None) -> DataFrame:
+    """Un-keyed as-of join for a SMALL right side (control streams):
+    each right row becomes a validity interval [ts, next_ts) via lead()
+    over the (tiny) right side only, broadcast, and matched with a
+    single interval predicate — a left-outer broadcast nested-loop join
+    that touches each left row once. The big side is never shuffled or
+    globally sorted (the union-merge strategy's un-keyed form would
+    sort everything in ONE partition — a scale cliff this avoids).
+    """
+    right_cols = right_cols or [c for c in right.columns if c != ts]
+    r2 = right.select(
+        F.col(ts).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).withColumn(
+        "__r_next",
+        F.lead("__r_ts").over(Window.orderBy("__r_ts")),  # small side only
+    )
+    cond = (F.col(ts) >= F.col("__r_ts")) & (
+        F.col("__r_next").isNull() | (F.col(ts) < F.col("__r_next")))
+    out = left.join(F.broadcast(r2), cond, "left")
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+
+
 def asof_join(left: DataFrame, right: DataFrame, ts: str = "ts",
               right_cols: list[str] | None = None,
               key: str | None = None) -> DataFrame:
@@ -60,11 +87,17 @@ def asof_join(left: DataFrame, right: DataFrame, ts: str = "ts",
     (chapter5/MultiStreamTransformations.scala:77-91) and is a
     first-class operator the reference cannot express relationally.
 
-    Strategy: union the two sides tagged, single shuffle on (key),
-    in-partition sort by (ts, tag), forward-fill the right columns with
-    last_value(ignorenulls) — O(n log n) per partition, no range-join
-    cross product, skew-safe under AQE.
+    Strategy by shape:
+    - un-keyed (key=None): the right side is a control stream —
+      broadcast validity intervals (`asof_join_broadcast`); the big
+      side is never shuffled.
+    - keyed: union the two sides tagged, single shuffle on (key),
+      in-partition sort by (ts, tag), forward-fill the right columns
+      with last_value(ignorenulls) — O(n log n) per partition, no
+      range-join cross product, skew-safe under AQE.
     """
+    if key is None:
+        return asof_join_broadcast(left, right, ts=ts, right_cols=right_cols)
     right_cols = right_cols or [c for c in right.columns if c != ts and c != key]
     lcols = [c for c in left.columns]
 
