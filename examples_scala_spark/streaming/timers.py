@@ -164,3 +164,90 @@ def tag_late_rows(readings: DataFrame,
         fn, outputStructType=TAGGED_SCHEMA, stateStructType=_NO_STATE,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+UPDATING_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("window_start", LongType()),
+    StructField("window_end", LongType()),
+    StructField("cnt", LongType()),
+    StructField("tag", StringType()),
+])
+
+_UW_STATE = StructType([StructField("wins_json", StringType())])
+
+
+def updating_window_counts_stream(readings: DataFrame,
+                                  window_ms: int = 10_000,
+                                  disorder: str = "5 seconds",
+                                  lateness_ms: int = 5_000) -> DataFrame:
+    """T7 — allowedLateness + UpdatingWindowCountFunction
+    (chapter6/LateDataHandling.scala:112-172): a window fires once when
+    the (reference) watermark passes its end — tagged 'first' — and
+    re-fires tagged 'update' for every late arrival within
+    `lateness_ms` after that.
+
+    Mapping to SS: the stream's watermark delay is disorder + lateness,
+    so SS itself drops rows later than the reference's total accept
+    window; the reference watermark = SS watermark + lateness, i.e. a
+    window's FIRST fire is due when SS-wm >= end - lateness (armed as
+    the event-time timeout), and state purges when SS-wm >= end.
+
+    Accept-rule delta (documented): SS's late filter is per-ROW
+    (drop when ts < previous batch's watermark, i.e. when ref-wm >=
+    ts + lateness) where the reference's is per-WINDOW (drop when
+    ref-wm >= window end + lateness) — rows early within a window stop
+    being update-eligible slightly sooner than in Flink.
+
+    State: {window_start: [count, fired]}. Batch twin (oracle-checked):
+    queries.late_window_updates.
+    """
+    delay_ms = lateness_ms  # reference wm = SS wm + lateness
+
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        wm = state.getCurrentWatermarkMs()
+        wins: dict[int, list[int]] = (
+            {int(k): list(v) for k, v in json.loads(state.get[0]).items()}
+            if state.exists else {})
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for ts in pdf["timestamp"].astype("int64"):
+                start = int(ts) - int(ts) % window_ms
+                cnt, fired = wins.get(start, [0, 0])
+                wins[start] = [cnt + 1, fired]
+                if fired:  # late arrival into an already-fired window
+                    out.append((sensor_id, start, start + window_ms,
+                                cnt + 1, "update"))
+        # first fires: reference watermark (wm + lateness) passed end
+        for start in sorted(wins):
+            cnt, fired = wins[start]
+            end = start + window_ms
+            if not fired and wm + delay_ms >= end:
+                out.append((sensor_id, start, end, cnt, "first"))
+                wins[start][1] = 1
+            if wm >= end:  # accept window over -> purge
+                del wins[start]
+        if wins:
+            state.update((json.dumps(wins),))
+            pending = min(
+                max(s + window_ms - delay_ms, wm + 1) if not f[1]
+                else s + window_ms
+                for s, f in ((s, wins[s]) for s in wins))
+            state.setTimeoutTimestamp(max(pending, wm + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             UPDATING_SCHEMA.fields])
+
+    total_delay = (f"{int(disorder.split()[0]) + lateness_ms // 1000} seconds"
+                   if disorder.endswith("seconds") else disorder)
+    wm_df = readings.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp"))
+    ).withWatermark("event_time", total_delay)
+    return wm_df.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=UPDATING_SCHEMA, stateStructType=_UW_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -216,3 +216,31 @@ def test_early_firing_finals_equal_batch_window_counts(spark, rows):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.dropTempView("prop_ef")
+
+
+def test_updating_window_counts_first_then_update(spark, tmpdir):
+    """T7: window [0,10000) fires 'first' when the reference watermark
+    (SS wm + lateness) passes 10000, then a late row within lateness
+    re-fires it tagged 'update' with the corrected count.
+
+    Watermark delay = disorder 5 s + lateness 5 s = 10 s. SS's late
+    filter uses the PREVIOUS batch's watermark, so the staging keeps
+    wm below the late row's ts until after the first fire."""
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 1_000, 1.0), ("s1", 9_000, 2.0)],   # window 0: cnt 2; wm->0
+        [("s1", 16_000, 3.0)],   # during: wm 0 (no fire); after: wm 6000
+        [("s1", 17_500, 4.0)],   # during: wm 6000 -> ref wm 11000 >= end
+                                 # -> FIRST fire cnt 2; after: wm 7500
+        [("s1", 9_500, 5.0),     # late (ref wm 12500 > end) but within
+                                 # lateness and >= prev wm -> UPDATE cnt 3
+         ("s1", 18_000, 6.0)],
+    ])
+    out = timers.updating_window_counts_stream(
+        stream, window_ms=10_000, disorder="5 seconds", lateness_ms=5_000)
+    _run(out, tmpdir, "upd_windows")
+    rows = [(r.window_start, r.cnt, r.tag) for r in spark.sql(
+        "SELECT * FROM upd_windows WHERE id='s1' AND window_start=0"
+    ).collect()]
+    assert (0, 2, "first") in rows
+    assert (0, 3, "update") in rows
+    assert len([r for r in rows if r[2] == "first"]) == 1
