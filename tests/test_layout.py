@@ -1,0 +1,57 @@
+"""Storage-layout tests: the plan-level evidence for SCALE.md's claims
+that bucketing removes the per-query fact shuffle and cell
+partitioning prunes scans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from examples_scala_spark.plans.inspect import explain_str
+from examples_scala_spark.sources.layout import (
+    write_bucketed, write_cell_partitioned,
+)
+from examples_scala_spark.sources.tables import load_table
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    # force the shuffle path so the comparison is join-strategy-stable
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert explain_str(plain, "simple").count("Exchange") == 2
+
+        write_bucketed(li, "li_b", "l_orderkey", buckets=8)
+        write_bucketed(orders, "ord_b", "o_orderkey", buckets=8)
+        li_b, ord_b = spark.table("li_b"), spark.table("ord_b")
+        bucketed = li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey)
+        plan = explain_str(bucketed, "simple")
+        assert "Exchange" not in plan  # the fact shuffle is gone
+        assert (bucketed.count()
+                == plain.count())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_cell_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cell", (F.col("user_id") % 8).cast("int"))
+    path = str(tmp_path / "cells")
+    write_cell_partitioned(ev.select("event_id", "value", "cell"),
+                           path, "cell")
+    back = spark.read.parquet(path).filter(F.col("cell") == 3)
+    plan = explain_str(back)
+    # partition filter recognized -> directory-level pruning
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    want = ev.filter(F.col("cell") == 3).count()
+    assert back.count() == want
