@@ -239,3 +239,34 @@ def test_ngram_jaccard_df_cap_prunes_stop_shingles(spark):
     assert (3, 4) in uncapped
     assert (3, 4) not in capped
     assert (1, 2) in capped
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_asof_strategies_agree(spark, data):
+    """Property: the broadcast-interval as-of (un-keyed path) and the
+    union-merge as-of (keyed path, forced with a constant key) give
+    identical results on arbitrary inputs — including ties and
+    before-first-right-row nulls."""
+    l_ts = data.draw(st.lists(st.integers(0, 50), min_size=1, max_size=20,
+                              unique=True))
+    r_rows = data.draw(st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["A", "B", "C"])),
+        min_size=0, max_size=8, unique_by=lambda t: t[0]))
+    left = spark.createDataFrame([(i, t) for i, t in enumerate(l_ts)],
+                                 "k long, ts long")
+    right = spark.createDataFrame(r_rows or [(None, None)],
+                                  "ts long, v string").filter("ts IS NOT NULL")
+
+    bc = {r.k: r.v for r in joins.asof_join_broadcast(
+        left, right, ts="ts", right_cols=["v"]).collect()}
+    lk = left.withColumn("g", F.lit(1))
+    rk = right.withColumn("g", F.lit(1))
+    um = {r.k: r.v for r in joins.asof_join(
+        lk, rk, ts="ts", right_cols=["v"], key="g").collect()}
+    assert bc == um
