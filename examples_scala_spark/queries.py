@@ -1256,6 +1256,29 @@ def q22_global_sales_opportunity(spark, sf_dir):
 
 
 @register(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type""",
+    "relational", "aggregates",
+)
+def events_percentiles(spark, sf_dir):
+    """Exact percentiles per event type (sort-based `percentile`, the
+    same linear interpolation as DuckDB's quantile_cont — results are
+    bit-identical). At scale, swap in approx_percentile(value, p, acc)
+    for one-pass sketching; the exact form is the oracle-checkable
+    baseline."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.99)).alias("p99"))
+
+
+@register(
     "salted_event_type_stats",
     """
     SELECT event_type, count(*)::BIGINT AS cnt,
