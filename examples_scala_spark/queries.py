@@ -1279,6 +1279,35 @@ def events_percentiles(spark, sf_dir):
 
 
 @register(
+    "events_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+           count(*) FILTER (event_type = 'click')::BIGINT    AS click,
+           count(*) FILTER (event_type = 'error')::BIGINT    AS error,
+           count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+           count(*) FILTER (event_type = 'signup')::BIGINT   AS signup,
+           count(*) FILTER (event_type = 'view')::BIGINT     AS view
+    FROM events GROUP BY 1""",
+    "relational", "aggregates",
+)
+def events_pivot(spark, sf_dir):
+    """Pivot: daily event counts, one column per event type. The
+    value list is declared so Catalyst skips the extra distinct-values
+    job and plans a single conditional aggregate (the same shape as
+    the oracle's FILTER clauses)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.groupBy(F.date_trunc("day", "ts").cast("date")
+                      .cast("string").alias("day"))
+           .pivot("event_type",
+                  ["click", "error", "purchase", "signup", "view"])
+           .count())
+    # pivot leaves missing cells null; counts should read 0
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                   for c in ["click", "error", "purchase", "signup", "view"]])
+
+
+@register(
     "salted_event_type_stats",
     """
     SELECT event_type, count(*)::BIGINT AS cnt,
