@@ -111,3 +111,33 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     text — the canonical near-exact-dup key (case/spacing-invariant)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
+
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               url_token: str = "<URL>",
+               email_token: str = "<EMAIL>") -> DataFrame:
+    """Training-data scrubbing: replace URLs and email addresses with
+    placeholder tokens, collapse whitespace, trim. Pure regexp_replace
+    chain — codegen'd, zero shuffle, scales with scan bandwidth. The
+    patterns are RE2-safe so the DuckDB oracle evaluates identically.
+    Emits the cleaned text plus how many substitutions were made
+    (rows with replacements are the audit trail)."""
+    t = F.col(text_col)
+    n_urls = F.size(
+        F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0))).cast("long")
+    n_emails = F.size(
+        F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+    cleaned = F.regexp_replace(t, URL_RE, url_token)
+    cleaned = F.regexp_replace(cleaned, EMAIL_RE, email_token)
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+    )

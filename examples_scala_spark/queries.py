@@ -1279,6 +1279,29 @@ def events_percentiles(spark, sf_dir):
 
 
 @register(
+    "clean_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails
+    FROM documents""",
+    "llm", "text",
+)
+def clean_text(spark, sf_dir):
+    """Training-data scrubbing: URL/email placeholder substitution +
+    whitespace normalization with substitution counts (the audit
+    trail). Pure codegen'd regexp chain, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.clean_text(docs)
+
+
+@register(
     "events_pivot",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,

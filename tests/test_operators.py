@@ -270,3 +270,13 @@ def test_asof_strategies_agree(spark, data):
     um = {r.k: r.v for r in joins.asof_join(
         lk, rk, ts="ts", right_cols=["v"], key="g").collect()}
     assert bc == um
+
+
+def test_clean_text_scrubs_urls_and_emails(spark):
+    docs = spark.createDataFrame(
+        [(1, "see https://ex.com/a?b=1 or   mail bob@corp.io today"),
+         (2, "no contact info\t here")], ["doc_id", "text"])
+    out = {r.doc_id: (r.clean_text, r.n_urls, r.n_emails)
+           for r in text.clean_text(docs).collect()}
+    assert out[1] == ("see <URL> or mail <EMAIL> today", 1, 1)
+    assert out[2] == ("no contact info here", 0, 0)
