@@ -280,3 +280,20 @@ def test_clean_text_scrubs_urls_and_emails(spark):
            for r in text.clean_text(docs).collect()}
     assert out[1] == ("see <URL> or mail <EMAIL> today", 1, 1)
     assert out[2] == ("no contact info here", 0, 0)
+
+
+def test_connectors_raise_clear_error_when_absent(spark):
+    """This container ships no Kafka/Delta/JDBC jars: every connector
+    must fail with ConnectorUnavailable (one readable line), never a
+    raw Py4J stack."""
+    from examples_scala_spark.sources import connectors as cx
+
+    with pytest.raises(cx.ConnectorUnavailable):
+        cx.kafka_stream(spark, "localhost:9092", "t")
+    with pytest.raises(cx.ConnectorUnavailable):
+        cx.delta_table(spark, "/tmp/nope")
+    with pytest.raises(cx.ConnectorUnavailable):
+        cx.jdbc_dim(spark, "jdbc:derby:memory:db", "SensorLocations")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(cx.ConnectorUnavailable):
+        cx.delta_upsert_writer("/tmp/nope", "k")(df, 0)
