@@ -113,13 +113,63 @@ def lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
+def sampled_centroids(base: DataFrame, centroid_mod: int = 23,
+                      id_col: str = "vec_id") -> DataFrame:
+    """Deterministic id-sampled centroids (cent_id, cv, cnorm) — the
+    oracle-reproducible coarse quantizer; `train_centroids` is the
+    k-means upgrade."""
+    return base.filter((F.col(id_col) % centroid_mod) == 1).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+
+
+def train_centroids(emb: DataFrame, centroid_mod: int = 23,
+                    iterations: int = 4, dim: int = 64,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over the embedding table, as DataFrame ops:
+    assign = broadcast-centroid argmax-cosine (narrow), update = one
+    groupBy(cell) computing all `dim` component means map-side. Init =
+    the deterministic id sample, so results are reproducible.
+    `localCheckpoint` per round truncates the growing plan (same
+    iterative-Spark guard as graph.connected_components).
+
+    Returns (cent_id, cv, cnorm) for ivf_topk(centroids=...).
+    """
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col("v"), F.col("norm"))
+    cents = sampled_centroids(base, centroid_mod, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    for _ in range(iterations):
+        assign = (
+            base.join(F.broadcast(cents))
+            .select(F.col(id_col), F.col("cent_id"), F.col("v"),
+                    cosine(F.col("v"), F.col("cv"),
+                           F.col("norm"), F.col("cnorm")).alias("ccos"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        mean_vec = F.array(*[F.avg(F.col("v")[i]) for i in range(dim)])
+        cents = (
+            assign.groupBy("cent_id")
+            .agg(mean_vec.alias("cv"))
+            .withColumn("cnorm", F.sqrt(F.aggregate(
+                "cv", F.lit(0.0), lambda acc, x: acc + x * x)))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
              centroid_mod: int = 23, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k.
 
-    1. centroids: vectors with id % centroid_mod == 1 (deterministic
-       sample standing in for k-means means).
+    1. centroids: trained means passed via `centroids`, else the
+       deterministic id sample (oracle-reproducible).
     2. assign: every vector -> argmax-cosine centroid (broadcast join +
        rank-1; ties broken by centroid id).
     3. probe: each query keeps its nprobe best cells.
@@ -130,10 +180,8 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     """
     base = with_norm(emb, vec_col).select(
         F.col(id_col), F.col("v"), F.col("norm"))
-    cents = base.filter((F.col(id_col) % centroid_mod) == 1).select(
-        F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
+    cents = (centroids if centroids is not None
+             else sampled_centroids(base, centroid_mod, id_col))
     # cell affinity of every vector to every centroid (C is small)
     affinity = base.join(F.broadcast(cents)).select(
         F.col(id_col), F.col("cent_id"),

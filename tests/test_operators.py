@@ -297,3 +297,33 @@ def test_connectors_raise_clear_error_when_absent(spark):
     df = spark.createDataFrame([(1, "a")], ["k", "v"])
     with pytest.raises(cx.ConnectorUnavailable):
         cx.delta_upsert_writer("/tmp/nope", "k")(df, 0)
+
+
+def test_kmeans_training_improves_quantizer(spark, sf_dir):
+    """Lloyd iterations must not worsen the k-means objective: the mean
+    best-cosine of vectors to their assigned centroid should be at
+    least as good with trained centroids as with the raw id sample.
+    And IVF with trained centroids still becomes exact when probing
+    every cell (routing invariance)."""
+    from examples_scala_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = similarity.with_norm(emb).select("vec_id", "v", "norm")
+
+    def objective(cents):
+        aff = base.join(F.broadcast(cents)).select(
+            similarity.cosine(F.col("v"), F.col("cv"),
+                              F.col("norm"), F.col("cnorm")).alias("c"),
+            "vec_id")
+        return (aff.groupBy("vec_id").agg(F.max("c").alias("best"))
+                .agg(F.avg("best")).collect()[0][0])
+
+    init = similarity.sampled_centroids(base)
+    trained = similarity.train_centroids(emb, iterations=3)
+    assert objective(trained) >= objective(init) - 1e-9
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
+        emb, k=5, nprobe=10**6, centroids=trained).collect()}
+    assert ivf == exact
