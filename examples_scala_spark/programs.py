@@ -260,6 +260,44 @@ def source_function(spark):
     return count_source_stream(spark, rows_per_second=1_000)
 
 
+@program("sink_function", "chapter8/SinkFunctionExample.scala:14-74")
+def sink_function(spark):
+    """Socket sink: readings stream into SocketWriter (one line per
+    row over TCP). The program spins an in-process echo listener so it
+    is runnable standalone; point SocketWriter at any host:port in
+    production."""
+    import socket
+    import sys
+    import threading
+
+    from .streaming.sinks import SocketWriter
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(64)
+    port = srv.getsockname()[1]
+
+    def listen():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            def drain(c):
+                with c, c.makefile() as f:
+                    for line in f:
+                        print(f"socket<< {line}", end="", file=sys.stderr)
+            threading.Thread(target=drain, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=listen, daemon=True).start()
+    s = sensor_source_stream(spark, rows_per_second=10)
+    # attach the writer via foreach in the runner
+    df = s.select("id", "timestamp", "temperature")
+    df.__socket_writer__ = SocketWriter("127.0.0.1", port)  # type: ignore[attr-defined]
+    return df
+
+
 @program("async_function", "chapter8/AsyncFunctionExample.scala:40-204")
 def async_function(spark):
     """Room-lookup enrichment: broadcast dimension join per micro-batch
@@ -301,7 +339,10 @@ def run_program(spark: SparkSession, name: str, duration: int = 10,
     p = PROGRAMS[name]
     df = p.build(spark)
     ckpt = tempfile.mkdtemp(prefix=f"sgs_prog_{name}_")
-    if p.foreach_batch is not None:
+    writer = getattr(df, "__socket_writer__", None)
+    if writer is not None:
+        w = df.writeStream.foreach(writer).outputMode(p.output_mode)
+    elif p.foreach_batch is not None:
         w = (df.writeStream.foreachBatch(p.foreach_batch)
              .outputMode(p.output_mode))
     elif sink == "memory":
