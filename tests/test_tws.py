@@ -244,3 +244,47 @@ def test_updating_window_counts_first_then_update(spark, tmpdir):
     assert (0, 2, "first") in rows
     assert (0, 3, "update") in rows
     assert len([r for r in rows if r[2] == "first"]) == 1
+
+
+def test_early_firing_state_survives_restart(spark, tmpdir):
+    """Recovery (R4/R5 for the timer operator): stop the query after
+    the first batches, add more data, restart from the SAME checkpoint
+    — window counts and the re-armed timer must come back from the
+    state store and produce the same final fire as an uninterrupted
+    run."""
+    path = os.path.join(tmpdir, "in")
+    ckpt = os.path.join(tmpdir, "ckpt_restart")
+    got: list = []
+
+    def collect_rows(batch_df, batch_id):
+        got.extend(tuple(r) for r in batch_df.collect())
+
+    def start():
+        stream = (spark.readStream
+                  .schema("id string, timestamp long, temperature double")
+                  .option("maxFilesPerTrigger", 1).parquet(path))
+        out = timers.early_firing_window_counts(stream, window_ms=30_000,
+                                                interval_ms=1_000)
+        return (out.writeStream.foreachBatch(collect_rows)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    # run 1: two batches fill window [0, 30000) — no final fire yet
+    for rows in [[("s1", 1_000, 1.0), ("s1", 5_000, 2.0)],
+                 [("s1", 27_000, 3.0)]]:
+        spark.createDataFrame(rows, "id string, timestamp long, temperature double") \
+            .coalesce(1).write.mode("append").parquet(path)
+    q = start()
+    q.awaitTermination(120)
+    assert not [r for r in got if r[5]]  # no finals yet
+
+    # run 2 (fresh query, same checkpoint): watermark passes the window
+    for rows in [[("s1", 40_000, 4.0)], [("s1", 80_000, 5.0)]]:
+        spark.createDataFrame(rows, "id string, timestamp long, temperature double") \
+            .coalesce(1).write.mode("append").parquet(path)
+    q = start()
+    q.awaitTermination(120)
+    finals = [r for r in got if r[5] and r[1] == 0]
+    # (id, window_start, window_end, fire_ms, cnt, is_final); the count
+    # includes the two pre-restart rows recovered from the state store
+    assert [(r[4], r[3]) for r in finals] == [(3, 30_000)]
