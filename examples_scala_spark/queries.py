@@ -1280,7 +1280,7 @@ def events_percentiles(spark, sf_dir):
 
 @register(
     "clean_text",
-    """
+    r"""
     SELECT doc_id,
            trim(regexp_replace(
              regexp_replace(
@@ -1831,7 +1831,7 @@ def ann_topk_lsh(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"), "cos")
 
 
-def _lang_sql() -> str:
+def _lang_sql(rel: str = "documents") -> str:
     cnts = {
         lang: " + ".join(
             f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
@@ -1849,7 +1849,7 @@ def _lang_sql() -> str:
     WITH c AS (
       SELECT doc_id,
              {cols}
-      FROM documents),
+      FROM {rel}),
     m AS (SELECT doc_id, *, {mx} AS mx FROM c)
     SELECT doc_id,
            CASE WHEN mx = 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
@@ -1886,7 +1886,7 @@ def token_count(spark, sf_dir):
     )
 
 
-def _quality_sql() -> str:
+def _quality_sql(rel: str = "documents") -> str:
     stop = " + ".join(
         f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
         for w in text.STOPWORDS
@@ -1899,7 +1899,7 @@ def _quality_sql() -> str:
              len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
              len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
              ({stop})::BIGINT AS n_stop
-      FROM documents)
+      FROM {rel})
     SELECT doc_id, n_chars_m, n_words,
            round((n_chars_m - (n_words - 1)) / n_words, 6) AS mean_word_len,
            round(n_punct / n_chars_m, 6) AS punct_ratio,
@@ -2149,3 +2149,120 @@ def stream_early_firing(spark, sf_dir):
          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+# ======================================================================
+# Beyond-parity relational surface: per-key top-N (rank window), an
+# event-time interval join, and the composite training-data pipeline
+# (quality filter -> exact dedup -> language ID -> corpus stats).
+# ======================================================================
+
+@register(
+    "topn_per_key",
+    SENSORS_CTE + """
+    SELECT id, rnk, event_id, temperature FROM (
+      SELECT id, event_id, temperature,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY temperature DESC, event_id) AS rnk
+      FROM sensors)
+    WHERE rnk <= 3""",
+    "beyond", "relational",
+)
+def topn_per_key(spark, sf_dir):
+    """Top-3 hottest readings per sensor via row_number() — the per-key
+    top-N idiom (the reference's rolling max, A2, is the N=1 case).
+    Unique tie-break on event_id keeps ranks deterministic. At scale
+    this is one hash shuffle on the key + an in-partition sort; Spark
+    plans a WindowGroupLimit (rank-pushdown) so each partition keeps
+    only N rows before the final sort — no full per-key materialization."""
+    s = _sensors(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy(
+        F.col("temperature").desc(), F.col("event_id").asc())
+    return (
+        s.select("id", "event_id", "temperature",
+                 F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("id", F.col("rnk").cast("bigint").alias("rnk"),
+                "event_id", "temperature")
+    )
+
+
+@register(
+    "error_recent_clicks",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, count(c.ts)::BIGINT AS n_recent_clicks
+    FROM e LEFT JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts > e.ts - INTERVAL 24 HOUR AND c.ts <= e.ts
+    GROUP BY e.event_id, e.user_id""",
+    "beyond", "relational", "interval_join",
+)
+def error_recent_clicks(spark, sf_dir):
+    """Event-time interval join (the relational form of the reference's
+    connect-based stream correlation, SURVEY §2.4): for each error
+    event, count the same user's clicks in the preceding 24 h. The
+    equi-key (user_id) carries the join — the time range is a post-join
+    filter — so this stays a hash/sort-merge join on user_id at any
+    scale; no cross product. The streaming twin is a stream-stream
+    interval join with watermarks bounding state retention."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("err_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left")
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("click_ts").alias("n_recent_clicks"))
+
+
+def _pipeline_sql() -> str:
+    return f"""
+    WITH q AS ({_quality_sql()}),
+    good AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality_score >= 0.75),
+    keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+    kept AS (SELECT g.* FROM good g JOIN keep ON g.doc_id = keep.doc_id),
+    l AS ({_lang_sql(rel='kept')})
+    SELECT l.pred_lang, kept.source,
+           count(*)::BIGINT AS n_docs,
+           SUM(length(kept.text) // 4)::BIGINT AS n_tokens_est
+    FROM kept JOIN l ON kept.doc_id = l.doc_id
+    GROUP BY l.pred_lang, kept.source"""
+
+
+@register("pipeline_training_data", _pipeline_sql(), "llm", "pipeline")
+def pipeline_training_data(spark, sf_dir):
+    """The composite training-data pipeline, end to end: quality-filter
+    (score >= 0.75) -> exact dedup (keep smallest doc_id per identical
+    text) -> language ID -> per (language, source) corpus stats. This is
+    the shape of a real 100 TB curation job; every stage is the same
+    operator the standalone queries check individually, composed as one
+    lazy plan so Catalyst pipelines the scans (documents is read once
+    per branch, filters push down, the dedup shuffle keys on md5 so the
+    text column never shuffles twice)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality_score")
+    good = (docs.join(q, "doc_id")
+            .filter(F.col("quality_score") >= 0.75)
+            .select("doc_id", "text", "source"))
+    keep = (good.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    kept = good.join(keep, "doc_id")
+    lang = text.lang_id(kept)
+    return (
+        kept.join(lang, "doc_id")
+        .groupBy("pred_lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.length("text") / F.lit(4)).cast("long"))
+              .cast("bigint").alias("n_tokens_est"))
+    )
