@@ -38,6 +38,79 @@ BENCH_QUERIES = [
 ]
 
 
+def _timed_count_sum(df) -> tuple[float, tuple]:
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    row = df.groupBy().agg(F.count("*").alias("cnt"),
+                           F.sum("payload").alias("total")).collect()[0]
+    return round(time.time() - t0, 3), (row["cnt"], row["total"])
+
+
+def skew_bench(spark) -> dict[str, float]:
+    """Quantify skew mitigation on a synthetic hot-key join: 90% of a
+    10M-row fact table carries key 0. Three strategies over the same
+    shuffle (sort-merge) join, broadcast disabled so the shuffle is real:
+
+    - plain: AQE skew-split off -> the hot key lands on one reducer
+      (the 100 TB failure mode, in miniature).
+    - aqe_skew: AQE splits the oversized partition at runtime
+      (thresholds lowered to trigger at bench scale; at production
+      scale the defaults trigger on real hot partitions).
+    - salted: deterministic-salt join from operators/skew.py — the
+      pre-planned remedy for joins AQE can't re-plan.
+
+    All three must return identical aggregates; timings go to the bench
+    JSON under "skew" (not the headline total).
+    """
+    from pyspark.sql import functions as F
+    from examples_scala_spark.operators.skew import salted_join
+
+    n = 10_000_000
+    big = spark.range(n).select(
+        F.when(F.pmod("id", 10) < 9, 0)
+         .otherwise(F.pmod("id", 1000)).cast("long").alias("k"),
+        F.col("id").alias("payload"))
+    small = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("dim"))
+
+    saved = {c: spark.conf.get(c, None) for c in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )}
+    timings: dict[str, float] = {}
+    results = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["plain"], results["plain"] = _timed_count_sum(
+            big.join(small, "k"))
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        timings["aqe_skew"], results["aqe_skew"] = _timed_count_sum(
+            big.join(small, "k"))
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["salted"], results["salted"] = _timed_count_sum(
+            salted_join(big, small, "k", salt_from=["payload"], buckets=32))
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    assert results["plain"] == results["aqe_skew"] == results["salted"], results
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -56,12 +129,18 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    skew = skew_bench(spark)
+    print(f"# skew_join: plain={skew['plain']:.2f}s "
+          f"aqe_skew={skew['aqe_skew']:.2f}s salted={skew['salted']:.2f}s",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "skew": skew,
         "sf": sf,
     }))
 
