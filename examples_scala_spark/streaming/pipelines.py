@@ -51,3 +51,37 @@ def rolling_max_stream(spark: SparkSession,
     update output mode re-emits refreshed values each micro-batch."""
     s = sensor_source_stream(spark, rows_per_second)
     return s.groupBy("id").agg(F.max("temperature").alias("max_temp"))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         keys: list[str] | None,
+                         left_ts: str, right_ts: str,
+                         lookback: str, watermark: str = "10 seconds",
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row with
+    right rows whose timestamp falls in (left_ts - lookback, left_ts],
+    optionally equi-keyed. This is the relational form of the
+    reference's connect-based two-stream correlation
+    (chapter5/MultiStreamTransformations.scala:61-63) and the exact
+    semantics of Flink's intervalJoin.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides, so Spark derives a state-retention horizon per
+    side and evicts joined state as the watermark advances — state
+    stays O(lookback x input-rate) at any scale, never unbounded.
+    Outer variants emit the unmatched side once the watermark passes
+    the join window (`how`='leftOuter'/...)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{right_ts} > {left_ts} - INTERVAL {lookback} AND "
+        f"{right_ts} <= {left_ts}")
+    if keys:
+        for k in keys:
+            cond = (F.col(f"__l_{k}") == F.col(f"__r_{k}")) & cond
+        lw = lw.withColumns({f"__l_{k}": F.col(k) for k in keys})
+        rw = rw.select(*[F.col(c).alias(f"__r_{c}") if c in keys else F.col(c)
+                         for c in rw.columns])
+    out = lw.join(rw, cond, how)
+    return out.drop(*[c for c in out.columns if c.startswith("__l_")
+                      or c.startswith("__r_")])

@@ -147,3 +147,55 @@ def test_watermark_drop_observability(spark, tmpdir):
     # and append output has exactly one (non-duplicated) [0,10) row
     out = spark.sql("SELECT * FROM wm_drop").collect()
     assert len([r for r in out if r.window.start.second == 0]) == 1
+
+
+def test_stream_interval_join_matches_batch(spark, tmpdir):
+    """Stream-stream interval join (J1's relational form): keyed,
+    right rows in (left_ts - 60s, left_ts]. Boundary semantics: a
+    click exactly at err_ts matches; one exactly 60s before does not
+    (strict >). Streaming result must equal the batch join."""
+    from examples_scala_spark.streaming.pipelines import stream_interval_join
+
+    def write(rows, cols, sub):
+        path = os.path.join(tmpdir, sub)
+        df = spark.createDataFrame(rows, cols)
+        ts_col = cols[-1]
+        df = df.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col)))
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return path
+
+    errors = [("u1", 100), ("u2", 200)]
+    clicks = [("u1", 50), ("u1", 40), ("u1", 100), ("u2", 199),
+              ("u2", 290), ("u3", 100)]
+    epath = write(errors, ["user_id", "err_ts"], "errors")
+    cpath = write(clicks, ["user_id", "click_ts"], "clicks")
+
+    left = spark.readStream.schema("user_id string, err_ts timestamp").parquet(epath)
+    right = spark.readStream.schema("user_id string, click_ts timestamp").parquet(cpath)
+    out = stream_interval_join(left, right, keys=["user_id"],
+                               left_ts="err_ts", right_ts="click_ts",
+                               lookback="60 seconds")
+    q = (out.writeStream.format("memory").queryName("sij")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir, "ckpt_sij"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, int(r.err_ts.timestamp()), int(r.click_ts.timestamp()))
+        for r in spark.sql("SELECT * FROM sij").collect())
+    # u1@100 matches clicks at 50 (40 < 50 <= 100) and 100 (inclusive
+    # upper bound); the click at 40 sits exactly on the open lower
+    # bound; u2@200 matches 199 only; u3 has no error row.
+    assert got == [("u1", 100, 50), ("u1", 100, 100), ("u2", 200, 199)]
+
+    batch_l = spark.read.parquet(epath)
+    batch_r = spark.read.parquet(cpath).withColumnRenamed("user_id", "u2_")
+    expected = sorted(
+        (r.user_id, int(r.err_ts.timestamp()), int(r.click_ts.timestamp()))
+        for r in batch_l.join(
+            batch_r,
+            (F.col("user_id") == F.col("u2_"))
+            & (F.col("click_ts") > F.col("err_ts") - F.expr("INTERVAL 60 SECONDS"))
+            & (F.col("click_ts") <= F.col("err_ts"))).collect())
+    assert got == expected
