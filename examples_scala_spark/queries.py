@@ -2266,3 +2266,57 @@ def pipeline_training_data(spark, sf_dir):
              F.sum((F.length("text") / F.lit(4)).cast("long"))
               .cast("bigint").alias("n_tokens_est"))
     )
+
+
+@register(
+    "stream_interval_join",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           (epoch_us(e.ts) // 1000) AS err_ms,
+           (epoch_us(c.ts) // 1000) AS click_ms
+    FROM e JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts > e.ts - INTERVAL 24 HOUR AND c.ts <= e.ts""",
+    "streaming", "J1",
+)
+def stream_interval_join_query(spark, sf_dir):
+    """J1's relational form as REAL Structured Streaming: the events
+    table replayed as a bounded stream, self-joined (errors x clicks,
+    same user, 24 h lookback) with the watermarked stream-stream
+    interval join builder. Append-mode inner-join output is exactly the
+    batch join's match set, so unlike the stateful stream_* entries
+    this streaming query is fully oracle-checked."""
+    import tempfile
+
+    tune(spark)
+    from .streaming.pipelines import stream_interval_join
+
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    errors = src.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts"))
+    clicks = src.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    out = stream_interval_join(
+        errors, clicks, keys=["user_id"],
+        left_ts="err_ts", right_ts="click_ts", lookback="24 hours")
+    out = out.select(
+        "event_id", "user_id",
+        F.expr("unix_micros(err_ts) div 1000").alias("err_ms"),
+        F.expr("unix_micros(click_ts) div 1000").alias("click_ms"),
+    )
+    name = "stream_interval_join_result"
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
