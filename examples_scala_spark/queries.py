@@ -2320,3 +2320,77 @@ def stream_interval_join_query(spark, sf_dir):
          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _events_stream(spark, sf_dir):
+    """Bounded streaming replay of the events table (TIMESTAMP(NANOS)
+    ts read as BIGINT nanos, restored to TimestampType)."""
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(spark, out, name, mode="append"):
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name).outputMode(mode)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           (epoch_us(ts) // 1000) AS ts_ms
+    FROM events""",
+    "streaming", "llm", "dedup",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: the events stream unioned with
+    itself (every row arrives twice — the at-least-once delivery
+    failure mode) then dropDuplicatesWithinWatermark on event_id. State
+    holds only ids younger than the watermark delay, so memory is
+    O(rate x delay) at any scale — the streaming twin of exact_dedup.
+    Append output = each event exactly once = the oracle's plain scan."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.union(ev).withWatermark("ts", "10 seconds")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    return _run_to_memory(
+        spark,
+        deduped.select("event_id", "user_id", "event_type",
+                       F.expr("unix_micros(ts) div 1000").alias("ts_ms")),
+        "stream_dedup_result")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+           e.value AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id""",
+    "streaming", "J3",
+)
+def stream_static_enrich(spark, sf_dir):
+    """J3/J4 as REAL streaming: per micro-batch stream-static broadcast
+    enrichment join (the async/sync Derby lookup's Spark idiom —
+    reference chapter8/AsyncFunctionExample.scala:77-83,103-159). The
+    static dimension is re-read each micro-batch, so a refreshed dim
+    table is picked up at batch boundaries — the micro-batch form of
+    the reference's per-record lookup."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment"))
+    out = ev.join(dim, ev.user_id == dim.c_custkey, "inner").select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value")
+    return _run_to_memory(spark, out, "stream_static_enrich_result")
