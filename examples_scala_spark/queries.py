@@ -2394,3 +2394,94 @@ def stream_static_enrich(spark, sf_dir):
     out = ev.join(dim, ev.user_id == dim.c_custkey, "inner").select(
         "event_id", "user_id", "c_name", "c_mktsegment", "value")
     return _run_to_memory(spark, out, "stream_static_enrich_result")
+
+
+@register(
+    "hash_split_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+               AS b_split,
+             ('0x' || substr(md5('samp-' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 100 AS b_keep
+      FROM documents)
+    SELECT doc_id, lang, source,
+           CASE WHEN b_split < 80 THEN 'train'
+                WHEN b_split < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           (b_keep < CASE WHEN lang = 'en' THEN 50 ELSE 100 END) AS kept
+    FROM h""",
+    "llm", "sampling",
+)
+def hash_split_sample(spark, sf_dir):
+    """Deterministic train/validation/test assignment (80/10/10) plus
+    stratified downsampling (keep 50% of over-represented 'en', 100%
+    of the rest) — both via md5 hash buckets of the stable doc_id, the
+    replayable alternative to rand()-based sampling: a retried task
+    reproduces the same sample, and the split never shifts as data is
+    appended. Independent buckets use a salted second hash so the
+    sample is uncorrelated with the split. Pure narrow ops: zero
+    shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    b = lambda c: (F.conv(F.substring(F.md5(c), 1, 15), 16, 10)
+                   .cast("bigint") % 100)
+    out = docs.select(
+        "doc_id", "lang", "source",
+        b(F.col("doc_id").cast("string")).alias("b_split"),
+        b(F.concat(F.lit("samp-"), F.col("doc_id").cast("string")))
+        .alias("b_keep"))
+    return out.select(
+        "doc_id", "lang", "source",
+        F.when(F.col("b_split") < 80, "train")
+         .when(F.col("b_split") < 90, "validation")
+         .otherwise("test").alias("split"),
+        (F.col("b_keep") < F.when(F.col("lang") == "en", 50).otherwise(100))
+        .alias("kept"))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    s AS (
+      SELECT doc_id, term, tf, df,
+             tf * ln((n + 1.0) / (df + 1.0)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM s)
+    WHERE rnk <= 5""",
+    "llm", "text",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document: tokenize -> per-(doc,term)
+    counts -> document frequency -> smoothed idf ln((N+1)/(df+1)) ->
+    per-doc rank. Two hash aggregations + one equi-join on term; the
+    corpus size N rides along as a broadcast scalar, and the per-doc
+    top-5 uses the same WindowGroupLimit rank-pushdown as topn_per_key
+    — no doc's full term list is ever sorted globally."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    s = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+         .withColumn("score",
+                     F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (s.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("doc_id", "term", "tf", "df",
+                    F.round("score", 6).alias("tfidf")))
