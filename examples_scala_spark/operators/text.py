@@ -35,12 +35,11 @@ def lang_marker_counts(text_col) -> dict[str, F.Column]:
     }
 
 
-def lang_id(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Language-ID heuristic: count language-marker stopwords, argmax
-    with deterministic tie-break (count desc, lang asc), 'und'
-    (undetermined) when no marker hits."""
-    lower = F.lower(F.col(text_col))
+def lang_id_col(text_col) -> F.Column:
+    """Column form of the language-ID heuristic (for narrow, join-free
+    composition): marker-stopword voting, argmax with deterministic
+    tie-break (count desc, lang asc), 'und' when no marker hits."""
+    lower = F.lower(text_col)
     counts = lang_marker_counts(lower)
     pairs = F.array(*[
         F.struct(counts[lang].alias("cnt"), F.lit(lang).alias("lang"))
@@ -52,9 +51,17 @@ def lang_id(docs: DataFrame, text_col: str = "text",
         .when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1)
         .otherwise(0)
     )[0]
+    return F.when(best["cnt"] > 0, best["lang"]).otherwise("und")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: count language-marker stopwords, argmax
+    with deterministic tie-break (count desc, lang asc), 'und'
+    (undetermined) when no marker hits."""
     return docs.select(
         F.col(id_col),
-        F.when(best["cnt"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        lang_id_col(F.col(text_col)).alias("pred_lang"),
     )
 
 
@@ -70,6 +77,26 @@ def token_count(docs: DataFrame, text_col: str = "text",
         F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).alias("n_punct"),
         (F.length(F.col(text_col)) / F.lit(4)).cast("long").alias("n_tokens_est"),
     )
+
+
+def quality_score_col(text_col) -> F.Column:
+    """Column form of the composite quality score (rounded to 2 dp) —
+    for narrow, join-free composition in pipelines."""
+    t = text_col
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = sum(F.regexp_count(F.lower(t), F.lit(_word_regex(w))) for w in STOPWORDS)
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_words
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.25).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.25).otherwise(0.0)
+    )
+    return F.round(score, 2)
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",

@@ -2250,21 +2250,23 @@ def pipeline_training_data(spark, sf_dir):
     per branch, filters push down, the dedup shuffle keys on md5 so the
     text column never shuffles twice)."""
     docs = _t(spark, sf_dir, "documents")
-    q = text.quality_score(docs).select("doc_id", "quality_score")
-    good = (docs.join(q, "doc_id")
-            .filter(F.col("quality_score") >= 0.75)
-            .select("doc_id", "text", "source"))
+    good = docs.filter(text.quality_score_col(F.col("text")) >= 0.75)
+    # all per-doc features computed narrowly, BEFORE any shuffle — the
+    # only things that ever cross the wire are (doc_id, pred_lang,
+    # source, tok_est) and the dedup's (md5, doc_id); text itself
+    # never shuffles
+    feat = good.select(
+        "doc_id", "source",
+        text.lang_id_col(F.col("text")).alias("pred_lang"),
+        (F.length("text") / F.lit(4)).cast("long").alias("tok_est"))
     keep = (good.groupBy(F.md5("text").alias("h"))
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
-    kept = good.join(keep, "doc_id")
-    lang = text.lang_id(kept)
     return (
-        kept.join(lang, "doc_id")
+        feat.join(keep, "doc_id")
         .groupBy("pred_lang", "source")
         .agg(F.count("*").alias("n_docs"),
-             F.sum((F.length("text") / F.lit(4)).cast("long"))
-              .cast("bigint").alias("n_tokens_est"))
+             F.sum("tok_est").cast("bigint").alias("n_tokens_est"))
     )
 
 
@@ -2485,3 +2487,193 @@ def tfidf_top_terms(spark, sf_dir):
             .filter(F.col("rnk") <= 5)
             .select("doc_id", "term", "tf", "df",
                     F.round("score", 6).alias("tfidf")))
+
+
+# ======================================================================
+# Analytic window functions & stable moments over events
+# ======================================================================
+
+@register(
+    "events_session_stats",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g),
+    per AS (
+      SELECT user_id, session_id, count(*)::BIGINT AS n_events
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id, count(*)::BIGINT AS n_sessions,
+           max(n_events)::BIGINT AS max_session_events,
+           sum(n_events)::BIGINT AS total_events
+    FROM per GROUP BY user_id""",
+    "relational", "window_functions",
+)
+def events_session_stats(spark, sf_dir):
+    """Lag-based sessionization (the window-function twin of
+    `session_windows`): a >30 min gap opens a new session; session ids
+    are running sums of the gap flags. One shuffle on user_id serves
+    both window passes AND the final groupBy (same partitioning —
+    Exchange reuse keeps this a single-shuffle plan at any scale)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").cast("bigint").alias("total_events"))
+
+
+@register(
+    "events_moving_avg",
+    """
+    SELECT event_id, user_id,
+           (count(*) OVER w)::BIGINT AS mov_n,
+           (SUM(CAST(value AS DECIMAL(14,2))) OVER w)::DOUBLE
+             / (count(*) OVER w) AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "relational", "window_functions",
+)
+def events_moving_avg(spark, sf_dir):
+    """Per-user 3-row moving average ordered by event time. The frame
+    sum is DECIMAL (exact, order-independent) with one final DOUBLE
+    division, so results are bit-identical across engines and across
+    partitionings — the rule every distributed float aggregate here
+    follows. Single shuffle on user_id; both window aggregates share
+    one Window physical node."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("mov_n"),
+        (F.sum(dec("value", 14)).over(w).cast("double")
+         / F.count("*").over(w)).alias("mov_avg"))
+
+
+@register(
+    "events_rollup",
+    """
+    SELECT event_type, day, count(*)::BIGINT AS cnt,
+           SUM(CAST(value AS DECIMAL(14,2)))::DOUBLE AS total
+    FROM (SELECT event_type,
+                 CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+                 value
+          FROM events)
+    GROUP BY ROLLUP (event_type, day)""",
+    "relational", "aggregates",
+)
+def events_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (event_type, day): per-day,
+    per-type subtotal, grand total in one pass — Spark expands the
+    grouping sets inside a single hash aggregate (one shuffle), not
+    one job per level."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        "value")
+    return ev.rollup("event_type", "day").agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec("value", 14)).cast("double").alias("total"))
+
+
+@register(
+    "events_value_stats",
+    """
+    WITH s AS (
+      SELECT event_type, count(*)::BIGINT AS cnt,
+             SUM(CAST(value AS DECIMAL(14,2)))::DOUBLE AS total,
+             SUM(CAST(value AS DECIMAL(14,2))
+                 * CAST(value AS DECIMAL(14,2)))::DOUBLE AS total_sq
+      FROM events GROUP BY event_type)
+    SELECT event_type, cnt, total,
+           round(total / cnt, 6) AS mean,
+           round((total_sq - total * total / cnt) / cnt, 6) AS var_pop
+    FROM s""",
+    "relational", "aggregates", "numeric_stability",
+)
+def events_value_stats(spark, sf_dir):
+    """Population mean/variance from exact DECIMAL first and second
+    moments (sum, sum of squares), combined in DOUBLE only at the end.
+    This is the numerically stable distributed-moments pattern: the
+    partial aggregates commute exactly, so the result is independent
+    of partition count and merge order — a float stddev_pop would not
+    hash-match itself across two different partitionings, let alone
+    across engines."""
+    ev = _t(spark, sf_dir, "events")
+    v = dec("value", 14)
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(v).cast("double").alias("total"),
+        F.sum(v * v).cast("double").alias("total_sq"))
+    return s.select(
+        "event_type", "cnt", "total",
+        F.round(F.col("total") / F.col("cnt"), 6).alias("mean"),
+        F.round((F.col("total_sq") - F.col("total") * F.col("total")
+                 / F.col("cnt")) / F.col("cnt"), 6).alias("var_pop"))
+
+
+@register(
+    "bigram_cond_prob",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    ucnt AS (
+      SELECT w1, count(*)::BIGINT AS first_cnt
+      FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+    bcnt AS (
+      SELECT bigram, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(w) - 1, 0) + 1),
+                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM toks)
+      GROUP BY bigram)
+    SELECT bigram, cnt, first_cnt,
+           round(cnt / first_cnt::DOUBLE, 6) AS cond_p
+    FROM bcnt JOIN ucnt ON string_split(bigram, ' ')[1] = w1
+    ORDER BY cnt DESC, bigram LIMIT 50""",
+    "llm", "text",
+)
+def bigram_cond_prob(spark, sf_dir):
+    """Bigram language-model statistics: top-50 word bigrams with
+    conditional probability P(w2 | w1) = c(w1 w2) / c(w1). The token
+    array is materialized once per doc and feeds both the unigram and
+    bigram counts; the bigram->unigram equi-join keys on the first
+    word (vocab-sized sides, never corpus-sized), and the top-50 plans
+    as TakeOrderedAndProject — no global sort of the vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"))
+    ucnt = (toks.select(F.explode("w").alias("w1"))
+            .groupBy("w1").agg(F.count("*").alias("first_cnt")))
+    grams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END")
+    bcnt = (toks.select(F.explode(grams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("cnt")))
+    j = bcnt.join(ucnt, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+    return (j.select(
+        "bigram", "cnt", "first_cnt",
+        F.round(F.col("cnt") / F.col("first_cnt"), 6).alias("cond_p"))
+        .orderBy(F.col("cnt").desc(), "bigram").limit(50))
+
