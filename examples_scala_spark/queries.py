@@ -2677,3 +2677,116 @@ def bigram_cond_prob(spark, sf_dir):
         F.round(F.col("cnt") / F.col("first_cnt"), 6).alias("cond_p"))
         .orderBy(F.col("cnt").desc(), "bigram").limit(50))
 
+
+
+@register(
+    "stream_session_windows",
+    SENSORS_CTE + """
+    , s AS (SELECT id, epoch_us(ts) AS us FROM sensors),
+    m AS (
+      SELECT id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY id ORDER BY us) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY id ORDER BY us)
+                       >= 600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM s),
+    g AS (
+      SELECT id, us,
+             sum(new_s) OVER (PARTITION BY id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT id, min(us) AS s_us, max(us) AS e_us, count(*)::BIGINT AS cnt
+      FROM g GROUP BY id, sid),
+    mx AS (SELECT max(us) AS mx_us FROM s)
+    SELECT id, s_us // 1000000 AS session_start,
+           (e_us + 600000000) // 1000000 AS session_end, cnt
+    FROM sess, mx
+    WHERE e_us + 600000000 <= mx_us""",
+    "streaming", "W_session",
+)
+def stream_session_windows(spark, sf_dir):
+    """Session windows as REAL Structured Streaming: watermarked
+    session_window aggregation in append mode — sessions merge in
+    state and emit exactly once when the watermark passes their end.
+    The oracle sessionizes in SQL and keeps sessions whose end <= the
+    final watermark (max event time, 0 s delay): the one session per
+    key still open at end-of-stream is exactly what a real unbounded
+    stream would still be holding in state. State is O(open sessions),
+    eviction at the watermark — memory is bounded by key cardinality x
+    gap, not stream length."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    sens = ev.select(
+        F.concat(F.lit("sensor_"),
+                 ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
+        "ts")
+    agg = (sens.withWatermark("ts", "0 seconds")
+           .groupBy(F.session_window("ts", "10 minutes"), "id")
+           .agg(F.count("*").alias("cnt")))
+    out = agg.select(
+        "id",
+        F.col("session_window.start").cast("long").alias("session_start"),
+        F.col("session_window.end").cast("long").alias("session_end"),
+        "cnt")
+    return _run_to_memory(spark, out, "stream_session_windows_result")
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    uni AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             count(DISTINCT w1)::BIGINT AS n_distinct
+      FROM (SELECT doc_id, unnest(w) AS w1 FROM toks) GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, bigram, count(*)::BIGINT AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(w) - 1, 0) + 1),
+                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM toks)
+      GROUP BY doc_id, bigram),
+    bstat AS (
+      SELECT doc_id, max(c) AS max_bi, sum(c)::BIGINT AS n_bi
+      FROM bi GROUP BY doc_id)
+    SELECT u.doc_id, n_words,
+           round(1.0 - n_distinct / n_words::DOUBLE, 6) AS dup_word_frac,
+           CASE WHEN n_bi > 0
+                THEN round(max_bi / n_bi::DOUBLE, 6) ELSE 0.0
+           END AS top_bigram_frac
+    FROM uni u LEFT JOIN bstat b ON u.doc_id = b.doc_id""",
+    "llm", "text", "quality",
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher-style filters):
+    duplicate-word fraction (1 - distinct/total) and the fraction of
+    all bigrams taken by the single most frequent bigram — high values
+    flag boilerplate/spam for training-data filtering. The token array
+    is materialized once; both signals aggregate per doc_id, so the
+    shuffles key on doc_id and carry counts, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"))
+    uni = (toks.select("doc_id", F.explode("w").alias("w1"))
+           .groupBy("doc_id").agg(
+               F.count("*").alias("n_words"),
+               F.count_distinct("w1").alias("n_distinct")))
+    grams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END")
+    bi = (toks.select("doc_id", F.explode(grams).alias("bigram"))
+          .groupBy("doc_id", "bigram").agg(F.count("*").alias("c")))
+    bstat = bi.groupBy("doc_id").agg(
+        F.max("c").alias("max_bi"), F.sum("c").cast("bigint").alias("n_bi"))
+    return (uni.join(bstat, "doc_id", "left").select(
+        "doc_id", "n_words",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+         .alias("dup_word_frac"),
+        F.when(F.col("n_bi") > 0,
+               F.round(F.col("max_bi") / F.col("n_bi"), 6))
+         .otherwise(0.0).alias("top_bigram_frac")))
