@@ -2738,55 +2738,51 @@ def stream_session_windows(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       FROM documents),
-    uni AS (
-      SELECT doc_id, count(*)::BIGINT AS n_words,
-             count(DISTINCT w1)::BIGINT AS n_distinct
-      FROM (SELECT doc_id, unnest(w) AS w1 FROM toks) GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, len(w)::BIGINT AS n_words,
+             len(list_distinct(w))::BIGINT AS n_distinct,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM toks),
     bi AS (
-      SELECT doc_id, bigram, count(*)::BIGINT AS c
-      FROM (SELECT doc_id,
-                   unnest(list_transform(
-                     range(1, greatest(len(w) - 1, 0) + 1),
-                     i -> w[i] || ' ' || w[i + 1])) AS bigram
-            FROM toks)
-      GROUP BY doc_id, bigram),
-    bstat AS (
-      SELECT doc_id, max(c) AS max_bi, sum(c)::BIGINT AS n_bi
-      FROM bi GROUP BY doc_id)
-    SELECT u.doc_id, n_words,
-           round(1.0 - n_distinct / n_words::DOUBLE, 6) AS dup_word_frac,
-           CASE WHEN n_bi > 0
-                THEN round(max_bi / n_bi::DOUBLE, 6) ELSE 0.0
-           END AS top_bigram_frac
-    FROM uni u LEFT JOIN bstat b ON u.doc_id = b.doc_id""",
+      SELECT doc_id, bigram, count(*)::BIGINT AS c,
+             max(n_words) AS n_words, max(n_distinct) AS n_distinct
+      FROM base GROUP BY doc_id, bigram)
+    SELECT doc_id, max(n_words)::BIGINT AS n_words,
+           round(1.0 - max(n_distinct) / max(n_words)::DOUBLE, 6)
+             AS dup_word_frac,
+           round(max(c) / sum(c)::DOUBLE, 6) AS top_bigram_frac
+    FROM bi GROUP BY doc_id""",
     "llm", "text", "quality",
 )
 def doc_repetition_stats(spark, sf_dir):
-    """Repetition-based quality signals (the Gopher-style filters):
-    duplicate-word fraction (1 - distinct/total) and the fraction of
-    all bigrams taken by the single most frequent bigram — high values
-    flag boilerplate/spam for training-data filtering. The token array
-    is materialized once; both signals aggregate per doc_id, so the
-    shuffles key on doc_id and carry counts, never text."""
+    """Repetition-based quality signals (the Gopher-style filters) for
+    docs with >= 2 tokens: duplicate-word fraction (1 - distinct/total)
+    and the fraction of all bigrams taken by the single most frequent
+    bigram — high values flag boilerplate/spam for training-data
+    filtering. The word stats are narrow column expressions
+    (size/array_distinct — no distinct-aggregate expand, no join)
+    carried through the bigram aggregation, so the whole query is two
+    shuffles keyed on doc_id and the wire carries counts, never text."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"))
-    uni = (toks.select("doc_id", F.explode("w").alias("w1"))
-           .groupBy("doc_id").agg(
-               F.count("*").alias("n_words"),
-               F.count_distinct("w1").alias("n_distinct")))
     grams = F.expr(
         "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
         "ELSE CAST(array() AS array<string>) END")
-    bi = (toks.select("doc_id", F.explode(grams).alias("bigram"))
-          .groupBy("doc_id", "bigram").agg(F.count("*").alias("c")))
-    bstat = bi.groupBy("doc_id").agg(
-        F.max("c").alias("max_bi"), F.sum("c").cast("bigint").alias("n_bi"))
-    return (uni.join(bstat, "doc_id", "left").select(
-        "doc_id", "n_words",
-        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+    base = toks.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.explode(grams).alias("bigram"))
+    bi = base.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("c"),
+        F.max("n_words").alias("n_words"),
+        F.max("n_distinct").alias("n_distinct"))
+    return bi.groupBy("doc_id").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.round(1.0 - F.max("n_distinct") / F.max("n_words"), 6)
          .alias("dup_word_frac"),
-        F.when(F.col("n_bi") > 0,
-               F.round(F.col("max_bi") / F.col("n_bi"), 6))
-         .otherwise(0.0).alias("top_bigram_frac")))
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))

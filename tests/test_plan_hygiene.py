@@ -67,3 +67,35 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
                  "q18_large_volume_customer"]:
         plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
         assert "TakeOrderedAndProject" in plan, name
+
+
+@pytest.mark.parametrize("name,max_exchanges", [
+    # one shuffle on user_id serves both window passes and both groupBys
+    ("events_session_stats", 1),
+    ("events_moving_avg", 1),
+    # grouping sets expand inside a single hash aggregate
+    ("events_rollup", 1),
+    ("events_cube", 1),
+    # narrow word stats + two doc_id-keyed aggregations, no join
+    ("doc_repetition_stats", 2),
+])
+def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    """The shuffle counts SCALE.md claims for the analytic queries must
+    hold in the actual physical plans."""
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= max_exchanges, (
+        f"{name}: {plan.count('Exchange')} exchanges > {max_exchanges}")
+
+
+def test_moving_avg_single_window_node(spark, sf_dir):
+    """Both frame aggregates (sum, count) over the same spec must share
+    ONE Window physical node — a second node would re-sort."""
+    plan = explain_str(REGISTRY["events_moving_avg"].fn(spark, sf_dir),
+                       "simple")
+    assert plan.count("Window") == 1
+
+
+def test_bigram_topk_take_ordered(spark, sf_dir):
+    plan = explain_str(REGISTRY["bigram_cond_prob"].fn(spark, sf_dir),
+                       "simple")
+    assert "TakeOrderedAndProject" in plan
