@@ -54,27 +54,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
-    """Word n-gram shingles per doc: (doc_id, shingle).
-    Pure SQL expressions -> codegen'd, no Python. The words array is
-    materialized once per row (not re-split per gram). distinct=False
-    skips the dedup shuffle for consumers where duplicates are harmless
-    (MinHash minima)."""
-    words = docs.select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
-    )
-    # guard: sequence(1, 0) in Spark is DESCENDING [1,0], so docs with
-    # fewer than n words need an explicit empty-array branch
-    grams = F.expr(
+def _grams_expr(n: int) -> F.Column:
+    """n-gram array over a pre-split `__w` words column.
+    Guard: sequence(1, 0) in Spark is DESCENDING [1,0], so docs with
+    fewer than n words need an explicit empty-array branch."""
+    return F.expr(
         f"CASE WHEN size(__w) >= {n} "
         f"THEN transform(sequence(1, size(__w) - {n - 1}), "
         f"i -> array_join(slice(__w, i, {n}), ' ')) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    out = words.select(F.col(id_col), F.explode(grams).alias("shingle"))
-    return out.distinct() if distinct else out
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle).
+    Pure SQL expressions -> codegen'd, no Python. The words array is
+    materialized once per row (not re-split per gram). distinct=True
+    dedupes per doc with array_distinct BEFORE the explode — identical
+    to a global (doc_id, shingle) distinct but ZERO shuffle;
+    distinct=False skips even that for consumers where duplicates are
+    harmless (MinHash minima)."""
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    )
+    grams = _grams_expr(n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return words.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
@@ -219,13 +227,19 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     # carries 8-byte keys instead of full n-grams (the dominant cost at
     # scale); the oracle mirrors the same hashing so results stay
     # engine-identical even under (negligible) collisions.
-    # three consumers (sizes + both join sides) share the distinct's
-    # shuffle via ReuseExchange — no persist needed
+    # NOTE (measured at sf0.1): the "narrow" alternative — array_distinct
+    # + size before the explode — is 3-7x SLOWER here: interpreted
+    # higher-order functions lose to the codegen explode->md5->Tungsten
+    # distinct, and the self-join consumes the distinct's exchange
+    # output instead of recomputing the text pipeline per side.
+    from pyspark.sql.window import Window
+
     sh = (
         word_shingles(docs, n=n, text_col=text_col, id_col=id_col,
                       distinct=False)
         .select(F.col(id_col), base_hash(F.col("shingle")).alias("shingle"))
         .distinct()
+        .withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
     )
     if df_cap is not None:
         # ppjoin-style pruning: a shingle appearing in > df_cap docs
@@ -235,19 +249,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         # shingle space (sizes and intersections stay consistent).
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                .filter(F.col("df") > df_cap).select("shingle"))
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        # sizes must reflect the PRUNED shingle space — recount per doc
+        sh = (sh.join(hot, "shingle", "left_anti").drop("sz")
+              .withColumn("sz", F.count("*").over(Window.partitionBy(id_col))))
+    # sizes ride THROUGH the self-join (one extra long per row) and
+    # survive the pair aggregation as max() — no post-join size joins.
     inter = (
         sh.alias("l").join(sh.alias("r"), "shingle")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
                  F.col(f"r.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("inter"),
+             F.max("l.sz").alias("sz_a"), F.max("r.sz").alias("sz_b"))
     )
     out = (
         inter
-        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
         .withColumn("jaccard",
                     F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
