@@ -2786,3 +2786,60 @@ def doc_repetition_stats(spark, sf_dir):
         F.round(1.0 - F.max("n_distinct") / F.max("n_words"), 6)
          .alias("dup_word_frac"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) // 1000 AS ms FROM events),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ms END)
+                  OVER (PARTITION BY user_id) AS v_ms
+      FROM e),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ms >= v_ms THEN ms END)
+                  OVER (PARTITION BY user_id) AS c_ms
+      FROM w1),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ms >= c_ms THEN ms END)
+                  OVER (PARTITION BY user_id) AS p_ms
+      FROM w2)
+    SELECT user_id, max(v_ms)::BIGINT AS v_ms, max(c_ms)::BIGINT AS c_ms,
+           max(p_ms)::BIGINT AS p_ms,
+           (CASE WHEN max(p_ms) IS NOT NULL THEN 3
+                 WHEN max(c_ms) IS NOT NULL THEN 2
+                 WHEN max(v_ms) IS NOT NULL THEN 1
+                 ELSE 0 END)::BIGINT AS funnel_stage
+    FROM w3 GROUP BY user_id""",
+    "relational", "window_functions", "funnel",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel per user (view -> first click at/after the first
+    view -> first purchase at/after that click) — the sequence/CEP
+    pattern as relational analytics. Three chained conditional window
+    minima over ONE user_id partitioning; the final per-user collapse
+    reuses the same shuffle, so the whole funnel is a single-exchange
+    plan at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(ts) div 1000").alias("ms"))
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "v_ms", F.min(F.when(F.col("event_type") == "view", F.col("ms"))).over(w))
+    s2 = s1.withColumn(
+        "c_ms", F.min(F.when((F.col("event_type") == "click")
+                             & (F.col("ms") >= F.col("v_ms")),
+                             F.col("ms"))).over(w))
+    s3 = s2.withColumn(
+        "p_ms", F.min(F.when((F.col("event_type") == "purchase")
+                             & (F.col("ms") >= F.col("c_ms")),
+                             F.col("ms"))).over(w))
+    return s3.groupBy("user_id").agg(
+        F.max("v_ms").alias("v_ms"),
+        F.max("c_ms").alias("c_ms"),
+        F.max("p_ms").alias("p_ms"),
+        F.when(F.max("p_ms").isNotNull(), 3)
+         .when(F.max("c_ms").isNotNull(), 2)
+         .when(F.max("v_ms").isNotNull(), 1)
+         .otherwise(0).cast("bigint").alias("funnel_stage"))

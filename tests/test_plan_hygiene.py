@@ -78,6 +78,9 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     ("events_cube", 1),
     # narrow word stats + two doc_id-keyed aggregations, no join
     ("doc_repetition_stats", 2),
+    # three chained conditional window minima + final collapse, all on
+    # one user_id partitioning
+    ("funnel_conversion", 1),
 ])
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
     """The shuffle counts SCALE.md claims for the analytic queries must
