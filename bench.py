@@ -134,6 +134,18 @@ def main() -> None:
           f"aqe_skew={skew['aqe_skew']:.2f}s salted={skew['salted']:.2f}s",
           file=sys.stderr)
 
+    # breadth section: the iterative / composite / analytic paths the
+    # headline set doesn't time (kept out of the headline total so the
+    # round-over-round "value" series stays comparable)
+    extra: dict[str, float] = {}
+    for name in ["pipeline_training_data", "dedup_clusters",
+                 "doc_repetition_stats", "funnel_conversion"]:
+        t0 = time.time()
+        n = len(REGISTRY[name].fn(spark, sf_dir).collect())
+        extra[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {extra[name]:.2f}s ({n} rows)",
+              file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_sec",
@@ -141,6 +153,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "skew": skew,
+        "extra": extra,
         "sf": sf,
     }))
 
