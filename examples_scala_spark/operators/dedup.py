@@ -114,11 +114,6 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     dedup strategy.
     """
     rows = num_hashes // bands
-    # the signature table feeds three consumers (banding + both sides
-    # of the verify join); no persist() — the signature aggregate's
-    # shuffle is identical in all three subplans, so ReuseExchange
-    # computes it once (persist measured slower: it blocks pipelining
-    # and pays a cache write/read)
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
 
     band_cols = [
@@ -129,35 +124,37 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     banded = sig.select(F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
                         *band_cols)
 
-    # candidates: same band value in any band
+    # the full signature rides the band shuffle (16 longs per row), so
+    # verification happens INSIDE the pair aggregation (max() of the
+    # constant-per-pair minima) — no candidate distinct and no verify
+    # joins back to the signature table. Measured at sf0.1: 4 shuffles
+    # -> 2, 1.6s -> 1.35s, identical pairs.
     band_kv = banded.select(
         F.col(id_col),
+        *[F.col(f"mh_{i}") for i in range(num_hashes)],
         F.explode(F.array(*[
             F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}")) for b in range(bands)
         ])).alias("bucket"),
     )
-    cand = (
+    pairs = (
         band_kv.alias("l")
         .join(band_kv.alias("r"), on="bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col(f"l.{id_col}").alias("doc_a"),
+                 F.col(f"r.{id_col}").alias("doc_b"))
+        .agg(*[F.max(F.col(f"l.mh_{i}")).alias(f"la_{i}")
+               for i in range(num_hashes)],
+             *[F.max(F.col(f"r.mh_{i}")).alias(f"lb_{i}")
+               for i in range(num_hashes)])
     )
-
-    l_sig = sig.select(F.col(id_col).alias("doc_a"),
-                       *[F.col(f"mh_{i}").alias(f"la_{i}") for i in range(num_hashes)])
-    r_sig = sig.select(F.col(id_col).alias("doc_b"),
-                       *[F.col(f"mh_{i}").alias(f"lb_{i}") for i in range(num_hashes)])
     matches = sum(
         (F.col(f"la_{i}") == F.col(f"lb_{i}")).cast("int") for i in range(num_hashes)
     )
-    verified = (
-        cand.join(l_sig, "doc_a").join(r_sig, "doc_b")
-        .select("doc_a", "doc_b",
-                (matches / F.lit(float(num_hashes))).alias("sig_sim"))
+    return (
+        pairs.withColumn("sig_sim", matches / F.lit(float(num_hashes)))
         .filter(F.col("sig_sim") >= threshold)
+        .select("doc_a", "doc_b", "sig_sim")
     )
-    return verified
 
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text",
