@@ -270,6 +270,46 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     return out
 
 
+def benchmark_overlap(docs: DataFrame, bench_docs: DataFrame, n: int = 5,
+                      frac_threshold: float = 0.1,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Decontamination: per-corpus-doc n-gram overlap against a
+    benchmark/eval set. Returns (doc_id, n_shingles, n_overlap,
+    overlap_frac, contaminated) for docs with >= n words.
+
+    Scale shape: eval sets are small by construction, so the distinct
+    benchmark shingle index broadcasts to every executor and the check
+    is a narrow per-doc pipeline + ONE groupBy(doc) — no corpus-sized
+    join, no second pass. The per-doc distinct and size are computed
+    with array_distinct/size before the explode (single consumer, so
+    the narrow form wins — see the Jaccard note for the counter-case).
+    """
+    def _sh(d: DataFrame):
+        words = d.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+        # materialize the distinct-gram array once per row before
+        # size/explode so array_distinct isn't evaluated twice
+        base = words.select(
+            F.col(id_col), F.array_distinct(_grams_expr(n)).alias("__sh"))
+        return (base.select(F.col(id_col), F.size("__sh").alias("sz"),
+                            F.explode("__sh").alias("g"))
+                .select(F.col(id_col), "sz", base_hash(F.col("g")).alias("shingle")))
+
+    bench = (_sh(bench_docs).select("shingle").distinct()
+             .withColumn("hit", F.lit(1)))
+    j = _sh(docs).join(F.broadcast(bench), "shingle", "left")
+    out = j.groupBy(id_col).agg(
+        F.max("sz").alias("n_shingles"),
+        F.count("hit").alias("n_overlap"))
+    return out.select(
+        F.col(id_col), F.col("n_shingles").cast("bigint"),
+        F.col("n_overlap").cast("bigint"),
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+         .alias("overlap_frac"),
+        (F.col("n_overlap") / F.col("n_shingles") >= frac_threshold)
+        .alias("contaminated"))
+
+
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

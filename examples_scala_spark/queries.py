@@ -2843,3 +2843,47 @@ def funnel_conversion(spark, sf_dir):
          .when(F.max("c_ms").isNotNull(), 2)
          .when(F.max("v_ms").isNotNull(), 1)
          .otherwise(0).cast("bigint").alias("funnel_stage"))
+
+
+@register(
+    "decontaminate_overlap",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle,
+             greatest(len(words) - 4, 0) AS _n_raw
+      FROM (SELECT doc_id, words,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 4, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+                     AS g
+            FROM w)),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+           FROM sh GROUP BY doc_id),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    ov AS (
+      SELECT c.doc_id, count(b.shingle)::BIGINT AS n_overlap
+      FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+      LEFT JOIN bench b USING (shingle)
+      GROUP BY c.doc_id)
+    SELECT o.doc_id, s.n_shingles, o.n_overlap,
+           round(o.n_overlap / s.n_shingles::DOUBLE, 6) AS overlap_frac,
+           (o.n_overlap / s.n_shingles::DOUBLE >= 0.1) AS contaminated
+    FROM ov o JOIN sz s USING (doc_id)""",
+    "llm", "dedup", "decontamination",
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Training-data decontamination: distinct word-5-gram overlap of
+    every corpus document against a benchmark set (here the docs with
+    doc_id % 97 == 0 stand in for an eval set). The benchmark shingle
+    index is distinct-ed and BROADCAST — eval sets are small by
+    construction, so at 100 TB this stays a narrow per-doc pipeline
+    plus one groupBy(doc): no corpus-sized join anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_overlap(corpus, bench_docs, n=5,
+                                   frac_threshold=0.1)

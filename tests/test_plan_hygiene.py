@@ -98,6 +98,14 @@ def test_moving_avg_single_window_node(spark, sf_dir):
     assert plan.count("Window") == 1
 
 
+def test_decontamination_broadcasts_bench_index(spark, sf_dir):
+    """The benchmark shingle index must broadcast — a shuffled
+    corpus-vs-bench join would be the 100 TB failure mode."""
+    plan = explain_str(REGISTRY["decontaminate_overlap"].fn(spark, sf_dir),
+                       "simple")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bigram_topk_take_ordered(spark, sf_dir):
     plan = explain_str(REGISTRY["bigram_cond_prob"].fn(spark, sf_dir),
                        "simple")
