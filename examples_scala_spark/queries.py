@@ -2887,3 +2887,31 @@ def decontaminate_overlap(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return dedup.benchmark_overlap(corpus, bench_docs, n=5,
                                    frac_threshold=0.1)
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS cnt,
+           min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+    FROM events GROUP BY event_type""",
+    "relational", "semi_structured",
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull an integer field out of the
+    JSON `props` column and aggregate it per event type. Uses
+    get_json_object (JVM-side, codegen) — at scale, repeated multi-field
+    extraction should switch to one from_json into a struct so the
+    document parses once; the single-field form here keeps the scan
+    narrow and shuffles only (event_type, k)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type").agg(
+                F.count("*").alias("cnt"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+                F.sum("k").cast("bigint").alias("sum_k")))
