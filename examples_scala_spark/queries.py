@@ -2915,3 +2915,89 @@ def events_json_props(spark, sf_dir):
                 F.min("k").alias("min_k"),
                 F.max("k").alias("max_k"),
                 F.sum("k").cast("bigint").alias("sum_k")))
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
+    GROUP BY l_linestatus""",
+    "relational", "bench",
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 adapted (testdata has no l_shipmode/l_commitdate/
+    l_receiptdate — reference columns in dbgen): late lines = shipped
+    > 60 days after the order date, bucketed by l_linestatus standing
+    in for shipmode, with Q12's signature conditional priority counts.
+    The date filter is computed from both sides, so it applies after
+    the join — but the join itself is the only fact shuffle, and the
+    conditional aggregation collapses map-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus",
+                                              "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                                "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")) > 60)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+              .alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+              .alias("low_line_count")))
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem)
+    SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+    FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20""",
+    "relational", "bench",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 adapted (no l_commitdate/l_receiptdate in testdata):
+    suppliers whose line was the LAST to ship in a multi-supplier
+    order — Q21's signature shape, a correlated EXISTS (another
+    supplier in the order) plus a correlated NOT EXISTS (nobody
+    shipped later), expressed as a left-semi and a left-anti self-join
+    on l_orderkey. All three legs shuffle on the same orderkey, so AQE
+    plans one co-partitioned pipeline; the supplier dim broadcasts."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    waiting = (
+        l1.join(l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+                & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+                "left_semi")
+        .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+              & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+              "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(sup),
+                     F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l1.l_orderkey")).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name").limit(20))
