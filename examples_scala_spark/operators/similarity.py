@@ -223,3 +223,29 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos", 6).alias("cos"))
     )
+
+
+def label_centroids(emb: DataFrame, dim: int = 64,
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column, one row per (label,
+    dimension). Dimensions are exploded so the aggregation is a plain
+    hash agg keyed on (label, dim) — at 100 TB this shuffles only
+    (label x dim) partial sums per map task (map-side combine), never
+    vectors. Sums are exact DECIMAL(28,12) partials, so the result is
+    independent of partition count and merge order (float summation is
+    not associative; decimal is); the mean divides once in DOUBLE at
+    the end. The centroid table is what `train_centroids` iterates and
+    what an IVF coarse quantizer serves."""
+    e = emb.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+         .alias("dim", "x"))
+    return (
+        e.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(F.col("x").cast("decimal(28,12)")).alias("s"))
+        .select("label", "dim", "n",
+                F.round(F.col("s").cast("double") / F.col("n"), 6)
+                 .alias("centroid"))
+    )

@@ -168,3 +168,74 @@ def clean_text(docs: DataFrame, text_col: str = "text",
         n_urls.alias("n_urls"),
         n_emails.alias("n_emails"),
     )
+
+
+def chunk_tokens(docs: DataFrame, window: int = 16, stride: int = 12,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-length prep):
+    split on whitespace, emit one chunk per `stride` starting position
+    covering up to `window` tokens. Everything is JVM-side array
+    functions (split / sequence / explode / slice / array_join) — no
+    Python in the loop, no shuffle at all: chunking is embarrassingly
+    parallel and scales with scan bandwidth. Chunk ids are dense per
+    doc so downstream repartition can key on (doc_id, chunk_id)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), "toks", F.explode(starts).alias("start"))
+        .select(
+            F.col(id_col),
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.least(F.lit(window), F.size("toks") - F.col("start"))
+             .cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice("toks", F.col("start") + 1, F.lit(window)),
+                         " ").alias("chunk_text"),
+        )
+    )
+
+
+def rare_token_stats(docs: DataFrame, rare_df_num: int = 1,
+                     rare_df_den: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document rare-token quality signal: a token is 'rare' when
+    its corpus document-frequency is <= rare_df_num/rare_df_den of the
+    corpus size (default: appears in <=20% of documents). Emits token
+    totals, distinct-term count, type-token ratio, and the fraction of
+    token occurrences that are rare — a Zipf-tail quality filter for
+    training corpora. All comparisons are integer arithmetic (df *
+    den <= N * num), so the oracle matches bit-for-bit; the only
+    floating-point ops are two final single divisions.
+
+    Shuffle budget: two hash aggregations (doc,term / term) + one
+    equi-join on term + one final doc aggregation. The df table is
+    vocabulary-sized, tiny next to the corpus, so at 100 TB Catalyst
+    broadcasts it and the per-doc rollup is the only wide stage."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    is_rare = (F.col("df") * rare_df_den) <= (F.col("n_docs") * rare_df_num)
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.when(is_rare, F.col("tf")).otherwise(0))
+             .cast("long").alias("n_rare"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens", "n_terms", "n_rare",
+            F.round(F.col("n_terms") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6)
+             .alias("rare_ratio"),
+        )
+    )

@@ -3001,3 +3001,82 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count_distinct(F.col("l1.l_orderkey")).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+# ======================================================================
+# Chunking, rare-token stats, label centroids (LLM-pipeline breadth)
+# ======================================================================
+
+@register(
+    "doc_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, greatest(len(t) - 1, 0), 12)) AS s
+      FROM toks)
+    SELECT doc_id, (s // 12)::BIGINT AS chunk_id,
+           least(16, len(t) - s)::BIGINT AS n_chunk_tokens,
+           array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text
+    FROM st""",
+    "llm", "text",
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (window 16, stride 12) —
+    RAG / context-length prep. Zero shuffle: pure narrow array ops."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, window=16, stride=12)
+
+
+@register(
+    "doc_rare_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    j AS (SELECT doc_id, tf, df, n_docs
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_terms,
+           sum(CASE WHEN df * 5 <= n_docs THEN tf ELSE 0 END)::BIGINT
+             AS n_rare,
+           round(count(*)::DOUBLE / sum(tf), 6) AS ttr,
+           round(sum(CASE WHEN df * 5 <= n_docs THEN tf ELSE 0 END)::DOUBLE
+                 / sum(tf), 6) AS rare_ratio
+    FROM j GROUP BY doc_id""",
+    "llm", "text",
+)
+def doc_rare_token_stats(spark, sf_dir):
+    """Zipf-tail quality signal: fraction of token occurrences whose
+    corpus document-frequency is <=20% of the corpus — integer-exact
+    rarity test, vocabulary-sized broadcast, one wide doc rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.rare_token_stats(docs, rare_df_num=1, rare_df_den=5)
+
+
+@register(
+    "label_centroids",
+    """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+    e AS (
+      SELECT label::BIGINT AS label, d.dim::BIGINT AS dim,
+             (embedding[d.dim + 1]::DOUBLE)::DECIMAL(28,12) AS x
+      FROM embeddings CROSS JOIN dims d)
+    SELECT label, dim, count(*)::BIGINT AS n,
+           round(sum(x)::DOUBLE / count(*), 6) AS centroid
+    FROM e GROUP BY label, dim""",
+    "llm", "similarity",
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids with order-independent DECIMAL
+    partial sums — the supervised twin of the IVF coarse quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, dim=64)

@@ -327,3 +327,51 @@ def test_kmeans_training_improves_quantizer(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
         emb, k=5, nprobe=10**6, centroids=trained).collect()}
     assert ivf == exact
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    # 7 tokens, window 4, stride 3 -> starts 0,3,6: full chunk, full
+    # chunk, then a 1-token tail (never an empty chunk).
+    df = spark.createDataFrame([(1, "a b c d e f g"), (2, "x")],
+                               ["doc_id", "text"])
+    out = text.chunk_tokens(df, window=4, stride=3)
+    got = {(r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+           for r in out.collect()}
+    assert got == {
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),
+        (1, 2, 1, "g"),
+        (2, 0, 1, "x"),
+    }
+    assert_no_python_in_plan(out)
+
+
+def test_chunk_tokens_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = explain_str(text.chunk_tokens(df))
+    assert "Exchange" not in plan
+
+
+def test_rare_token_stats_integer_rarity_rule(spark):
+    # 5 docs; 'zz' appears in exactly 1 doc (df*5 <= 5 -> rare),
+    # 'aa' in all 5 (not rare). Doc 1 has 3 tokens, 2 rare occurrences.
+    rows = [(1, "aa zz zz"), (2, "aa"), (3, "aa"), (4, "aa"), (5, "aa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           text.rare_token_stats(df, 1, 5).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_rare == 2
+    assert out[1].rare_ratio == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2].n_rare == 0 and out[2].ttr == 1.0
+
+
+def test_label_centroids_partition_count_invariant(spark):
+    # DECIMAL partials: the centroid must not depend on how rows are
+    # split across partitions (double summation would).
+    rows = [(i, [0.1 * (i % 7) + 0.01 * d for d in range(4)], i % 3)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    a = similarity.label_centroids(df.repartition(1), dim=4)
+    b = similarity.label_centroids(df.repartition(13), dim=4)
+    av = {(r.label, r.dim): (r.n, r.centroid) for r in a.collect()}
+    bv = {(r.label, r.dim): (r.n, r.centroid) for r in b.collect()}
+    assert av == bv
