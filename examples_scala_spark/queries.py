@@ -3080,3 +3080,178 @@ def label_centroids(spark, sf_dir):
     partial sums — the supervised twin of the IVF coarse quantizer."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb, dim=64)
+
+
+# ======================================================================
+# TPC-H completions: q2 / q11 / q20 over a derived partsupp
+# (the testdata ships no partsupp table; we derive one from lineitem:
+#  ps_supplycost = min line price, ps_availqty = total shipped qty —
+#  both exact DECIMAL, so derived values match bit-for-bit across
+#  engines and the three queries keep their reference shapes.)
+# ======================================================================
+
+_PS_CTE = """
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(10,2))) AS ps_supplycost,
+             SUM(CAST(l_quantity AS DECIMAL(10,2))) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2)"""
+
+
+def _derived_ps(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(dec("l_extendedprice", 10, 2)).alias("ps_supplycost"),
+        F.sum(dec("l_quantity", 10, 2)).alias("ps_availqty"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    "WITH" + _PS_CTE + """,
+    europe AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    parts AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_size = 15 AND p_type = 'STANDARD'),
+    mc AS (
+      SELECT ps_partkey, min(ps_supplycost) AS mincost
+      FROM europe JOIN parts ON ps_partkey = p_partkey GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ps_supplycost::DOUBLE AS supplycost
+    FROM europe JOIN parts ON ps_partkey = p_partkey
+                JOIN mc USING (ps_partkey)
+    WHERE ps_supplycost = mincost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "relational", "tpch",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted to the derived partsupp: cheapest EUROPE
+    supplier(s) per qualifying part. The correlated min-cost subquery
+    becomes a partkey aggregate joined back on (partkey, exact-decimal
+    cost equality). One wide stage builds ps; the part filter and the
+    min-cost table are both small and broadcast, so the join-back adds
+    no shuffle at 100 TB."""
+    ps = _derived_ps(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe = (ps.join(F.broadcast(sup),
+                      ps.ps_suppkey == sup.s_suppkey)
+              .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+              .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+              .select("ps_partkey", "ps_supplycost", "s_acctbal",
+                      "s_name", "n_name"))
+    parts = (_t(spark, sf_dir, "part")
+             .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+             .select("p_partkey", "p_name"))
+    withp = europe.join(F.broadcast(parts),
+                        europe.ps_partkey == parts.p_partkey)
+    mc = (withp.groupBy("ps_partkey")
+          .agg(F.min("ps_supplycost").alias("mincost")))
+    return (withp.join(F.broadcast(mc), "ps_partkey")
+            .filter(F.col("ps_supplycost") == F.col("mincost"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    F.col("ps_supplycost").cast("double").alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@register(
+    "q11_important_stock",
+    "WITH" + _PS_CTE + """,
+    in_nation AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    byp AS (SELECT ps_partkey, sum(val) AS val FROM in_nation GROUP BY 1),
+    tot AS (SELECT sum(val) AS total FROM in_nation)
+    SELECT ps_partkey, val::DOUBLE AS stock_value
+    FROM byp CROSS JOIN tot
+    WHERE val * 10000 > total""",
+    "relational", "tpch",
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted: parts whose stock value at NATION_7 suppliers
+    exceeds 0.01% of the nation total. All sums are exact DECIMAL
+    (products of 2-dp decimals), and the threshold compares
+    value*10000 > total in integer-scaled decimal — no float
+    summation anywhere until the final output cast. The nation total
+    rides along as a broadcast scalar (the scalar-subquery shape of
+    the reference query)."""
+    ps = _derived_ps(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = (_t(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_7"))
+    in_nation = (ps.join(F.broadcast(
+                     sup.join(F.broadcast(nat),
+                              sup.s_nationkey == nat.n_nationkey)
+                     .select("s_suppkey")),
+                     ps.ps_suppkey == F.col("s_suppkey"))
+                 .select("ps_partkey",
+                         (F.col("ps_supplycost") * F.col("ps_availqty"))
+                         .alias("val")))
+    byp = in_nation.groupBy("ps_partkey").agg(F.sum("val").alias("val"))
+    tot = in_nation.agg(F.sum("val").alias("total"))
+    return (byp.crossJoin(F.broadcast(tot))
+            .filter(F.col("val") * 10000 > F.col("total"))
+            .select("ps_partkey",
+                    F.col("val").cast("double").alias("stock_value")))
+
+
+@register(
+    "q20_excess_availability",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(10,2))) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(10,2))
+                      ELSE CAST(0 AS DECIMAL(10,2)) END) AS qty_1996
+      FROM lineitem GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT l_suppkey
+      FROM pq JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%' AND qty_1996 * 2 > total_qty)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (SELECT l_suppkey FROM cand)""",
+    "relational", "tpch",
+)
+def q20_excess_availability(spark, sf_dir):
+    """TPC-H Q20 adapted: NATION_3 suppliers who shipped more than half
+    of their total volume of some 'small%' part during 1996 — the
+    reference's nested correlated-subquery chain re-expressed as a
+    conditional aggregate plus a left-semi join onto supplier. The
+    (part, supp) aggregate is the only wide stage; part and the
+    candidate-supplier list broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    in_1996 = ((F.col("l_shipdate") >= "1996-01-01 00:00:00")
+               & (F.col("l_shipdate") < "1997-01-01 00:00:00"))
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity", 10, 2)).alias("total_qty"),
+        F.sum(F.when(in_1996, dec("l_quantity", 10, 2))
+              .otherwise(dec(F.lit(0), 10, 2))).alias("qty_1996"))
+    parts = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_name").like("small%"))
+             .select("p_partkey"))
+    cand = (pq.join(F.broadcast(parts),
+                    pq.l_partkey == parts.p_partkey)
+            .filter(F.col("qty_1996") * 2 > F.col("total_qty"))
+            .select("l_suppkey").distinct())
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(cand, sup.s_suppkey == cand.l_suppkey, "left_semi")
+            .select("s_name", "s_acctbal"))
