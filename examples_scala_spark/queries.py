@@ -1705,9 +1705,7 @@ def embedding_near_pairs(spark, sf_dir):
     return dedup.embedding_near_pairs(emb, threshold=0.35)
 
 
-@register(
-    "ann_topk_bruteforce",
-    """
+_BRUTE_TOPK_SQL = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (
@@ -1725,7 +1723,12 @@ def embedding_near_pairs(spark, sf_dir):
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored)
     SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cos
-    FROM ranked WHERE rank <= 5""",
+    FROM ranked WHERE rank <= 5"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    _BRUTE_TOPK_SQL,
     "llm", "similarity", "bench",
 )
 def ann_topk_bruteforce(spark, sf_dir):
@@ -3255,3 +3258,107 @@ def q20_excess_availability(spark, sf_dir):
     return (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
             .join(cand, sup.s_suppkey == cand.l_suppkey, "left_semi")
             .select("s_name", "s_acctbal"))
+
+
+# ======================================================================
+# Corpus dataset card + ANN recall measurement
+# ======================================================================
+
+def _corpus_stats_sql() -> str:
+    stop = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in text.STOPWORDS
+    )
+    return f"""
+    WITH f AS (
+      SELECT source, lang,
+             length(text)::BIGINT AS n_chars,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+             ({stop})::BIGINT AS n_stop
+      FROM documents),
+    g AS (
+      SELECT source, lang, n_chars, n_words,
+             round(
+               (CASE WHEN n_words >= 10 AND n_words <= 100000
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                      AND (n_chars - (n_words - 1)) / n_words <= 10
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_punct / n_chars < 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_stop / n_words > 0.01 THEN 0.25 ELSE 0.0 END), 2)
+               AS q
+      FROM f)
+    SELECT source, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS total_words,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(sum(n_words)::DOUBLE / count(*), 6) AS mean_words,
+           round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
+           round(sum(q) / count(*), 6) AS mean_quality
+    FROM g GROUP BY source, lang"""
+
+
+@register("corpus_stats_by_source", _corpus_stats_sql(), "llm", "text")
+def corpus_stats_by_source(spark, sf_dir):
+    """Dataset-card rollup: per (source, lang) document counts, token
+    and char totals, and mean composite quality. One narrow scan + one
+    hash agg on a tiny key space; quality scores are exact quarters
+    (multiples of 0.25 are exactly representable), so the double sum
+    is order-independent without a decimal detour."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    q = text.quality_score_col(t)
+    return (docs.select("source", "lang", n_chars.alias("n_chars"),
+                        n_words.alias("n_words"), q.alias("q"))
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_words"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(F.sum("n_words") / F.count("*"), 6)
+                  .alias("mean_words"),
+                 F.round(F.sum("n_chars") / F.count("*"), 6)
+                  .alias("mean_chars"),
+                 F.round(F.sum("q") / F.count("*"), 6)
+                  .alias("mean_quality")))
+
+
+@register(
+    "ann_recall_lsh",
+    f"""
+    WITH brute AS ({_BRUTE_TOPK_SQL}),
+    lsh AS ({_lsh_topk_sql()}),
+    hits AS (
+      SELECT b.query_id, count(*)::BIGINT AS n_hits
+      FROM brute b JOIN lsh l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY b.query_id),
+    base AS (SELECT DISTINCT query_id FROM brute)
+    SELECT base.query_id,
+           coalesce(n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(n_hits, 0) / 5.0, 6) AS recall_at_5
+    FROM base LEFT JOIN hits ON base.query_id = hits.query_id""",
+    "llm", "similarity",
+)
+def ann_recall_lsh(spark, sf_dir):
+    """Measures the approximation: recall@5 of the hyperplane-LSH
+    top-k against the exact brute-force top-k, per query vector. The
+    quality gauge a production ANN path ships with — at 100 TB you
+    tune num_planes/nprobe against exactly this curve on a sampled
+    slice. Both sides reuse the registry's own builders; the
+    intersection is a broadcast-sized semi join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = similarity.brute_force_topk(emb, k=5, query_mod=50)
+    lshr = similarity.lsh_topk(emb, k=5, query_mod=50, num_planes=8, dim=64)
+    hits = (brute.join(lshr.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    base = brute.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6)
+                     .alias("recall_at_5")))
