@@ -3362,3 +3362,91 @@ def ann_recall_lsh(spark, sf_dir):
                      .alias("n_hits"),
                     F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6)
                      .alias("recall_at_5")))
+
+
+# ======================================================================
+# Passage-level dedup over token-window chunks
+# ======================================================================
+
+def _chunk_hash_cte(window: int = 8, stride: int = 4) -> str:
+    return rf"""
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, greatest(len(t) - 1, 0), {stride}))
+               AS s
+      FROM w),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(t[s + 1 : s + {window}], ' ')) AS h
+      FROM st)"""
+
+
+def _chunk_hashes(spark, sf_dir, window: int = 8, stride: int = 4):
+    docs = _t(spark, sf_dir, "documents")
+    return (text.chunk_tokens(docs, window=window, stride=stride)
+            .select("doc_id", F.md5("chunk_text").alias("h")))
+
+
+@register(
+    "shared_passages",
+    "WITH" + _chunk_hash_cte() + """
+    SELECT h,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_chunks,
+           min(doc_id) AS keep_doc
+    FROM c GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2""",
+    "llm", "dedup",
+)
+def shared_passages(spark, sf_dir):
+    """Cross-document repeated passages: 8-token chunks (stride 4)
+    hashed and grouped; a hash hitting >=2 distinct docs is boilerplate
+    / injected duplication. Chunking is narrow; the single shuffle
+    carries (doc_id, 16-byte hash), never text — at 100 TB the shuffle
+    is ~1% of corpus bytes."""
+    c = _chunk_hashes(spark, sf_dir)
+    return (c.groupBy("h")
+            .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_chunks"),
+                 F.min("doc_id").alias("keep_doc"))
+            .filter(F.col("n_docs") >= 2))
+
+
+@register(
+    "doc_passage_dup_ratio",
+    "WITH" + _chunk_hash_cte() + """,
+    shared AS (
+      SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    tot AS (
+      SELECT doc_id, count(*)::BIGINT AS n_chunks FROM c GROUP BY doc_id),
+    dup AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup
+      FROM c WHERE h IN (SELECT h FROM shared)
+      GROUP BY doc_id)
+    SELECT doc_id, n_chunks,
+           coalesce(n_dup, 0)::BIGINT AS n_dup,
+           round(coalesce(n_dup, 0)::DOUBLE / n_chunks, 6) AS dup_ratio
+    FROM tot LEFT JOIN dup USING (doc_id)""",
+    "llm", "dedup",
+)
+def doc_passage_dup_ratio(spark, sf_dir):
+    """Per-document duplication signal: the fraction of a doc's 8-token
+    chunks that also appear in some other document — the filter column
+    a curation pipeline thresholds on. The shared-hash set is tiny
+    (only colliding hashes) so it broadcasts into a semi join; total
+    and duplicated counts co-partition on doc_id."""
+    c = _chunk_hashes(spark, sf_dir)
+    shared = (c.groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= 2).select("h"))
+    tot = c.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
+    dup = (c.join(F.broadcast(shared), "h", "left_semi")
+           .groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup")))
+    return (tot.join(dup, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+                    F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_chunks"),
+                            6).alias("dup_ratio")))
