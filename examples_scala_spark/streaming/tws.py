@@ -348,3 +348,109 @@ def tag_late_rows(readings: DataFrame,
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# --------------------------------------------------------------------
+# W4 variant — per-window named timers (one timer stream per window)
+# --------------------------------------------------------------------
+
+class PerWindowEarlyFiringCounter(StatefulProcessor):
+    """W4 with per-WINDOW timers instead of per-key multiplexed ticks —
+    the closest structural match to the reference's trigger, where each
+    window owns its `OneSecondIntervalTrigger` instance and timer chain
+    (chapter6/CustomWindow.scala:87-148: onElement registers
+    `watermark + (1000 - watermark % 1000)` per window :90-111, each
+    fire re-arms `ts + 1000` :126-128, and the end-of-window timer
+    FIRE_AND_PURGEs :113-125).
+
+    Timer attribution is arithmetic, not stored: a tick timestamp t
+    strictly inside a window identifies that window
+    (start = t - t % window_ms, valid because tumbling windows are
+    disjoint and ticks are never registered on window boundaries); a
+    timestamp on a boundary (t % window_ms == 0) is the end timer of
+    window t - window_ms. So each expiry touches exactly ONE window —
+    O(1) per fire where the multiplexed variant scans every open
+    window of the key — and no timer->window MapState is needed.
+
+    Emission cadence delta vs the reference (shared with the
+    multiplexed variant): timers that become due between micro-batches
+    all fire when the next batch evaluates them, and a re-arm issued
+    while handling an expiry is evaluated from the following batch."""
+
+    def __init__(self, window_ms: int = 30_000, interval_ms: int = 1_000):
+        assert window_ms % interval_ms == 0
+        self.window_ms = window_ms
+        self.interval_ms = interval_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.counts = handle.getMapState("counts", "start long", "cnt long")
+
+    def _first_tick(self, start: int, wm: int) -> int | None:
+        base = max(start, wm)
+        tick = base - base % self.interval_ms + self.interval_ms
+        return tick if tick < start + self.window_ms else None
+
+    def handleInputRows(self, key: Tuple[str], rows: Iterator[pd.DataFrame],
+                        timerValues: TimerValues) -> Iterator[pd.DataFrame]:
+        wm = timerValues.getCurrentWatermarkInMs()
+        for pdf in rows:
+            starts = pdf["timestamp"] - (pdf["timestamp"] % self.window_ms)
+            for start, n in starts.value_counts().items():
+                start = int(start)
+                prev = (self.counts.getValue((start,))[0]
+                        if self.counts.containsKey((start,)) else 0)
+                if prev == 0:
+                    self.handle.registerTimer(start + self.window_ms)
+                    tick = self._first_tick(start, wm)
+                    if tick is not None:
+                        self.handle.registerTimer(tick)
+                self.counts.updateValue((start,), (prev + int(n),))
+        return iter(())
+
+    def handleExpiredTimer(self, key: Tuple[str], timerValues: TimerValues,
+                           expiredTimerInfo: ExpiredTimerInfo
+                           ) -> Iterator[pd.DataFrame]:
+        t = expiredTimerInfo.getExpiryTimeInMs()
+        (sensor_id,) = key
+        if t % self.window_ms == 0:                    # end-of-window timer
+            start = t - self.window_ms
+            if self.counts.containsKey((start,)):
+                cnt = int(self.counts.getValue((start,))[0])
+                self.counts.removeKey((start,))        # FIRE_AND_PURGE
+                yield pd.DataFrame(
+                    [(sensor_id, start, t, t, cnt, True)],
+                    columns=["id", "window_start", "window_end",
+                             "fire_ms", "cnt", "is_final"])
+            return
+        start = t - t % self.window_ms                 # interval tick
+        if not self.counts.containsKey((start,)):
+            return                                     # window already purged
+        nxt = t + self.interval_ms
+        if nxt < start + self.window_ms:
+            self.handle.registerTimer(nxt)             # re-arm :126-128
+        cnt = int(self.counts.getValue((start,))[0])
+        yield pd.DataFrame(
+            [(sensor_id, start, start + self.window_ms, t, cnt, False)],
+            columns=["id", "window_start", "window_end",
+                     "fire_ms", "cnt", "is_final"])
+
+    def close(self) -> None:
+        pass
+
+
+def per_window_early_firing_counts(readings: DataFrame,
+                                   window_ms: int = 30_000,
+                                   interval_ms: int = 1_000,
+                                   watermark_delay: str = "5 seconds"
+                                   ) -> DataFrame:
+    """readings: (id string, timestamp long event-ms, temperature)."""
+    wm = readings.withColumn(
+        "event_time", F.timestamp_millis(F.col("timestamp"))
+    ).withWatermark("event_time", watermark_delay)
+    return wm.groupBy("id").transformWithStateInPandas(
+        statefulProcessor=PerWindowEarlyFiringCounter(window_ms, interval_ms),
+        outputStructType=EARLY_FIRING_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -288,3 +288,43 @@ def test_early_firing_state_survives_restart(spark, tmpdir):
     # (id, window_start, window_end, fire_ms, cnt, is_final); the count
     # includes the two pre-restart rows recovered from the state store
     assert [(r[4], r[3]) for r in finals] == [(3, 30_000)]
+
+
+@needs_tws
+def test_tws_per_window_early_firing(spark, tmpdir):
+    tws.enable_tws(spark)
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 1_000, 1.0), ("s1", 5_000, 2.0), ("s1", 27_000, 3.0)],
+        [("s1", 40_000, 4.0)],
+        [("s1", 80_000, 5.0)],
+    ])
+    out = tws.per_window_early_firing_counts(stream, window_ms=30_000,
+                                             interval_ms=1_000)
+    _run(out, tmpdir, "early_perw_tws")
+    rows = spark.sql("SELECT * FROM early_perw_tws").collect()
+    w0 = [r for r in rows if r.window_start == 0]
+    finals = [r for r in w0 if r.is_final]
+    partials = [r for r in w0 if not r.is_final]
+    # exactly one FIRE_AND_PURGE, stamped at the window end
+    assert [(r.cnt, r.fire_ms) for r in finals] == [(3, 30_000)]
+    # every partial fire is an interval tick strictly inside the window
+    assert all(0 < r.fire_ms < 30_000 and r.fire_ms % 1_000 == 0
+               for r in partials)
+    # window [30000,60000) holds the ts=40000 row and also finalizes
+    w1_finals = [r for r in rows if r.window_start == 30_000 and r.is_final]
+    assert [(r.cnt, r.fire_ms) for r in w1_finals] == [(1, 60_000)]
+
+
+def test_per_window_timer_attribution_arithmetic():
+    # the arithmetic that replaces a timer->window MapState: ticks are
+    # strictly inside a window, boundaries are end timers.
+    p = tws.PerWindowEarlyFiringCounter(window_ms=30_000, interval_ms=1_000)
+    # first tick after the watermark, clipped to the window
+    assert p._first_tick(0, 0) == 1_000
+    assert p._first_tick(0, 14_500) == 15_000
+    assert p._first_tick(0, 29_000) is None      # next tick would be >= end
+    assert p._first_tick(30_000, 0) == 31_000    # window not yet reached
+    # boundary timestamps attribute to the ENDING window, not a tick
+    assert 30_000 % p.window_ms == 0
+    assert 29_000 - 29_000 % p.window_ms == 0    # tick inside [0, 30000)
+    assert 31_000 - 31_000 % p.window_ms == 30_000
