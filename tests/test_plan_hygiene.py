@@ -110,3 +110,33 @@ def test_bigram_topk_take_ordered(spark, sf_dir):
     plan = explain_str(REGISTRY["bigram_cond_prob"].fn(spark, sf_dir),
                        "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def _shuffles(plan: str) -> int:
+    """Shuffle exchanges only (hash + single-partition), excluding
+    BroadcastExchange — broadcasts ship dimension-sized data and are
+    the point, not the cost."""
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange SinglePartition"))
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("doc_chunks", 0),              # chunking is embarrassingly parallel
+    ("label_centroids", 1),         # one hash agg on (label, dim)
+    ("corpus_stats_by_source", 1),  # one hash agg on (source, lang)
+    ("shared_passages", 2),         # count_distinct's two-phase agg
+    ("doc_passage_dup_ratio", 4),   # tot + dup + shared's two phases
+    ("q20_excess_availability", 2), # (part,supp) agg + distinct cand
+    ("q2_min_cost_supplier", 3),    # derived ps + mincost + join-back
+])
+def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+    assert _shuffles(plan) <= max_shuffles, (
+        f"{name}: {_shuffles(plan)} shuffles > {max_shuffles}\n{plan}")
+
+
+def test_q2_broadcasts_dims_and_takes_ordered_topk(spark, sf_dir):
+    plan = explain_str(REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir),
+                       "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan    # LIMIT 100 never global-sorts
