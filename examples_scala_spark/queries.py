@@ -3450,3 +3450,48 @@ def doc_passage_dup_ratio(spark, sf_dir):
                     F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
                     F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_chunks"),
                             6).alias("dup_ratio")))
+
+
+@register(
+    "stream_windowed_avg",
+    """
+    WITH e AS (
+      SELECT event_type, (epoch_us(ts) // 1000) AS ms, value FROM events),
+    w AS (
+      SELECT event_type, ms - ms % 60000 AS w_start, value FROM e),
+    a AS (
+      SELECT event_type, w_start,
+             count(*)::BIGINT AS cnt,
+             round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
+               AS avg_value
+      FROM w GROUP BY event_type, w_start),
+    mx AS (SELECT max(ms) AS mx FROM e)
+    SELECT event_type, w_start AS window_start_ms,
+           w_start + 60000 AS window_end_ms, cnt, avg_value
+    FROM a, mx WHERE w_start + 60000 <= mx""",
+    "streaming", "W1",
+)
+def stream_windowed_avg(spark, sf_dir):
+    """The chapter-1 flagship shape as REAL Structured Streaming:
+    watermarked tumbling 1-minute averages per event type in append
+    mode — each window emits exactly once when the watermark passes
+    its end (reference chapter1/AverageSensorReadings.scala:48-57).
+    The oracle recomputes the windows in SQL and keeps those whose end
+    <= the final watermark (max event time, 0 s delay) — the windows a
+    real unbounded run would have emitted by end-of-stream. Averages
+    are exact-DECIMAL-sum / count, so streaming state merge order
+    cannot perturb the hash. State is O(open windows x types);
+    eviction at the watermark bounds memory at any stream length."""
+    tune(spark)
+    ev = _events_stream(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "0 seconds")
+           .groupBy(F.window("ts", "1 minute"), "event_type")
+           .agg(F.count("*").alias("cnt"),
+                F.round(F.sum(dec("value")).cast("double") / F.count("*"), 6)
+                 .alias("avg_value")))
+    out = agg.select(
+        "event_type",
+        F.expr("unix_micros(window.start) div 1000").alias("window_start_ms"),
+        F.expr("unix_micros(window.end) div 1000").alias("window_end_ms"),
+        "cnt", "avg_value")
+    return _run_to_memory(spark, out, "stream_windowed_avg_result")
