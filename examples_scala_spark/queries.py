@@ -3495,3 +3495,79 @@ def stream_windowed_avg(spark, sf_dir):
         F.expr("unix_micros(window.end) div 1000").alias("window_end_ms"),
         "cnt", "avg_value")
     return _run_to_memory(spark, out, "stream_windowed_avg_result")
+
+
+@register(
+    "events_zscore_anomalies",
+    """
+    WITH s AS (
+      SELECT event_type, count(*)::BIGINT AS cnt,
+             SUM(CAST(value AS DECIMAL(14,2)))::DOUBLE AS total,
+             SUM(CAST(value AS DECIMAL(14,2))
+                 * CAST(value AS DECIMAL(14,2)))::DOUBLE AS total_sq
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - (total / cnt))
+                 / sqrt((total_sq - total * total / cnt) / cnt), 6) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE (e.value - (total / cnt)) * (e.value - (total / cnt))
+          > 9 * ((total_sq - total * total / cnt) / cnt)""",
+    "relational", "aggregates", "numeric_stability",
+)
+def events_zscore_anomalies(spark, sf_dir):
+    """Outlier detection against exact distributed moments: events more
+    than 3 population-stddevs from their type's mean. The per-type
+    stats table derives from DECIMAL first/second moments (identical
+    doubles on both engines), broadcasts into the fact scan, and the
+    flag compares (v-m)^2 > 9*var with the SAME expression tree as the
+    oracle — IEEE doubles over identical operands, no epsilon needed.
+    One shuffle (the stats agg); the fact side never moves."""
+    ev = _t(spark, sf_dir, "events")
+    v = dec("value", 14)
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(v).cast("double").alias("total"),
+        F.sum(v * v).cast("double").alias("total_sq"))
+    m = F.col("total") / F.col("cnt")
+    var = (F.col("total_sq") - F.col("total") * F.col("total") / F.col("cnt")) \
+        / F.col("cnt")
+    return (ev.join(F.broadcast(s), "event_type")
+            .filter((F.col("value") - m) * (F.col("value") - m) > 9 * var)
+            .select("event_id", "event_type", "value",
+                    F.round((F.col("value") - m) / F.sqrt(var), 6).alias("z")))
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id,
+             ((epoch_us(ts) // 1000000) // 86400) // 7 AS week
+      FROM events),
+    c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+    SELECT cohort_week, (week - cohort_week)::BIGINT AS week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY cohort_week, week - cohort_week""",
+    "relational", "analytics",
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users grouped by first-activity week, counted
+    in each subsequent week they return — the standard cohort analysis
+    every analytics engine must express. Weeks are integer epoch-day
+    arithmetic (engine-neutral). Both aggregations key on user_id, so
+    the cohort join consumes the same partitioning the min-week agg
+    produced — one user_id shuffle plus the final (small) cohort
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        (F.expr("unix_micros(ts) div 1000000").cast("long") / 86400)
+        .cast("long").alias("day"))
+    w = w.select("user_id", (F.col("day") / 7).cast("long").alias("week"))
+    c = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (w.join(c, "user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week")).cast("long")
+                     .alias("week_offset"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
