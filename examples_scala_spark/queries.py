@@ -3571,3 +3571,66 @@ def user_retention_cohorts(spark, sf_dir):
                      (F.col("week") - F.col("cohort_week")).cast("long")
                      .alias("week_offset"))
             .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
+
+
+@register(
+    "dedup_keep_best",
+    """
+    WITH f AS (
+      SELECT doc_id, md5(text) AS h,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words
+      FROM documents),
+    r AS (
+      SELECT doc_id, h, n_words,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY n_words DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY h) AS grp
+      FROM f)
+    SELECT h, doc_id AS keep_id, n_words AS keep_words,
+           grp::BIGINT AS group_size
+    FROM r WHERE rnk = 1""",
+    "llm", "dedup",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection: within each exact-content group,
+    keep the best candidate (most tokens, doc_id tie-break) instead of
+    an arbitrary min id — the A2 argmax (max_by-on-struct) idiom
+    applied to curation. One shuffle on the 16-byte hash; the ordered
+    struct-max is a plain agg, not a window sort, so groups never
+    materialize."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    f = docs.select(F.md5("text").alias("h"), "doc_id",
+                    n_words.alias("n_words"))
+    # argmax via max_by on (n_words desc, doc_id asc): encode the
+    # tie-break by negating doc_id in the ordering struct
+    best = f.groupBy("h").agg(
+        F.max_by(F.struct("doc_id", "n_words"),
+                 F.struct(F.col("n_words"), -F.col("doc_id"))).alias("b"),
+        F.count("*").cast("long").alias("group_size"))
+    return best.select("h", F.col("b.doc_id").alias("keep_id"),
+                       F.col("b.n_words").alias("keep_words"), "group_size")
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS ({_lang_sql()})
+    SELECT d.lang AS true_lang, p.pred_lang,
+           count(*)::BIGINT AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang""",
+    "llm", "text",
+)
+def lang_id_confusion(spark, sf_dir):
+    """Model-eval confusion matrix: the lang-ID heuristic's predictions
+    against the labeled lang column — the evaluation query every
+    classifier in a curation pipeline ships with. The prediction is a
+    narrow expression over the same scan as the label, so the whole
+    matrix costs one (true, pred) hash agg on a ~|langs|^2 key space —
+    no join materializes at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.col("lang").alias("true_lang"),
+                        text.lang_id_col(F.col("text")).alias("pred_lang"))
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").cast("long").alias("n_docs")))
