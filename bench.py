@@ -139,7 +139,8 @@ def main() -> None:
     # round-over-round "value" series stays comparable)
     extra: dict[str, float] = {}
     for name in ["pipeline_training_data", "dedup_clusters",
-                 "doc_repetition_stats", "funnel_conversion"]:
+                 "doc_repetition_stats", "funnel_conversion",
+                 "stream_windowed_avg"]:
         t0 = time.time()
         n = len(REGISTRY[name].fn(spark, sf_dir).collect())
         extra[name] = round(time.time() - t0, 3)

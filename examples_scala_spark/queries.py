@@ -3634,3 +3634,76 @@ def lang_id_confusion(spark, sf_dir):
                         text.lang_id_col(F.col("text")).alias("pred_lang"))
             .groupBy("true_lang", "pred_lang")
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+@register(
+    "scrub_audit_by_source",
+    rf"""
+    WITH a AS (
+      SELECT source,
+             len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT
+               AS n_urls,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))::BIGINT
+               AS n_emails
+      FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_urls)::BIGINT AS total_urls,
+           sum(n_emails)::BIGINT AS total_emails,
+           sum(CASE WHEN n_urls + n_emails > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_affected
+    FROM a GROUP BY source""",
+    "llm", "text",
+)
+def scrub_audit_by_source(spark, sf_dir):
+    """Scrubbing audit rolled up per source: how many URL/email
+    substitutions text cleaning would make, and how many docs are
+    touched — the compliance report a PII pass ships with. Counting
+    composes the same RE2-safe patterns as clean_text over one narrow
+    scan + one tiny hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    n_urls = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(text.URL_RE), F.lit(0))).cast("long")
+    n_emails = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(text.EMAIL_RE), F.lit(0))).cast("long")
+    a = docs.select("source", n_urls.alias("n_urls"),
+                    n_emails.alias("n_emails"))
+    return (a.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_urls").cast("long").alias("total_urls"),
+                 F.sum("n_emails").cast("long").alias("total_emails"),
+                 F.sum(F.when(F.col("n_urls") + F.col("n_emails") > 0, 1)
+                       .otherwise(0)).cast("long").alias("docs_affected")))
+
+
+@register(
+    "doc_length_histogram",
+    r"""
+    WITH t AS (
+      SELECT len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+      FROM documents)
+    SELECT (n // 10) * 10 AS bucket_start,
+           (n // 10) * 10 + 10 AS bucket_end,
+           count(*)::BIGINT AS n_docs,
+           min(n)::BIGINT AS min_tokens,
+           max(n)::BIGINT AS max_tokens
+    FROM t GROUP BY n // 10""",
+    "llm", "text",
+)
+def doc_length_histogram(spark, sf_dir):
+    """Token-length histogram in width-10 buckets — the dataset-card
+    length distribution (what a curation pass thresholds to drop
+    too-short/too-long docs). Integer bucket arithmetic, one narrow
+    scan, one hash agg on ~|max_len/10| keys."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    b = (n / 10).cast("long") * 10
+    return (docs.select(b.alias("bucket_start"), n.alias("n"))
+            .groupBy("bucket_start")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n").cast("long").alias("min_tokens"),
+                 F.max("n").cast("long").alias("max_tokens"))
+            .select("bucket_start",
+                    (F.col("bucket_start") + 10).alias("bucket_end"),
+                    "n_docs", "min_tokens", "max_tokens"))
