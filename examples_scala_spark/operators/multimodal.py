@@ -105,3 +105,25 @@ def frame_sample(decoded: DataFrame, every_n: int = 24) -> DataFrame:
             .alias("frame_idx"),
         )
     )
+
+
+def chunk_media(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
+    """Content-addressable chunking: split each binary payload into
+    fixed-size chunks and emit (doc_id, chunk_idx, chunk_md5, n_bytes)
+    — the staging op for dedup'd media storage/transfer (identical
+    chunks across assets share a hash). Entirely JVM-side: sequence +
+    explode over byte offsets, substring on the BINARY column, md5 of
+    the slice. Narrow (zero shuffle); the payload bytes never leave
+    the scan stage — only 16-byte hashes flow downstream."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_bytes") - 1, F.lit(0)),
+        F.lit(chunk_bytes))
+    st = media.select("doc_id", "media", F.explode(starts).alias("s"))
+    piece = F.expr(f"substring(media, s + 1, {chunk_bytes})")
+    return st.select(
+        "doc_id",
+        (F.col("s") / chunk_bytes).cast("long").alias("chunk_idx"),
+        F.md5(piece).alias("chunk_md5"),
+        F.expr(f"octet_length(substring(media, s + 1, {chunk_bytes}))")
+         .cast("long").alias("n_bytes"),
+    )

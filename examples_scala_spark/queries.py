@@ -3707,3 +3707,30 @@ def doc_length_histogram(spark, sf_dir):
             .select("bucket_start",
                     (F.col("bucket_start") + 10).alias("bucket_end"),
                     "n_docs", "min_tokens", "max_tokens"))
+
+
+@register(
+    "media_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+    st AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 1, 0), 64)) AS s
+      FROM m)
+    SELECT doc_id, (s // 64)::BIGINT AS chunk_idx,
+           md5(substring(text, s + 1, 64)) AS chunk_md5,
+           length(substring(text, s + 1, 64))::BIGINT AS n_bytes
+    FROM st""",
+    "llm", "multimodal",
+)
+def media_chunks(spark, sf_dir):
+    """Content-addressable chunking of binary payloads (64-byte chunks
+    at test scale; 4 KB+ in production): the Spark side slices the real
+    BINARY column; the oracle chunks the source text, byte-identical
+    because the corpus is ASCII (octet_length == length for every doc,
+    asserted during design). Zero shuffle — hashes, not bytes, flow
+    out of the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    m = multimodal.media_table(docs)
+    return multimodal.chunk_media(m, chunk_bytes=64)
