@@ -392,3 +392,37 @@ def test_dedup_keep_best_argmax_on_duplicates(spark):
     out = {r.keep_id: (r.group_size, r.keep_words)
            for r in REGISTRY["dedup_keep_best"].fn(spark, d).collect()}
     assert out == {3: (2, 3), 9: (1, 2)}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_chunks(text_: str, window: int, stride: int):
+    toks = text_.strip().split()
+    toks = toks if toks else [""]  # split('\s+') on '' yields ['']
+    out = []
+    for i, s in enumerate(range(0, max(len(toks) - 1, 0) + 1, stride)):
+        piece = toks[s:s + window]
+        out.append((i, len(piece), " ".join(piece)))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet=" abcxyz", min_size=1, max_size=60), min_size=1,
+    max_size=8))
+def test_chunk_tokens_matches_python_reference(spark, texts):
+    """Property: the JVM array pipeline (split/sequence/slice) agrees
+    with a straightforward Python implementation on arbitrary
+    whitespace patterns — leading/trailing/multiple spaces included."""
+    from examples_scala_spark.operators.text import chunk_tokens
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in chunk_tokens(df, window=4, stride=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_chunk_tokens, r.chunk_text))
+    for i, t in rows:
+        assert sorted(got[i]) == _py_chunks(t, 4, 3), (t, got[i])
