@@ -3734,3 +3734,75 @@ def media_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     m = multimodal.media_table(docs)
     return multimodal.chunk_media(m, chunk_bytes=64)
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (
+      SELECT max(epoch_us(o_orderdate) // 86400000000) AS mx_day
+      FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             (mx_day - max(epoch_us(o_orderdate) // 86400000000))::BIGINT
+               AS recency_days,
+             count(*)::BIGINT AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2)))::DOUBLE AS monetary
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, mx_day),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days ASC, c_custkey)
+               AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, c_custkey)
+               AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, c_custkey)
+               AS m_score
+      FROM rfm)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+           m_score::BIGINT AS m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored""",
+    "relational", "analytics",
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date as 'today'), frequency (orders),
+    monetary (exact-DECIMAL spend) — quartiled with ntile over unique
+    tie-broken orderings (metric, custkey) so the quartile assignment
+    is deterministic on both engines. The per-customer aggregate is
+    the one wide stage; the ntile global sorts run on the
+    customer-cardinality rollup, not the fact table. At 100 TB replace
+    the exact ntile with approx-quantile thresholds (the rollup is
+    still ~customers-sized, so even exact holds far up the scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    day = (F.col("o_orderdate").cast("timestamp").cast("long") / 86400) \
+        .cast("long")
+    mx = orders.agg(F.max(day).alias("mx_day"))
+    rfm = (orders.crossJoin(F.broadcast(mx))
+           .groupBy(F.col("o_custkey").alias("c_custkey"), "mx_day")
+           .agg(F.max(day).alias("last_day"),
+                F.count("*").alias("frequency"),
+                F.sum(dec("o_totalprice", 14)).cast("double")
+                 .alias("monetary"))
+           .select("c_custkey",
+                   (F.col("mx_day") - F.col("last_day")).cast("long")
+                   .alias("recency_days"),
+                   F.col("frequency").cast("long").alias("frequency"),
+                   "monetary"))
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    scored = rfm.select(
+        "c_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"))
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+         .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "at_risk")
+         .otherwise("regular"))
