@@ -3806,3 +3806,91 @@ def customer_rfm_segments(spark, sf_dir):
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
          .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "at_risk")
          .otherwise("regular"))
+
+
+def _staged_events_stream(spark, sf_dir, n_files: int = 4):
+    """Stage the events table as n_files parquet files and stream them
+    one per micro-batch — a REAL multi-batch replay (the single-file
+    testdata layout would otherwise collapse to one batch)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sgs_staged_")
+    (load_table(spark, sf_dir, "events")
+     .repartition(n_files)
+     .write.mode("overwrite").parquet(d))
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "stream_incremental_state",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+           SUM(CAST(value AS DECIMAL(14,2)))::DOUBLE AS total
+    FROM events GROUP BY event_type""",
+    "streaming", "R3",
+)
+def stream_incremental_state(spark, sf_dir):
+    """Queryable state (R3, chapter7/QueryableState.scala:47-49) as an
+    incrementally-maintained aggregate: the events table replayed as 4
+    micro-batches, a complete-mode streaming aggregation merging each
+    batch into keyed state, and the memory sink exposing the latest
+    state to SQL — the materialized-view pattern. The final state must
+    equal the one-shot batch aggregate (the oracle), which is exactly
+    Spark's unified batch/stream contract; DECIMAL partials make the
+    4-batch merge order irrelevant to the hash."""
+    tune(spark)
+    src = _staged_events_stream(spark, sf_dir, n_files=4)
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec("value", 14)).cast("double").alias("total"))
+    import tempfile
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    q = (agg.writeStream.format("memory")
+         .queryName("stream_incremental_state_result")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_incremental_state_result")
+
+
+@register(
+    "stream_rolling_max_state",
+    """
+    SELECT user_id, value, event_id FROM (
+      SELECT user_id, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1""",
+    "streaming", "A2",
+)
+def stream_rolling_max_state(spark, sf_dir):
+    """A2's rolling max-by as REAL streaming state
+    (chapter5/KeyedTransformations.scala:49-52): per user, the running
+    argmax of value maintained across 4 replayed micro-batches in
+    complete mode. The reference emits the running max per input
+    record; the queryable final state after the last record — what the
+    oracle computes with a window rank — is the same state this
+    aggregation holds. Lexicographic struct-max gives a unique
+    tie-break (value, then event_id)."""
+    tune(spark)
+    src = _staged_events_stream(spark, sf_dir, n_files=4)
+    agg = (src.groupBy("user_id")
+           .agg(F.max(F.struct("value", "event_id")).alias("m"))
+           .select("user_id", F.col("m.value").alias("value"),
+                   F.col("m.event_id").alias("event_id")))
+    import tempfile
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    q = (agg.writeStream.format("memory")
+         .queryName("stream_rolling_max_state_result")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("stream_rolling_max_state_result")
