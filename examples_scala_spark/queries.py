@@ -3894,3 +3894,43 @@ def stream_rolling_max_state(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table("stream_rolling_max_state_result")
+
+
+@register(
+    "dataset_mixture_rates",
+    """
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents
+      GROUP BY source),
+    t AS (SELECT sum(n_docs)::BIGINT AS total,
+                 count(*)::BIGINT AS n_sources FROM s)
+    SELECT source, n_docs,
+           round(least(1.0, (total::DOUBLE / n_sources) / n_docs), 6)
+             AS sample_rate,
+           CAST(floor(n_docs * least(1.0, (total::DOUBLE / n_sources)
+                                          / n_docs)) AS BIGINT)
+             AS expected_kept
+    FROM s CROSS JOIN t""",
+    "llm", "sampling",
+)
+def dataset_mixture_rates(spark, sf_dir):
+    """Dataset mixing: per-source downsampling rates that rebalance the
+    corpus toward a uniform source mixture (the static-weights form of
+    training-data mixture control). Over-represented sources get rate
+    target/n, the rest keep everything; applying the rate is
+    hash_split_sample's deterministic md5-bucket keep. One tiny hash
+    agg + a broadcast scalar; all arithmetic is single divisions over
+    identical operands, so both engines emit identical doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = s.agg(F.sum("n_docs").cast("long").alias("total"),
+              F.count("*").alias("n_sources"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("total").cast("double") / F.col("n_sources"))
+        / F.col("n_docs"))
+    return (s.crossJoin(F.broadcast(t))
+            .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(rate, 6).alias("sample_rate"),
+                    F.floor(F.col("n_docs") * rate).cast("long")
+                     .alias("expected_kept")))
