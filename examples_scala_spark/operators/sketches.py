@@ -1,0 +1,170 @@
+"""Mergeable quantile sketch (t-digest-style) as a two-level pandas
+UDAF tree — the custom-accumulator surface of SURVEY §2.12: the
+reference's `AggregateFunction` contract (createAccumulator / add /
+merge / getResult, chapter6/WindowFunctions.scala:87-105) where the
+accumulator is a bounded set of weighted centroids instead of a
+(sum, count) pair.
+
+Scale design (the point of a sketch): quantiles over 100 TB cannot
+sort, and a hot key cannot funnel all its values through one task.
+Stage 1 groups by (key, salt) — salt = hash(value) % fanout — so each
+partial digest sees ~1/fanout of a key's rows and compresses them to
+<= ~2*delta centroids (KB, regardless of input rows). Stage 2 merges
+the fanout partial digests per key (concatenate centroids, re-compress)
+and interpolates the requested quantiles. Both stages are Arrow-batched
+pandas ops; shuffled bytes are O(keys * fanout * delta), independent of
+row count — the same partial/final shape Catalyst uses for sum/avg.
+
+Determinism: compression sorts by value (numpy mergesort, stable) and
+merges greedily under the t-digest scale-function capacity, so a
+retried task reproduces the identical digest bit-for-bit — no RNG
+anywhere. Estimates are approximate (rank error concentrated at the
+tails per the scale function k(q) = delta/2pi * asin(2q-1)); exactness
+is tested as rank-error bounds, not value equality, hence the registry
+entry is rows-only (no SQL oracle can reproduce the algorithm).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _k(q: float, delta: int) -> float:
+    """t-digest scale function k_1 (Dunning): tail-biased capacity."""
+    return delta / (2 * math.pi) * math.asin(2 * min(max(q, 0.0), 1.0) - 1)
+
+
+def compress(values: np.ndarray, weights: np.ndarray,
+             delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy left-to-right centroid merge under the k_1 size limit.
+    Input need not be sorted; output is sorted by centroid mean with
+    at most ~2*delta centroids. Pure function of (multiset, delta)."""
+    order = np.argsort(values, kind="mergesort")
+    values, weights = values[order], weights[order]
+    total = float(weights.sum())
+    out_v: list[float] = []
+    out_w: list[float] = []
+    acc_v, acc_w, seen = values[0] * weights[0], float(weights[0]), 0.0
+    for v, w in zip(values[1:], weights[1:]):
+        q0 = seen / total
+        q1 = (seen + acc_w + w) / total
+        if _k(q1, delta) - _k(q0, delta) <= 1.0:
+            acc_v += v * w
+            acc_w += w
+        else:
+            out_v.append(acc_v / acc_w)
+            out_w.append(acc_w)
+            seen += acc_w
+            acc_v, acc_w = v * w, float(w)
+    out_v.append(acc_v / acc_w)
+    out_w.append(acc_w)
+    return np.asarray(out_v), np.asarray(out_w)
+
+
+def quantile(cent_v: np.ndarray, cent_w: np.ndarray, q: float) -> float:
+    """Interpolate quantile q from sorted centroids: each centroid's
+    mean sits at the midpoint of its weight span (standard t-digest
+    single-pass inverse CDF)."""
+    total = cent_w.sum()
+    target = q * total
+    cum = np.cumsum(cent_w) - cent_w / 2.0
+    if target <= cum[0]:
+        return float(cent_v[0])
+    if target >= cum[-1]:
+        return float(cent_v[-1])
+    i = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(cent_v[i] + frac * (cent_v[i + 1] - cent_v[i]))
+
+
+def tdigest_quantiles(df: DataFrame, key: str, col: str,
+                      probs: list[float], delta: int = 100,
+                      fanout: int = 16) -> DataFrame:
+    """Per-key approximate quantiles via the two-level digest tree.
+    Returns one row per key: (key, n, q_50-style columns per prob)."""
+    probs = list(probs)
+    partial_schema = f"{key} string, cent_v array<double>, cent_w array<double>"
+
+    def build_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].to_numpy(dtype=np.float64)
+        cv, cw = compress(v, np.ones_like(v), delta)
+        return pd.DataFrame({key: [pdf[key].iloc[0]],
+                             "cent_v": [cv.tolist()],
+                             "cent_w": [cw.tolist()]})
+
+    qcols = ", ".join(f"q{int(p * 100):02d} double" for p in probs)
+    final_schema = f"{key} string, n bigint, {qcols}"
+
+    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        cv = np.concatenate([np.asarray(x) for x in pdf["cent_v"]])
+        cw = np.concatenate([np.asarray(x) for x in pdf["cent_w"]])
+        cv, cw = compress(cv, cw, delta)
+        row = {key: pdf[key].iloc[0], "n": int(round(cw.sum()))}
+        for p in probs:
+            row[f"q{int(p * 100):02d}"] = quantile(cv, cw, p)
+        return pd.DataFrame([row])
+
+    salted = df.select(key, col).withColumn(
+        "__salt", F.pmod(F.hash(F.col(col)), F.lit(fanout)))
+    partials = salted.groupBy(key, "__salt").applyInPandas(
+        build_partial, partial_schema)
+    return partials.groupBy(key).applyInPandas(merge_final, final_schema)
+
+
+def misra_gries(counts: dict[str, int], item: str, w: int, k: int) -> None:
+    """One Misra-Gries update: add item with weight w, keeping at most
+    k counters; overflow decrements all counters by the evicted
+    minimum. Counts are lower bounds with error <= total_weight/(k+1);
+    EXACT whenever distinct items in the stream <= k (no decrement ever
+    happens)."""
+    if item in counts:
+        counts[item] += w
+        return
+    if len(counts) < k:
+        counts[item] = w
+        return
+    m = min(min(counts.values()), w)
+    for it in list(counts):
+        counts[it] -= m
+        if counts[it] == 0:
+            del counts[it]
+    if w > m:
+        counts[item] = w - m
+
+
+def heavy_hitters(tokens: DataFrame, col: str, k: int = 256,
+                  top: int = 20) -> DataFrame:
+    """Approximate top-`top` heavy hitters over a token column via a
+    per-partition Misra-Gries summary (<= k counters each, built in
+    Arrow batches with mapInPandas) merged by a single tiny shuffle.
+
+    Scale story: exact top-k over 100 TB shuffles every (token, count)
+    pair — fine for a 31-term vocab, catastrophic for a web-scale
+    vocabulary. Here the shuffle carries <= k * numPartitions candidate
+    rows regardless of input size (map-side candidate pruning, the
+    sketch analogue of partial aggregation); summed MG weights remain
+    valid lower bounds with total error <= total/(k+1) per partition.
+    With distinct(tokens-per-partition) <= k the result is exact —
+    which the tests exploit. Tokenization stays JVM-side; Python only
+    maintains the counter dict."""
+    import pandas as pd
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf[col]:
+                misra_gries(counts, item, 1, k)
+        if counts:
+            yield pd.DataFrame({col: list(counts),
+                                "weight": list(counts.values())})
+
+    partials = tokens.select(col).mapInPandas(
+        summarize, f"{col} string, weight long")
+    return (partials.groupBy(col)
+            .agg(F.sum("weight").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), col).limit(top))

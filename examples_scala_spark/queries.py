@@ -3934,3 +3934,154 @@ def dataset_mixture_rates(spark, sf_dir):
                     F.round(rate, 6).alias("sample_rate"),
                     F.floor(F.col("n_docs") * rate).cast("long")
                      .alias("expected_kept")))
+
+
+@register(
+    "stream_left_outer_join",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           (epoch_us(e.ts) // 1000) AS err_ms,
+           COALESCE((epoch_us(c.ts) // 1000), -1) AS click_ms
+    FROM e LEFT JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts""",
+    "streaming", "J1",
+)
+def stream_left_outer_join(spark, sf_dir):
+    """Left-outer stream-stream interval join with watermark-conditioned
+    null emission: errors x clicks per user, 1 h lookback. The inner
+    matches emit as they join; an unmatched error emits its null row
+    only once the watermark passes the end of its join window (no later
+    click can change the answer) — Spark evicts the row from join state
+    and emits it null-extended in the same move, so outer-join state
+    stays O(lookback x rate) at any scale. To make the bounded replay
+    equal the batch left join (the oracle), two far-future sentinel
+    rows (filtered from the output) push the final watermark beyond
+    every real row; the trailing no-data micro-batch then flushes every
+    pending unmatched error. click_ms is COALESCEd to -1 on both
+    engines so the hash never sees an engine-specific null encoding."""
+    import tempfile
+
+    tune(spark)
+    from .streaming.pipelines import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("unix_micros(ts)"))  # stage as BIGINT micros
+    far = ev.agg(F.max("ts")).first()[0] + 48 * 3600 * 10**6
+
+    # Stage each side as its OWN directory (two independent file
+    # sources, as two real streams would be) each carrying a sentinel:
+    # a self-join re-scans one file source twice, which proved
+    # unreliable for batch/listing alignment — two sources are also the
+    # honest model of the reference's two-stream correlation.
+    def stage(etype: str, sid: int, cols: list[str]) -> DataFrame:
+        d = tempfile.mkdtemp(prefix=f"sgs_loj_{etype}_")
+        side = ev.filter(F.col("event_type") == etype).select(
+            "event_id", "ts", "user_id")
+        sent = spark.createDataFrame([(sid, far, sid)], schema=side.schema)
+        # One file per side: the sentinel must ride in the same file as
+        # the data so the bounded replay is a single deterministic batch
+        # (staging is a replay harness, not the scale path).
+        side.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(d)
+        return (spark.readStream
+                .schema("event_id bigint, ts bigint, user_id bigint")
+                .parquet(d)
+                .select(F.col("event_id").alias(cols[0]), "user_id",
+                        F.timestamp_micros("ts").alias(cols[1])))
+
+    errors = stage("error", -1, ["event_id", "err_ts"])
+    clicks = stage("click", -2, ["click_id", "click_ts"]).drop("click_id")
+    out = stream_interval_join(
+        errors, clicks, keys=["user_id"], left_ts="err_ts",
+        right_ts="click_ts", lookback="1 hour", how="leftOuter")
+    # NO sentinel filter inside the streaming plan: a filter on a
+    # left-side column is legally pushed below the join AND below the
+    # EventTimeWatermark node (outer joins preserve left columns), which
+    # would strip the sentinel before it can advance the watermark —
+    # exactly the off-by-one this design exists to avoid. The sentinels
+    # never reach the output anyway: the error sentinel's join window is
+    # still open at end-of-stream (withheld — the semantics under test)
+    # and the click sentinel matches no error. The batch-side filter on
+    # the materialized result below is belt-and-braces only.
+    out = out.select(
+        "event_id", "user_id",
+        F.expr("unix_micros(err_ts) div 1000").alias("err_ms"),
+        F.coalesce(F.expr("unix_micros(click_ts) div 1000"),
+                   F.lit(-1).cast("long")).alias("click_ms"))
+    res = _run_to_memory(spark, out, "stream_left_outer_join_result")
+    return res.filter(F.col("event_id") >= 0)
+
+
+@register(
+    "flatmap_split_udtf",
+    SENSORS_CTE + """
+    SELECT token, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(id, '_')) AS token FROM sensors
+    ) GROUP BY token""",
+    "reference", "P5", "udtf",
+)
+def flatmap_split_udtf(spark, sf_dir):
+    """P5 as a Spark 4 Python UDTF (functions/udtfs.py) — the
+    open-ended FlatMapFunction surface of the reference
+    (chapter5/BasicTransformations.scala:91-95) when no builtin can
+    express the 1->N logic; LATERAL-correlated per input row,
+    Arrow-batched across the JVM<->Python hop. The JVM fast path for
+    this particular split lives in `flatmap_split_tokens` (same
+    oracle); this entry proves the general UDTF path end-to-end."""
+    from .functions.udtfs import register_udtfs
+
+    s = _sensors(spark, sf_dir)
+    register_udtfs(spark)
+    s.createOrReplaceTempView("udtf_sensors_in")
+    return spark.sql("""
+        SELECT t.token, count(*) AS cnt
+        FROM udtf_sensors_in, LATERAL split_tokens(id) t
+        GROUP BY t.token""")
+
+
+@register(
+    "token_heavy_hitters",
+    """
+    SELECT token, count(*)::BIGINT AS weight FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token ORDER BY weight DESC, token LIMIT 20""",
+    "llm", "sketch",
+)
+def token_heavy_hitters(spark, sf_dir):
+    """Top-20 corpus tokens via per-partition Misra-Gries summaries
+    (operators/sketches.py:heavy_hitters) — the shuffle carries at most
+    k*numPartitions candidate rows instead of every (token, count)
+    pair, the map-side-pruned path a web-scale vocabulary needs.
+    Oracle-checkable because MG is EXACT when distinct tokens per
+    partition <= k (vocab 31 << k=256 here); the general approximate
+    regime is exercised in tests with tiny k. Ties at the top-20
+    boundary break on token text on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.sketches import heavy_hitters
+
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return heavy_hitters(tokens, "token", k=256, top=20)
+
+
+@register(
+    "value_quantile_sketch",
+    None,
+    "llm", "sketch", "A5",
+)
+def value_quantile_sketch(spark, sf_dir):
+    """Per-event-type p50/p90/p99 of value via the mergeable t-digest
+    pandas UDAF tree (operators/sketches.py) — the reference's
+    AggregateFunction accumulator contract
+    (chapter6/WindowFunctions.scala:87-105) with a bounded-centroid
+    accumulator. Rows-only: the estimates are algorithm-specific (no
+    SQL oracle reproduces the digest); tests bound the rank error
+    against exact percentiles instead. The salted two-level tree keeps
+    every task's state at <= ~2*delta centroids, so the same plan holds
+    when one event_type carries 10^10 rows."""
+    ev = _t(spark, sf_dir, "events")
+    from .operators.sketches import tdigest_quantiles
+
+    return tdigest_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])

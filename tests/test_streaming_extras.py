@@ -199,3 +199,46 @@ def test_stream_interval_join_matches_batch(spark, tmpdir):
             & (F.col("click_ts") > F.col("err_ts") - F.expr("INTERVAL 60 SECONDS"))
             & (F.col("click_ts") <= F.col("err_ts"))).collect())
     assert got == expected
+
+
+def test_stream_left_outer_join_watermark_conditioned(spark, tmpdir):
+    """Left-outer interval join: the null-extended row for an unmatched
+    left element is emitted only once the global watermark passes the
+    end of its join window. Far-future rows on BOTH sides (the global
+    watermark is the min across inputs) push the watermark past the
+    real rows; the sentinel error itself stays inside its own open join
+    window, so it is withheld — which is itself the semantics under
+    test."""
+    from examples_scala_spark.streaming.pipelines import stream_interval_join
+
+    def write(rows, cols, sub):
+        path = os.path.join(tmpdir, sub)
+        df = spark.createDataFrame(rows, cols)
+        df = df.withColumn(cols[-1], F.timestamp_seconds(F.col(cols[-1])))
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return path
+
+    epath = write([("u1", 100), ("u2", 200), ("zz", 10_000)],
+                  ["user_id", "err_ts"], "errors")
+    cpath = write([("u1", 50), ("zz", 9_000)],
+                  ["user_id", "click_ts"], "clicks")
+    left = spark.readStream.schema("user_id string, err_ts timestamp").parquet(epath)
+    right = spark.readStream.schema("user_id string, click_ts timestamp").parquet(cpath)
+    out = stream_interval_join(left, right, keys=["user_id"],
+                               left_ts="err_ts", right_ts="click_ts",
+                               lookback="60 seconds", how="leftOuter")
+    q = (out.writeStream.format("memory").queryName("sloj")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir, "ckpt_sloj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, int(r.err_ts.timestamp()),
+         None if r.click_ts is None else int(r.click_ts.timestamp()))
+        for r in spark.sql("SELECT * FROM sloj").collect())
+    # u1@100 matches the click at 50; u2@200 has no click in (140, 200]
+    # -> null row, emitted because the watermark (9990 s) passed 200;
+    # zz@10_000's window is still open at end of stream -> withheld
+    # (its click at 9_000 is outside (9940, 10000] so no inner row).
+    assert got == [("u1", 100, 50), ("u2", 200, None)]
