@@ -3936,6 +3936,30 @@ def dataset_mixture_rates(spark, sf_dir):
                      .alias("expected_kept")))
 
 
+def _staged_sentinel_side(spark, ev, etype: str, sid: int,
+                          far: int, cols: list[str]) -> DataFrame:
+    """Stage one event-type slice of the (BIGINT-micros ts) events table
+    plus a far-future sentinel row, and return it as a streaming
+    DataFrame. Each side gets its OWN directory (two independent file
+    sources, as two real streams would be): a self-join re-scans one
+    file source twice, which proved unreliable for batch/listing
+    alignment. One file per side: the sentinel must ride in the same
+    file as the data so the bounded replay is a single deterministic
+    batch (staging is a replay harness, not the scale path)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"sgs_sentinel_{etype}_")
+    side = ev.filter(F.col("event_type") == etype).select(
+        "event_id", "ts", "user_id")
+    sent = spark.createDataFrame([(sid, far, sid)], schema=side.schema)
+    side.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(d)
+    return (spark.readStream
+            .schema("event_id bigint, ts bigint, user_id bigint")
+            .parquet(d)
+            .select(F.col("event_id").alias(cols[0]), "user_id",
+                    F.timestamp_micros("ts").alias(cols[1])))
+
+
 @register(
     "stream_left_outer_join",
     """
@@ -3962,37 +3986,16 @@ def stream_left_outer_join(spark, sf_dir):
     every real row; the trailing no-data micro-batch then flushes every
     pending unmatched error. click_ms is COALESCEd to -1 on both
     engines so the hash never sees an engine-specific null encoding."""
-    import tempfile
-
     tune(spark)
     from .streaming.pipelines import stream_interval_join
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.expr("unix_micros(ts)"))  # stage as BIGINT micros
     far = ev.agg(F.max("ts")).first()[0] + 48 * 3600 * 10**6
-
-    # Stage each side as its OWN directory (two independent file
-    # sources, as two real streams would be) each carrying a sentinel:
-    # a self-join re-scans one file source twice, which proved
-    # unreliable for batch/listing alignment — two sources are also the
-    # honest model of the reference's two-stream correlation.
-    def stage(etype: str, sid: int, cols: list[str]) -> DataFrame:
-        d = tempfile.mkdtemp(prefix=f"sgs_loj_{etype}_")
-        side = ev.filter(F.col("event_type") == etype).select(
-            "event_id", "ts", "user_id")
-        sent = spark.createDataFrame([(sid, far, sid)], schema=side.schema)
-        # One file per side: the sentinel must ride in the same file as
-        # the data so the bounded replay is a single deterministic batch
-        # (staging is a replay harness, not the scale path).
-        side.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(d)
-        return (spark.readStream
-                .schema("event_id bigint, ts bigint, user_id bigint")
-                .parquet(d)
-                .select(F.col("event_id").alias(cols[0]), "user_id",
-                        F.timestamp_micros("ts").alias(cols[1])))
-
-    errors = stage("error", -1, ["event_id", "err_ts"])
-    clicks = stage("click", -2, ["click_id", "click_ts"]).drop("click_id")
+    errors = _staged_sentinel_side(
+        spark, ev, "error", -1, far, ["event_id", "err_ts"])
+    clicks = _staged_sentinel_side(
+        spark, ev, "click", -2, far, ["click_id", "click_ts"]).drop("click_id")
     out = stream_interval_join(
         errors, clicks, keys=["user_id"], left_ts="err_ts",
         right_ts="click_ts", lookback="1 hour", how="leftOuter")
@@ -4012,6 +4015,56 @@ def stream_left_outer_join(spark, sf_dir):
                    F.lit(-1).cast("long")).alias("click_ms"))
     res = _run_to_memory(spark, out, "stream_left_outer_join_result")
     return res.filter(F.col("event_id") >= 0)
+
+
+@register(
+    "stream_full_outer_join",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT COALESCE(e.event_id, -1) AS event_id,
+           COALESCE(e.user_id, c.user_id) AS user_id,
+           COALESCE((epoch_us(e.ts) // 1000), -1) AS err_ms,
+           COALESCE((epoch_us(c.ts) // 1000), -1) AS click_ms
+    FROM e FULL JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts""",
+    "streaming", "J1",
+)
+def stream_full_outer_join(spark, sf_dir):
+    """Full-outer stream-stream interval join: both unmatched sides get
+    their null-extension, each under its own eviction horizon — an
+    error flushes once the watermark passes its join-window end
+    (err_ts), a click once no future error can reach back to it
+    (click_ts + lookback). The join helper coalesces the equi-key from
+    whichever side is present, so right-only rows keep their user_id.
+    Same sentinel-flushed replay as stream_left_outer_join; both
+    sentinels stay withheld (their own windows never close), and the
+    batch-side filter removes nothing at this data but guards a future
+    corpus with negative ids. All nullable outputs are COALESCEd to -1
+    identically on both engines."""
+    tune(spark)
+    from .streaming.pipelines import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("unix_micros(ts)"))
+    far = ev.agg(F.max("ts")).first()[0] + 48 * 3600 * 10**6
+    errors = _staged_sentinel_side(
+        spark, ev, "error", -1, far, ["event_id", "err_ts"])
+    clicks = _staged_sentinel_side(
+        spark, ev, "click", -2, far, ["click_id", "click_ts"]).drop("click_id")
+    out = stream_interval_join(
+        errors, clicks, keys=["user_id"], left_ts="err_ts",
+        right_ts="click_ts", lookback="1 hour", how="fullOuter")
+    out = out.select(
+        F.coalesce("event_id", F.lit(-1).cast("long")).alias("event_id"),
+        "user_id",
+        F.coalesce(F.expr("unix_micros(err_ts) div 1000"),
+                   F.lit(-1).cast("long")).alias("err_ms"),
+        F.coalesce(F.expr("unix_micros(click_ts) div 1000"),
+                   F.lit(-1).cast("long")).alias("click_ms"))
+    res = _run_to_memory(spark, out, "stream_full_outer_join_result")
+    return res.filter(F.col("user_id") >= 0)
 
 
 @register(

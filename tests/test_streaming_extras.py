@@ -242,3 +242,43 @@ def test_stream_left_outer_join_watermark_conditioned(spark, tmpdir):
     # zz@10_000's window is still open at end of stream -> withheld
     # (its click at 9_000 is outside (9940, 10000] so no inner row).
     assert got == [("u1", 100, 50), ("u2", 200, None)]
+
+
+def test_stream_full_outer_join_coalesces_right_key(spark, tmpdir):
+    """Full-outer: a right-only row flushes once the watermark passes
+    its reachability horizon (click_ts + lookback), and it keeps its
+    equi-key (the helper coalesces the key from whichever side is
+    present — without that, right-only rows would surface key=null)."""
+    from examples_scala_spark.streaming.pipelines import stream_interval_join
+
+    def write(rows, cols, sub):
+        path = os.path.join(tmpdir, sub)
+        df = spark.createDataFrame(rows, cols)
+        df = df.withColumn(cols[-1], F.timestamp_seconds(F.col(cols[-1])))
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return path
+
+    epath = write([("u1", 100), ("zz", 10_000)],
+                  ["user_id", "err_ts"], "fo_errors")
+    cpath = write([("u1", 50), ("u9", 70), ("zy", 9_000)],
+                  ["user_id", "click_ts"], "fo_clicks")
+    left = spark.readStream.schema("user_id string, err_ts timestamp").parquet(epath)
+    right = spark.readStream.schema("user_id string, click_ts timestamp").parquet(cpath)
+    out = stream_interval_join(left, right, keys=["user_id"],
+                               left_ts="err_ts", right_ts="click_ts",
+                               lookback="60 seconds", how="fullOuter")
+    q = (out.writeStream.format("memory").queryName("sfoj")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir, "ckpt_sfoj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id,
+         None if r.err_ts is None else int(r.err_ts.timestamp()),
+         None if r.click_ts is None else int(r.click_ts.timestamp()))
+        for r in spark.sql("SELECT * FROM sfoj").collect())
+    # u1 matches; u9@70 is right-only (wm 8990 > 70+60) and keeps its
+    # key; zz@10_000 (left) and zy@9_000 (right, horizon 9_060 > wm)
+    # are both still open at end of stream -> withheld.
+    assert got == [("u1", 100, 50), ("u9", None, 70)]
