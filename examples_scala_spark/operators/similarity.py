@@ -225,6 +225,127 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
+def pq_codebooks(emb, m: int = 8, codes: int = 16, dim: int = 64,
+                 sample_mod: int = 23, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """Deterministic PQ codebooks: the first `codes` vectors with
+    id % sample_mod == 1 (ordered by id) donate their subvectors —
+    codebook[s][c] = sample c sliced to subspace s. Returns a numpy
+    array of shape (m, codes, dim//m). A production deployment swaps
+    in per-subspace k-means (the plumbing is identical — cf.
+    train_centroids for the coarse quantizer); the id sample keeps
+    every run and engine reproducible."""
+    import numpy as np
+
+    dsub = dim // m
+    rows = (emb.filter((F.col(id_col) % sample_mod) == 1)
+            .orderBy(id_col).limit(codes)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    if len(rows) < codes:
+        raise ValueError(f"need {codes} sample vectors, got {len(rows)}")
+    samples = np.asarray([r.v for r in rows])          # (codes, dim)
+    return np.stack([samples[:, s * dsub:(s + 1) * dsub]
+                     for s in range(m)])               # (m, codes, dsub)
+
+
+def pq_encode(emb: DataFrame, books, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to m bytes: code[s] = argmin-L2 codebook
+    entry for its subspace-s slice. 64 floats -> 8 bytes is the 32x
+    memory cut that lets a 100 TB corpus's index live in RAM. The
+    kernel is an Arrow-batched numpy argmin (vectorized across the
+    whole batch x codes grid) — the honest slow-path placement, since
+    no builtin expresses argmin-over-codebook."""
+    import numpy as np
+    import pandas as pd
+
+    m, codes, dsub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            n = vecs.shape[0]
+            out = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                sub = vecs[:, s * dsub:(s + 1) * dsub]      # (n, dsub)
+                # (n, codes) squared L2 via ||a||^2 - 2ab + ||b||^2
+                d2 = ((sub ** 2).sum(1)[:, None]
+                      - 2.0 * sub @ books[s].T
+                      + (books[s] ** 2).sum(1)[None, :])
+                out[:, s] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "pq_codes": [row.tolist() for row in out]})
+
+    return emb.select(id_col, F.col(vec_col).cast("array<double>")
+                      .alias(vec_col)).mapInPandas(
+        encode, f"{id_col} bigint, pq_codes array<int>")
+
+
+def pq_adc_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                m: int = 8, codes: int = 16, dim: int = 64,
+                sample_mod: int = 23, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ top-k by asymmetric distance computation (ADC): queries stay
+    exact, candidates are scored from their m-byte codes against the
+    query's per-subspace distance table (one table lookup + add per
+    subspace, never a float vector load).
+
+    Scale shape: the scan reads only (id, codes) — bytes, not vectors;
+    each partition emits at most queries x k local winners (map-side
+    top-k, same pruning idiom as heavy_hitters), so the final shuffle
+    is tiny regardless of corpus size. Queries ride into the kernel as
+    a broadcast-sized closure (they are the small side by construction).
+    Output: (query_id, neighbor_id, rank, adist) — approx distances,
+    so rows-only; recall is bounded in tests against brute force."""
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(emb, m, codes, dim, sample_mod, id_col, vec_col)
+    dsub = dim // m
+    qrows = (emb.filter((F.col(id_col) % query_mod) == 0)
+             .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+             .collect())
+    qids = np.asarray([r[id_col] for r in qrows])
+    qvecs = np.asarray([r.v for r in qrows])            # (Q, dim)
+    # distance tables: tables[q, s, c] = ||q_sub - book[s,c]||^2
+    tables = np.stack([
+        ((qvecs[:, s * dsub:(s + 1) * dsub][:, None, :] - books[s][None]) ** 2)
+        .sum(2) for s in range(m)], axis=1)             # (Q, m, codes)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cds = np.asarray(list(pdf["pq_codes"]))     # (n, m)
+            # adist[q, n] = sum_s tables[q, s, cds[n, s]] — one table
+            # gather per subspace
+            adist = np.zeros((len(qids), len(ids)))
+            for s in range(m):
+                adist += tables[:, s, cds[:, s]]
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], adist[qi][mask]
+                take = min(k, len(cand_ids))
+                if not take:
+                    continue
+                part = np.lexsort((cand_ids, cand_d))[:take]
+                yield pd.DataFrame({
+                    "query_id": qid, "neighbor_id": cand_ids[part],
+                    "adist": cand_d[part]})
+
+    encoded = pq_encode(emb, books, id_col, vec_col)
+    local = encoded.mapInPandas(
+        local_topk, "query_id bigint, neighbor_id bigint, adist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("adist", 6).alias("adist")))
+
+
 def label_centroids(emb: DataFrame, dim: int = 64,
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

@@ -1834,6 +1834,22 @@ def ann_topk_lsh(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"), "cos")
 
 
+@register("ann_topk_pq", None, "llm", "similarity", "sketch")
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization top-5 by asymmetric distance computation
+    (operators/similarity.py:pq_adc_topk): 64-float vectors compressed
+    to 8 one-byte subspace codes (32x), candidates scored via per-query
+    distance-table lookups, per-partition local top-k so the final
+    shuffle carries only queries x k rows per partition — the memory
+    half of the IVF-PQ architecture every RAM-resident 100 TB ANN index
+    uses. Rows-only: ADC distances are algorithm-specific; the exact
+    regime (codebook covers every vector => ADC == exact L2 ranking) is
+    asserted in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, k=5, query_mod=50, m=8, codes=16,
+                                  dim=64, sample_mod=23)
+
+
 def _lang_sql(rel: str = "documents") -> str:
     cnts = {
         lang: " + ".join(

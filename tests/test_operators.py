@@ -182,6 +182,37 @@ def test_ivf_topk_probing_all_cells_equals_bruteforce(spark, sf_dir):
     assert all(q % 50 == 0 for q, _ in ivf_1)
 
 
+def test_pq_adc_exact_when_codebook_covers_vectors(spark):
+    """PQ exact regime: when the sampled codebook contains every
+    distinct vector, each vector reconstructs losslessly and ADC
+    distances ARE the exact squared-L2 distances — so the PQ top-k must
+    equal the exact ranking (ties on neighbor id). Catches broken
+    encoding, table building, or the per-partition gather. The
+    approximate regime on i.i.d. random embeddings has no meaningful
+    recall floor (same rationale as the IVF test above)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, m = 10, 8, 2
+    vecs = rng.normal(size=(n, dim)).round(3)
+    ids = [1 + 23 * i for i in range(n)]  # all ids ≡ 1 (mod 23)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>")
+    got = similarity.pq_adc_topk(emb, k=3, query_mod=4, m=m, codes=n,
+                                 dim=dim, sample_mod=23)
+    got_rows = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    assert got_rows, "no query ids divisible by 4 in fixture?"
+
+    by_id = dict(zip(ids, vecs))
+    for qid in {q for q, _ in got_rows}:
+        d = sorted(
+            (float(((by_id[qid] - v) ** 2).sum()), i)
+            for i, v in by_id.items() if i != qid)
+        for rank, (_, nid) in enumerate(d[:3], start=1):
+            assert got_rows[(qid, rank)] == nid, (qid, rank)
+
+
 def test_connected_components_known_graph(spark):
     from examples_scala_spark.operators.graph import connected_components
 

@@ -33,7 +33,8 @@ def duck(sf_dir):
 
 # declared rows-only (non-SQL-expressible / algorithm-specific) queries
 ROWS_ONLY = {"approx_distinct_users", "stream_delta_alerts",
-             "stream_early_firing", "value_quantile_sketch"}
+             "stream_early_firing", "value_quantile_sketch",
+             "ann_topk_pq"}
 
 
 def test_all_queries_have_oracles():
