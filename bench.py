@@ -146,7 +146,8 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in ["pipeline_training_data", "dedup_clusters",
                  "doc_repetition_stats", "funnel_conversion",
-                 "stream_windowed_avg"]:
+                 "stream_windowed_avg", "token_heavy_hitters",
+                 "value_quantile_sketch", "ann_topk_pq"]:
         t0 = time.time()
         n = len(REGISTRY[name].fn(spark, sf_dir).collect())
         extra[name] = round(time.time() - t0, 3)
