@@ -4154,3 +4154,70 @@ def value_quantile_sketch(spark, sf_dir):
     from .operators.sketches import tdigest_quantiles
 
     return tdigest_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
+
+@register(
+    "events_scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, us, chg,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o),
+    runs AS (
+      SELECT user_id, event_type, run_id::BIGINT AS version,
+             min(us)::BIGINT AS valid_from_us,
+             count(*)::BIGINT AS n_events
+      FROM r GROUP BY user_id, event_type, run_id)
+    SELECT user_id, event_type, version, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) IS NULL AS is_current
+    FROM runs""",
+    "llm", "window_functions",
+)
+def events_scd2_intervals(spark, sf_dir):
+    """Changelog -> SCD type-2 dimension build (gaps-and-islands): each
+    user's event stream collapses into runs of consecutive identical
+    event_type; each run becomes a versioned validity interval
+    [valid_from_us, valid_to_us) with the last run open (is_current).
+    The lakehouse pattern for turning an append-only event log into a
+    slowly-changing dimension snapshot.
+
+    Scale shape: ONE shuffle on user_id serves all three passes — the
+    lag/run-id windows, the per-run groupBy (user_id is a prefix of the
+    grouping key, so hash(user_id) already satisfies its distribution),
+    and the final lead() window. State per task is a single user's rows
+    ordered by time, never the whole log. Runs-per-user is bounded by
+    events-per-user, so the output never exceeds the input and the
+    interval table is typically orders of magnitude smaller — the right
+    input for a broadcast as-of enrichment downstream (J1's idiom)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")), 1).otherwise(0)
+    runs = (
+        ev.withColumn("chg", chg)
+        .withColumn("run_id", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "event_type",
+                 F.col("run_id").cast("bigint").alias("version"))
+        .agg(F.min("us").cast("bigint").alias("valid_from_us"),
+             F.count("*").alias("n_events"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from_us").over(wv)
+    return runs.select(
+        "user_id", "event_type", "version", "valid_from_us",
+        valid_to.alias("valid_to_us"), "n_events",
+        valid_to.isNull().alias("is_current"))

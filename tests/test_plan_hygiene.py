@@ -128,6 +128,9 @@ def _shuffles(plan: str) -> int:
     ("doc_passage_dup_ratio", 4),   # tot + dup + shared's two phases
     ("q20_excess_availability", 2), # (part,supp) agg + distinct cand
     ("q2_min_cost_supplier", 3),    # derived ps + mincost + join-back
+    # one user_id shuffle serves lag/run-id windows, the per-run
+    # groupBy (user_id prefixes the grouping key), and the lead window
+    ("events_scd2_intervals", 1),
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
