@@ -4221,3 +4221,52 @@ def events_scd2_intervals(spark, sf_dir):
         "user_id", "event_type", "version", "valid_from_us",
         valid_to.alias("valid_to_us"), "n_events",
         valid_to.isNull().alias("is_current"))
+
+@register(
+    "edit_distance_pairs",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             array_to_string((string_split(text, ' '))[1:4], ' ') AS blk
+      FROM documents)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(a.text, c.text)::BIGINT AS dist,
+           1.0 - levenshtein(a.text, c.text)::DOUBLE
+               / greatest(length(a.text), length(c.text)) AS sim
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE 1.0 - levenshtein(a.text, c.text)::DOUBLE
+              / greatest(length(a.text), length(c.text)) >= 0.9""",
+    "llm", "dedup",
+)
+def edit_distance_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs — the character-level modality the
+    token-level family (minhash/simhash/ngram-jaccard) misses: it
+    catches single-character typo edits that leave most shingles
+    intact but also scores transpositions/insertions exactly.
+    Candidates are blocked on the first-4-token prefix (deterministic,
+    reproducible in SQL — unlike banded minhash, prefix blocking needs
+    no hash agreement between engines), then scored with the built-in
+    JVM `levenshtein` and kept at normalized similarity >= 0.9
+    (1 - dist/max_len, identical expression tree on both engines).
+
+    Scale shape: the self-join shuffles on the block key, so work is
+    sum over blocks of |block|^2 — never corpus^2. At 100 TB you cap
+    hot blocks (the df-cap idiom from ngram_jaccard_pairs) and switch
+    the scorer to the threshold-bounded 3-arg `levenshtein(l, r, k)`
+    (O(k*len) early-exit, Spark 3.5+) once an oracle no longer needs
+    DuckDB's 2-arg semantics. O(len^2) DP cost per pair stays JVM-side
+    whole-stage-codegen — no Python in the loop."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.withColumn(
+        "blk", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " "))
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.text"), F.col("c.text"))
+    sim = (F.lit(1.0) - dist.cast("double")
+           / F.greatest(F.length("a.text"), F.length("c.text")))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"),
+                dist.cast("bigint").alias("dist"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.9))
