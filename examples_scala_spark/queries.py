@@ -4270,3 +4270,47 @@ def edit_distance_pairs(spark, sf_dir):
                 F.col("c.doc_id").alias("doc_b"),
                 dist.cast("bigint").alias("dist"), sim.alias("sim"))
         .filter(F.col("sim") >= 0.9))
+
+@register(
+    "stream_semi_join",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, (epoch_us(e.ts) // 1000) AS err_ms
+    FROM e WHERE EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = e.user_id
+        AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts)""",
+    "streaming", "J1",
+)
+def stream_semi_join(spark, sf_dir):
+    """Left-semi stream-stream interval join: errors preceded by a
+    click from the same user within 1 h — attribution/guard semantics
+    ("only act on errors from engaged users") without ever shipping the
+    right side's columns. Each matched error emits EXACTLY once, when
+    its first match arrives; further clicks re-match state but cannot
+    re-emit, and unmatched errors never emit at all (no null extension
+    to wait for — the cheap little sibling of the outer variants).
+    State obeys the same two-sided eviction horizons as the inner join,
+    O(lookback x rate). Same sentinel-flushed replay harness as
+    stream_left_outer_join; the error sentinel matches nothing (its
+    user_id -1 pairs with the click sentinel's -2) and the batch-side
+    filter is belt-and-braces."""
+    tune(spark)
+    from .streaming.pipelines import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("unix_micros(ts)"))
+    far = ev.agg(F.max("ts")).first()[0] + 48 * 3600 * 10**6
+    errors = _staged_sentinel_side(
+        spark, ev, "error", -1, far, ["event_id", "err_ts"])
+    clicks = _staged_sentinel_side(
+        spark, ev, "click", -2, far, ["click_id", "click_ts"]).drop("click_id")
+    out = stream_interval_join(
+        errors, clicks, keys=["user_id"], left_ts="err_ts",
+        right_ts="click_ts", lookback="1 hour", how="leftSemi")
+    out = out.select(
+        "event_id", "user_id",
+        F.expr("unix_micros(err_ts) div 1000").alias("err_ms"))
+    res = _run_to_memory(spark, out, "stream_semi_join_result")
+    return res.filter(F.col("event_id") >= 0)

@@ -83,10 +83,11 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         rw = rw.select(*[F.col(c).alias(f"__r_{c}") if c in keys else F.col(c)
                          for c in rw.columns])
     out = lw.join(rw, cond, how)
-    if keys:
+    if keys and how not in ("leftSemi", "leftAnti"):
         # Right-side-preserving joins null the left's key columns on
         # unmatched right rows — restore the key from whichever side
-        # has it before dropping the renamed copies.
+        # has it before dropping the renamed copies. Semi/anti joins
+        # emit left columns only, so there is nothing to restore.
         out = out.withColumns(
             {k: F.coalesce(F.col(k), F.col(f"__r_{k}")) for k in keys})
     return out.drop(*[c for c in out.columns if c.startswith("__l_")
