@@ -85,3 +85,54 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         src_col="doc_a", dst_col="doc_b")
     return comp.select(F.col("id").alias(id_col),
                        F.col("component").alias("cluster_id"))
+
+def pagerank(nodes: DataFrame, edges: DataFrame,
+             id_col: str = "id",
+             src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iterations: int = 10) -> DataFrame:
+    """Power-iteration PageRank on an undirected graph (edges are
+    symmetrized), ranks normalized to sum 1. Returns (id, rank).
+
+    Per round, same scale mechanics as connected_components: ONE
+    shuffle joins ranks to edges on src and sums contributions
+    (rank/degree) per dst — partial aggregation combines map-side, so
+    shuffled bytes are O(distinct dst), not O(edges). Dangling mass
+    (isolated nodes keep no out-edges after symmetrization) is
+    collected as a driver-side scalar per round and redistributed
+    uniformly — the standard correction that keeps the distribution
+    stochastic. `localCheckpoint` truncates lineage per round; total
+    work is O(iterations x edges), each round embarrassingly
+    shuffle-parallel."""
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = fwd.union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    degrees = sym.groupBy("src").agg(F.count("*").alias("deg"))
+
+    n = nodes.count()
+    ranks = nodes.select(
+        F.col(id_col).alias("id"), F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        with_deg = ranks.join(degrees, ranks.id == degrees.src, "left").select(
+            "id", "rank", "deg")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
+        contribs = (
+            sym.join(with_deg, sym.src == with_deg.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(contribs, F.col("id") == F.col("dst"), "left")
+            .select("id",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                     ).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -4314,3 +4314,31 @@ def stream_semi_join(spark, sf_dir):
         F.expr("unix_micros(err_ts) div 1000").alias("err_ms"))
     res = _run_to_memory(spark, out, "stream_semi_join_result")
     return res.filter(F.col("event_id") >= 0)
+
+@register(
+    "doc_pagerank",
+    None,  # power-iteration double sums are summation-order-dependent
+    "llm", "graph", "iterative",
+)
+def doc_pagerank(spark, sf_dir):
+    """PageRank centrality over the MinHash-LSH near-dup graph — the
+    top-20 'template' documents: high rank marks docs whose text
+    recurs (with edits) across many others, exactly the boilerplate a
+    curation pass inspects first. Same edge set as dedup_clusters, so
+    the two queries share the LSH candidate machinery; power iteration
+    (operators/graph.py:pagerank) does one rank-to-edges shuffle per
+    round with map-side partial sums, dangling mass redistributed.
+    Rows-only: iterative double summation is order-dependent, so no SQL
+    oracle reproduces the bits; the analytic fixed-point and
+    stochasticity tests in tests/test_operators.py carry correctness.
+    Top-20 is TakeOrderedAndProject with doc_id tie-break."""
+    from .operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    ranks = pagerank(docs.select(F.col("doc_id").alias("id")),
+                     pairs.select("doc_a", "doc_b"),
+                     src_col="doc_a", dst_col="doc_b", iterations=10)
+    return (ranks.select(F.col("id").alias("doc_id"), "rank")
+            .orderBy(F.desc("rank"), "doc_id").limit(20))

@@ -457,3 +457,34 @@ def test_chunk_tokens_matches_python_reference(spark, texts):
             (r.chunk_id, r.n_chunk_tokens, r.chunk_text))
     for i, t in rows:
         assert sorted(got[i]) == _py_chunks(t, 4, 3), (t, got[i])
+
+def test_pagerank_star_graph_analytic_fixed_point(spark):
+    from examples_scala_spark.operators.graph import pagerank
+
+    # undirected star K1,4 + one isolated node: closed-form fixed point
+    # (n=5 connected) is center .47568, leaf .13108 when no dangling;
+    # with the isolated 6th node every rank shrinks but ordering and
+    # stochasticity (sum == 1) must hold.
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], ["src", "dst"])
+    got = {r.id: r.rank for r in
+           pagerank(nodes, edges, iterations=40).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert abs(got[1] - 0.47568) < 1e-3
+    for leaf in (2, 3, 4, 5):
+        assert abs(got[leaf] - 0.13108) < 1e-3
+
+
+def test_pagerank_redistributes_dangling_mass(spark):
+    from examples_scala_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], ["src", "dst"])
+    got = {r.id: r.rank for r in
+           pagerank(nodes, edges, iterations=40).collect()}
+    # isolated node keeps only teleport + its share of its own mass,
+    # the distribution stays stochastic, center still dominates
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] > got[2] > got[6] > 0
