@@ -172,3 +172,39 @@ def switch_filter(readings: DataFrame, switches: DataFrame,
         & (F.col("r.ts") < F.col("s.disable_ts")),
         "inner",
     ).select("r.*")
+
+def range_join(left: DataFrame, right: DataFrame, value_col: str,
+               lo_col: str, hi_col: str, granularity: float,
+               extra_keys: list[str] | None = None,
+               how: str = "inner") -> DataFrame:
+    """Generic range join — match left rows whose `value_col` falls in
+    the right side's [lo_col, hi_col) interval — executed as an EQUI
+    join, never a cross product.
+
+    The trick (Databricks' "bin the ranges" / interval-bucketing
+    idiom): each interval explodes into the grid cells of width
+    `granularity` it overlaps; each left row hashes to exactly ONE cell
+    (floor(value/g)); join on cell (+ any extra equi keys), then filter
+    exact containment. Cost is |left| + |right| x avg_cells_per_interval
+    shuffled rows through a hash join — Catalyst alone would plan a
+    broadcast-nested-loop (no equi condition), which is |left| x |right|
+    compares and the 100 TB failure mode whenever the interval table
+    outgrows a broadcast. Pick granularity near the median interval
+    width so avg_cells_per_interval stays O(1); intervals spanning many
+    cells duplicate only themselves (dimension-sized), never the fact.
+
+    Works for numeric and epoch-time ranges alike; `extra_keys` adds
+    equi predicates (e.g. per-type bands). Right-side intervals are
+    half-open [lo, hi)."""
+    cells = right.withColumn(
+        "__cell",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / granularity).cast("long"),
+            F.floor(F.col(hi_col) / granularity).cast("long"))))
+    lb = left.withColumn(
+        "__cell", F.floor(F.col(value_col) / granularity).cast("long"))
+    on = ["__cell"] + (extra_keys or [])
+    out = lb.join(cells, on, how).filter(
+        (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col)))
+    return out.drop("__cell")

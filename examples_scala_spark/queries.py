@@ -4342,3 +4342,61 @@ def doc_pagerank(spark, sf_dir):
                      src_col="doc_a", dst_col="doc_b", iterations=10)
     return (ranks.select(F.col("id").alias("doc_id"), "rank")
             .orderBy(F.desc("rank"), "doc_id").limit(20))
+
+@register(
+    "events_value_bands",
+    """
+    WITH stats AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY event_type),
+    bands AS (
+      SELECT event_type, k AS band,
+             mn + k * ((mx - mn) / 5.0) AS lo,
+             CASE WHEN k < 4 THEN mn + (k + 1) * ((mx - mn) / 5.0)
+                  ELSE mx + 1.0 END AS hi
+      FROM stats, range(0, 5) t(k))
+    SELECT b.event_type, b.band::BIGINT AS band, b.lo AS lo, b.hi AS hi,
+           count(*)::BIGINT AS n,
+           SUM(CAST(e.value AS DECIMAL(14,2)))::DOUBLE AS total
+    FROM events e JOIN bands b
+      ON e.event_type = b.event_type
+     AND e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.event_type, b.band, b.lo, b.hi""",
+    "llm", "range_join",
+)
+def events_value_bands(spark, sf_dir):
+    """Range join demo: per-type equal-width value bands (derived from
+    min/max, last band padded so the max lands inside) range-joined
+    back to the fact rows via operators/joins.py:range_join — interval
+    bucketing turns the non-equi containment predicate into a hash
+    join on (cell, event_type). Catalyst's native plan for this join
+    is BroadcastNestedLoopJoin (fine for 25 bands, quadratic doom once
+    the interval table outgrows a broadcast); the bucketed plan is the
+    one that survives a fact x big-dim range join at 100 TB, and a
+    plan test pins the absence of nested-loop/cartesian nodes. Band
+    edges use one shared (mx-mn)/5 term on both engines so boundary
+    membership is bit-identical; aggregates are the usual BIGINT count
+    + DECIMAL-then-DOUBLE sum."""
+    from .operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / F.lit(5.0)
+    bands = (
+        stats.select(
+            "event_type", "mn", "mx",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band"))
+        .select(
+            "event_type", "band",
+            (F.col("mn") + F.col("band") * w).alias("lo"),
+            F.when(F.col("band") < 4,
+                   F.col("mn") + (F.col("band") + 1) * w)
+             .otherwise(F.col("mx") + 1.0).alias("hi")))
+    joined = range_join(ev, bands, "value", "lo", "hi",
+                        granularity=25.0, extra_keys=["event_type"])
+    return joined.groupBy(
+        "event_type", F.col("band").cast("bigint").alias("band"),
+        "lo", "hi"
+    ).agg(F.count("*").alias("n"),
+          F.sum(dec("value", 14)).cast("double").alias("total"))

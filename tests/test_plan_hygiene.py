@@ -143,3 +143,14 @@ def test_q2_broadcasts_dims_and_takes_ordered_topk(spark, sf_dir):
                        "simple")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan    # LIMIT 100 never global-sorts
+
+def test_range_join_plans_as_equi_join(spark, sf_dir):
+    """The bucketized range join must plan as a hash/broadcast EQUI
+    join on the grid cell — a BroadcastNestedLoopJoin or cartesian
+    product here means the non-equi predicate leaked through and the
+    plan is |left| x |right| at scale."""
+    plan = explain_str(REGISTRY["events_value_bands"].fn(spark, sf_dir),
+                       "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
