@@ -4400,3 +4400,69 @@ def events_value_bands(spark, sf_dir):
         "lo", "hi"
     ).agg(F.count("*").alias("n"),
           F.sum(dec("value", 14)).cast("double").alias("total"))
+
+@register(
+    "events_multires_rollup",
+    """
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(14,2)) AS v
+      FROM events),
+    minute AS (
+      SELECT event_type, us // 60000000 AS m,
+             count(*)::BIGINT AS n, SUM(v) AS tot
+      FROM base GROUP BY event_type, us // 60000000),
+    hour AS (
+      SELECT event_type, m // 60 AS h,
+             SUM(n)::BIGINT AS n, SUM(tot) AS tot
+      FROM minute GROUP BY event_type, m // 60),
+    day AS (
+      SELECT event_type, h // 24 AS d,
+             SUM(n)::BIGINT AS n, SUM(tot) AS tot
+      FROM hour GROUP BY event_type, h // 24)
+    SELECT 'minute' AS resolution, (m * 60000000)::BIGINT AS bucket_us,
+           event_type, n, tot::DOUBLE AS total FROM minute
+    UNION ALL
+    SELECT 'hour', (h * 3600000000)::BIGINT, event_type, n, tot::DOUBLE
+    FROM hour
+    UNION ALL
+    SELECT 'day', (d * 86400000000)::BIGINT, event_type, n, tot::DOUBLE
+    FROM day""",
+    "llm", "rollup",
+)
+def events_multires_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (the continuous-
+    aggregate cascade): raw -> minute -> hour -> day, where every
+    coarser level re-aggregates the FINER level's partials instead of
+    rescanning raw. Only the raw->minute aggregation touches the full
+    fact table (and map-side partial aggregation shrinks even that
+    shuffle to distinct-bucket size); hour and day shuffle
+    minute-/hour-sized inputs — geometrically shrinking work, which is
+    why a 100 TB hypertable maintains its rollup pyramid incrementally
+    rather than re-aggregating raw per resolution. Sums stay DECIMAL
+    through every level (exact, so cascaded == direct aggregation
+    bit-for-bit — the property that makes partial rollups trustworthy)
+    and cast to DOUBLE only in the final projection; the oracle
+    mirrors the same cascade."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"),
+        dec("value", 14).alias("v"))
+    minute = ev.groupBy(
+        "event_type", F.expr("us div 60000000").alias("m")
+    ).agg(F.count("*").alias("n"), F.sum("v").alias("tot"))
+    hour = minute.groupBy(
+        "event_type", F.expr("m div 60").alias("h")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("tot").alias("tot"))
+    day = hour.groupBy(
+        "event_type", F.expr("h div 24").alias("d")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("tot").alias("tot"))
+
+    def lvl(df, tag, col, size):
+        return df.select(
+            F.lit(tag).alias("resolution"),
+            (F.col(col) * size).cast("bigint").alias("bucket_us"),
+            "event_type", "n", F.col("tot").cast("double").alias("total"))
+
+    return (lvl(minute, "minute", "m", 60_000_000)
+            .unionAll(lvl(hour, "hour", "h", 3_600_000_000))
+            .unionAll(lvl(day, "day", "d", 86_400_000_000)))
