@@ -4466,3 +4466,57 @@ def events_multires_rollup(spark, sf_dir):
     return (lvl(minute, "minute", "m", 60_000_000)
             .unionAll(lvl(hour, "hour", "h", 3_600_000_000))
             .unionAll(lvl(day, "day", "d", 86_400_000_000)))
+
+@register(
+    "length_weighted_sample",
+    """
+    WITH stats AS (
+      SELECT sum(n_chars)::BIGINT AS wsum, count(*)::BIGINT AS n
+      FROM documents),
+    h AS (
+      SELECT doc_id, n_chars, wsum, n,
+             ('0x' || substr(md5('wsamp-' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS u
+      FROM documents CROSS JOIN stats)
+    SELECT doc_id, n_chars,
+           (n * n_chars) / (5.0 * wsum) AS p_inclusion,
+           (5.0 * wsum) / (n * n_chars) AS ht_weight
+    FROM h
+    WHERE u::HUGEINT * (5 * wsum)::HUGEINT
+        < n_chars::HUGEINT * n::HUGEINT * 1152921504606846976::HUGEINT""",
+    "llm", "sampling",
+)
+def length_weighted_sample(spark, sf_dir):
+    """Importance sampling with P(keep) proportional to document LENGTH
+    at overall rate 1/5 — the token-budget sampler: each token (not
+    each doc) gets equal inclusion probability, so the sampled corpus
+    hits ~1/5 of the token budget without length bias, and ht_weight
+    (1/p, Horvitz-Thompson) makes downstream statistics unbiased.
+
+    The keep decision is EXACT integer arithmetic — u/2^60 < n·w/(5·wsum)
+    cross-multiplied into DECIMAL(38)/HUGEINT products — on a salted
+    md5 of the stable doc_id: deterministic under retries and data
+    appends (rand() is neither), reproducible bit-for-bit by the SQL
+    oracle, no floating-point boundary ambiguity. The corpus-level
+    (wsum, n) scalars ride a broadcast 1-row cross join; the keep
+    test itself is a narrow scan — zero fact shuffles at any scale.
+    Docs heavy enough that p would exceed 1 are simply always kept
+    (none at this data; at 100 TB that's the standard weight cap)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stats = docs.agg(F.sum("n_chars").cast("bigint").alias("wsum"),
+                     F.count("*").alias("n"))
+    d = lambda c: c.cast("decimal(38,0)")
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.lit("wsamp-"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+    h = docs.crossJoin(F.broadcast(stats)).withColumn("u", u)
+    return (
+        h.filter(d(F.col("u")) * d(F.lit(5) * F.col("wsum"))
+                 < d(F.col("n_chars")) * d(F.col("n"))
+                 * d(F.lit(1152921504606846976)))
+        .select(
+            "doc_id", "n_chars",
+            ((F.col("n") * F.col("n_chars")) / (F.lit(5.0) * F.col("wsum")))
+            .alias("p_inclusion"),
+            ((F.lit(5.0) * F.col("wsum")) / (F.col("n") * F.col("n_chars")))
+            .alias("ht_weight")))

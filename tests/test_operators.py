@@ -488,3 +488,19 @@ def test_pagerank_redistributes_dangling_mass(spark):
     # the distribution stays stochastic, center still dominates
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[1] > got[2] > got[6] > 0
+
+def test_length_weighted_sample_is_length_biased_and_on_rate(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    corpus_mean = docs.agg({"n_chars": "avg"}).first()[0]
+    sample = REGISTRY["length_weighted_sample"].fn(spark, sf_dir)
+    rows = sample.collect()
+    # overall rate ~1/5 and P(keep) proportional to length => the
+    # sample must skew long; ht_weight must invert p exactly
+    assert 0.1 * n < len(rows) < 0.35 * n
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    for r in rows[:10]:
+        assert abs(r.p_inclusion * r.ht_weight - 1.0) < 1e-12
