@@ -31,3 +31,25 @@ def write_cell_partitioned(df: DataFrame, path: str, cell_col: str) -> None:
     (e.g. IVF cell id). A query filtering on `cell_col` scans only the
     matching directories — partition pruning."""
     df.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_bytes: int = 128 << 20) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(input_bytes / target_bytes) files and return that count.
+
+    The small-files problem is the quiet killer of 100 TB pipelines:
+    streaming sinks and fine-grained partitions leave thousands of
+    KB-sized files, so scans pay per-file open/footer costs and the
+    driver pays per-file listing/planning. Compaction restores
+    ~target_bytes files (default 128 MB — one HDFS/S3-friendly block,
+    matching `spark.sql.files.maxPartitionBytes` so one task reads one
+    file). Uses `coalesce` (narrow, no shuffle) — file assembly moves
+    bytes but never re-hashes rows; use a `repartition(col)` variant
+    instead when the rewrite should also co-locate a join key."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total // target_bytes))
+    spark.read.parquet(path).coalesce(n_files) \
+        .write.mode("overwrite").parquet(out_path)
+    return n_files

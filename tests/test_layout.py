@@ -55,3 +55,23 @@ def test_cell_partitioned_scan_prunes(spark, sf_dir, tmp_path):
         "PartitionFilters", 1)[1][:200]
     want = ev.filter(F.col("cell") == 3).count()
     assert back.count() == want
+
+def test_compact_parquet_restores_big_files(spark, sf_dir):
+    import glob
+    import tempfile
+
+    from examples_scala_spark.sources.layout import compact_parquet
+
+    src = tempfile.mkdtemp(prefix="sgs_smallfiles_")
+    dst = tempfile.mkdtemp(prefix="sgs_compacted_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(32).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    n = compact_parquet(spark, src, dst)  # tiny input -> 1 target file
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    # content-preserving: same rows, same aggregate
+    a = ev.groupBy("event_type").count().collect()
+    b = spark.read.parquet(dst).groupBy("event_type").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
