@@ -282,3 +282,41 @@ def test_stream_full_outer_join_coalesces_right_key(spark, tmpdir):
     # key; zz@10_000 (left) and zy@9_000 (right, horizon 9_060 > wm)
     # are both still open at end of stream -> withheld.
     assert got == [("u1", 100, 50), ("u9", None, 70)]
+
+def test_metrics_collector_captures_progress_and_state(spark, tmpdir):
+    import os
+    import time
+
+    from examples_scala_spark.streaming.monitor import MetricsCollector
+
+    path = os.path.join(tmpdir, "mon_in")
+    spark.createDataFrame(
+        [("s1", 0, 10.0), ("s2", 500, 20.0), ("s1", 1500, 30.0)],
+        ["id", "timestamp", "temperature"]) \
+        .repartition(1).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema("id string, timestamp long, temperature double")
+        .parquet(path)
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp"))))
+    agg = (stream.withWatermark("ts", "1 second")
+           .groupBy(F.window("ts", "1 second"), "id").count())
+
+    c = MetricsCollector()
+    spark.streams.addListener(c)
+    try:
+        q = (agg.writeStream.format("memory").queryName("mon_q")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(tmpdir, "mon_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener delivery is async on the listener bus
+        deadline = time.time() + 15
+        while time.time() < deadline and not c.progress:
+            time.sleep(0.5)
+        t = c.totals("mon_q")
+        assert t["batches"] >= 1
+        assert t["input_rows"] == 3
+        assert t["peak_state_rows"] >= 1   # windowed agg keeps keyed state
+        assert t["dropped_by_watermark"] == 0
+    finally:
+        spark.streams.removeListener(c)
