@@ -34,7 +34,7 @@ def duck(sf_dir):
 # declared rows-only (non-SQL-expressible / algorithm-specific) queries
 ROWS_ONLY = {"approx_distinct_users", "stream_delta_alerts",
              "stream_early_firing", "value_quantile_sketch",
-             "ann_topk_pq"}
+             "ann_topk_pq", "doc_pagerank"}
 
 
 def test_all_queries_have_oracles():
