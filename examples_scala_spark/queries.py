@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .session import tune
-from .sources.tables import load_table, sensor_readings, SENSOR_READINGS_SQL
+from .sources.tables import (
+    load_table, normalize_ts, sensor_readings, SENSOR_READINGS_SQL)
 from .operators import aggregations as agg
 from .operators import dedup, joins, late_data, similarity, text, multimodal
 from .operators.aggregations import dec
@@ -2108,16 +2109,10 @@ def stream_delta_alerts(spark, sf_dir):
     tune(spark)
     from .streaming.stateful import temperature_delta_alerts
 
-    src = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-    )
+    src = _events_stream(spark, sf_dir)
     readings = src.select(
         F.concat(F.lit("sensor_"), ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
-        F.expr("ts div 1000").alias("timestamp"),
+        F.expr("unix_micros(ts) div 1000").alias("timestamp"),
         F.col("value").alias("temperature"),
     )
     out = temperature_delta_alerts(readings, threshold=17.0)
@@ -2147,16 +2142,10 @@ def stream_early_firing(spark, sf_dir):
     tune(spark)
     from .streaming.timers import early_firing_window_counts
 
-    src = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-    )
+    src = _events_stream(spark, sf_dir)
     readings = src.select(
         F.concat(F.lit("sensor_"), ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
-        F.expr("ts div 1000000").alias("timestamp"),  # TIMESTAMP(NANOS) -> ms
+        F.expr("unix_micros(ts) div 1000").alias("timestamp"),  # epoch ms
         F.col("value").alias("temperature"),
     )
     out = early_firing_window_counts(
@@ -2315,14 +2304,7 @@ def stream_interval_join_query(spark, sf_dir):
     tune(spark)
     from .streaming.pipelines import stream_interval_join
 
-    src = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-    )
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _events_stream(spark, sf_dir)
     errors = src.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", F.col("ts").alias("err_ts"))
     clicks = src.filter(F.col("event_type") == "click").select(
@@ -2344,16 +2326,18 @@ def stream_interval_join_query(spark, sf_dir):
 
 
 def _events_stream(spark, sf_dir):
-    """Bounded streaming replay of the events table (TIMESTAMP(NANOS)
-    ts read as BIGINT nanos, restored to TimestampType)."""
+    """Bounded streaming replay of the events table. The parquet
+    TIMESTAMP(NANOS) column is read as TIMESTAMP_NTZ (vanilla Spark 4
+    behavior) and normalized to a UTC-instant TimestampType, matching
+    the batch load_table() path under any session timezone."""
     src = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string")
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(src, "ts")
 
 
 def _run_to_memory(spark, out, name, mode="append"):
@@ -3832,6 +3816,7 @@ def _staged_events_stream(spark, sf_dir, n_files: int = 4):
 
     d = tempfile.mkdtemp(prefix="sgs_staged_")
     (load_table(spark, sf_dir, "events")
+     .withColumn("ts", F.expr("unix_micros(ts)"))  # stage as BIGINT micros
      .repartition(n_files)
      .write.mode("overwrite").parquet(d))
     src = (
@@ -3840,7 +3825,7 @@ def _staged_events_stream(spark, sf_dir, n_files: int = 4):
             "value double, props string")
         .option("maxFilesPerTrigger", 1).parquet(d)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src.withColumn("ts", F.timestamp_micros("ts"))
 
 
 @register(

@@ -28,10 +28,6 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # driver testdata events.parquet stores TIMESTAMP(NANOS) which the
-    # Spark parquet reader rejects by default; read as BIGINT nanos and
-    # convert explicitly (values are micro-aligned).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.shuffle.partitions",
                        os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -24,18 +24,41 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+# Timezone-independent epoch extraction from a TIMESTAMP_NTZ wall clock
+# (interpreted as UTC, exactly matching DuckDB's epoch_us on its TIMESTAMP).
+_NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType holding the UTC
+    instant, regardless of how the session read the parquet
+    TIMESTAMP(NANOS) physical type:
+
+    - TIMESTAMP_NTZ (vanilla Spark 4 read — what the driver's session
+      sees): wall clock interpreted as UTC via timestampdiff from the
+      NTZ epoch, which is timezone-independent.
+    - BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong sessions).
+    - TimestampType already: left alone.
+
+    timestamp_micros() builds the instant from epoch micros, so the
+    result is identical under any session timezone.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(_NTZ_EPOCH_US.format(col=col))))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as BIGINT nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) and restore a
-        # TimestampType column; values are micro-aligned so div 1000 is
-        # exact.
-        from pyspark.sql.types import LongType
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df, "ts")
     return df
 
 
