@@ -102,6 +102,33 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_delta(prior_sigs: DataFrame, changes: DataFrame,
+                  num_hashes: int = 16, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  op_col: str = "op") -> DataFrame:
+    """Incrementally maintain a MinHash signature table under a
+    document changelog instead of recomputing the corpus.
+
+    `changes` is (id, op, text) with op in {'upsert', 'delete'} — the
+    shape a CDC feed or a curation pass emits. Shingling + hashing run
+    ONLY over the upserted documents (changelog-sized work, not
+    corpus-sized); the prior signature table is then anti-joined
+    against the changed ids and unioned with the fresh signatures.
+    The changed-id side is broadcast, so the 100 TB signature table is
+    never shuffled — maintenance cost is O(|changelog|) + one broadcast
+    scan of the priors. The result is bit-identical to a full recompute
+    over the updated corpus (asserted in tests and by the
+    minhash_incremental oracle).
+    """
+    changed_ids = changes.select(F.col(id_col)).distinct()
+    fresh = minhash_signatures(
+        changes.filter(F.col(op_col) == "upsert").select(id_col, text_col),
+        num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col)
+    kept = prior_sigs.join(F.broadcast(changed_ids), on=id_col,
+                           how="left_anti")
+    return kept.unionByName(fresh)
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                       n: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,73 @@
+"""Stratified reservoir sampling as a mergeable two-stage accumulator.
+
+Semantics: exactly min(k, |stratum|) rows per stratum, chosen as the k
+smallest salted-md5 hashes of the stable id ("bottom-k by hash" — the
+mergeable, deterministic formulation of reservoir sampling: the union
+of two strata samples' candidate sets always contains the combined
+bottom-k, so partial results merge exactly, and the same rows are
+chosen under retries, repartitioning, and data-order changes, where a
+classic random reservoir is none of those).
+
+Scale design: stage 1 prunes candidates per input partition with an
+Arrow-batched accumulator (mapInPandas) that keeps only the k smallest
+hashes per stratum seen in that partition — the shuffle that follows
+carries at most k * num_partitions * num_strata rows, independent of
+table size. Stage 2 takes the exact global bottom-k per stratum with
+one window over that tiny candidate set. The big table itself is never
+shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_col(id_col: str, salt: str) -> F.Column:
+    # same idiom as the hash-split / importance samplers: first 15 hex
+    # digits of a salted md5 as a uniform BIGINT in [0, 2^60)
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("bigint"))
+
+
+def stratified_reservoir(df: DataFrame, stratum_col: str, k: int,
+                         id_col: str, salt: str = "rsv") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: (stratum, id, rnk)
+    with rnk in 1..k ordered by the sampling hash.
+
+    Stage 1 (mapInPandas, per input partition): keep the k smallest
+    (hash, id) per stratum — a superset of the global answer by the
+    bottom-k merge property. Stage 2: exact row_number over the
+    pruned candidates.
+    """
+    hashed = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("sid"),
+        _hash_col(id_col, salt).alias("u"),
+    )
+    schema = hashed.schema
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf))
+            # nsmallest per stratum on (u, sid); k+ties don't matter —
+            # stage 2 re-ranks exactly
+            acc = (both.sort_values(["u", "sid"])
+                   .groupby("stratum", sort=False).head(k))
+        yield acc if acc is not None else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in schema.fields})
+
+    candidates = hashed.mapInPandas(prune, schema)
+    w = Window.partitionBy("stratum").orderBy("u", "sid")
+    return (candidates
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("stratum").alias(stratum_col),
+                    F.col("sid").alias(id_col),
+                    F.col("rnk").cast("long").alias("rnk")))

@@ -1421,17 +1421,17 @@ def events_distinct_users(spark, sf_dir):
 # Spark operators, so results are engine-identical.
 # ======================================================================
 
-_SHINGLES_CTE = """
-    WITH w AS (
+_SHINGLES_BODY = """w AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
-      FROM documents),
+      FROM {src}),
     sh AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(
                range(1, greatest(len(words) - 2, 0) + 1),
                i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingle
-      FROM w)
-"""
+      FROM w)"""
+
+_SHINGLES_CTE = "\n    WITH " + _SHINGLES_BODY.format(src="documents") + "\n"
 
 
 @register(
@@ -1447,13 +1447,13 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs)
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(src: str = "documents", prefix: str = "") -> str:
     mins = ",\n           ".join(
         f"min((x * {a} + {b}) % {dedup.P})::BIGINT AS mh_{i}"
         for i, (a, b) in enumerate(dedup._hash_params(16))
     )
     return (
-        _SHINGLES_CTE
+        "\n    WITH " + prefix + _SHINGLES_BODY.format(src=src)
         + f""",
     x AS (
       SELECT doc_id,
@@ -4505,3 +4505,137 @@ def length_weighted_sample(spark, sf_dir):
             .alias("p_inclusion"),
             ((F.lit(5.0) * F.col("wsum")) / (F.col("n") * F.col("n_chars")))
             .alias("ht_weight")))
+
+
+# ======================================================================
+# Round 2: sequence packing, reservoir sampling, model inference,
+# incremental signature maintenance
+# ======================================================================
+
+@register(
+    "doc_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS bucket,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM t)
+    SELECT doc_id, bucket, n_tokens,
+           (cum_before % 64)::BIGINT AS offset,
+           (bucket * 4294967296 + cum_before // 64)::BIGINT AS pack_id
+    FROM c""",
+    "llm", "packing",
+)
+def doc_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.py): every
+    document gets a (pack_id, offset) slot in a 64-token-budget
+    training sequence. Deterministic bucketing + one per-bucket window
+    cumsum = one shuffle; buckets pack in parallel and scale with the
+    data. The reference has no such operator; this is the LLM-pipeline
+    surface (prep for pretraining batches)."""
+    from .operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=64, n_buckets=16)
+
+
+@register(
+    "stratified_reservoir",
+    """
+    WITH h AS (
+      SELECT lang AS stratum, doc_id,
+             ('0x' || substr(md5('rsv-' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS u
+      FROM documents),
+    r AS (
+      SELECT stratum, doc_id,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY u, doc_id) AS rnk
+      FROM h)
+    SELECT stratum AS lang, doc_id, rnk::BIGINT AS rnk
+    FROM r WHERE rnk <= 25""",
+    "llm", "sampling",
+)
+def stratified_reservoir(spark, sf_dir):
+    """Stratified reservoir sample, exactly 25 docs per language
+    (operators/sampling.py): deterministic bottom-k-by-hash semantics
+    through a mergeable two-stage accumulator — per-partition Arrow
+    candidate pruning (<= k rows per stratum per partition survive),
+    then one exact window over the tiny candidate set. The corpus is
+    never shuffled; the oracle is the direct global ranking."""
+    from .operators.sampling import stratified_reservoir as rsv
+    docs = _t(spark, sf_dir, "documents")
+    return rsv(docs, stratum_col="lang", k=25, id_col="doc_id")
+
+
+def _quality_model_sql() -> str:
+    from .operators.inference import score_sql_expr
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b'))::BIGINT
+               AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+           {score_sql_expr()} AS score
+    FROM feats"""
+
+
+@register(
+    "quality_model_scores",
+    _quality_model_sql(),
+    "llm", "inference",
+)
+def quality_model_scores(spark, sf_dir):
+    """Batched model inference (operators/inference.py): JVM-side
+    feature extraction feeds an Arrow-batched pandas UDF running a
+    vectorized logistic forward pass — the scale shape for "score the
+    corpus with a quality classifier" (swap the numpy expression for a
+    real model without touching the plumbing). Zero shuffles; the SQL
+    twin evaluates the identical expression, so the Python inference
+    path is value-checked end to end."""
+    from .operators.inference import quality_model_scores as score
+    docs = _t(spark, sf_dir, "documents")
+    return score(docs)
+
+
+@register(
+    "minhash_incremental",
+    _minhash_sig_sql(
+        src="updated",
+        prefix="""updated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 THEN text || ' upd' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 10 <> 7),
+    """),
+    "llm", "dedup", "incremental",
+)
+def minhash_incremental(spark, sf_dir):
+    """Incremental MinHash maintenance (operators/dedup.py:
+    minhash_delta): a simulated CDC changelog (10% of docs updated, 10%
+    deleted) patches the prior signature table — shingling runs only
+    over the changelog, the prior table is anti-joined against a
+    BROADCAST of the changed ids (the 100 TB signature table never
+    shuffles). Oracle = full recompute over the updated corpus, so the
+    delta path is proven bit-identical to the batch path."""
+    docs = _t(spark, sf_dir, "documents")
+    prior = dedup.minhash_signatures(docs, num_hashes=16, n=3)
+    changes = (
+        docs.filter((F.col("doc_id") % 10).isin(3, 7))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 3, "upsert")
+             .otherwise("delete").alias("op"),
+            F.when(F.col("doc_id") % 10 == 3,
+                   F.concat(F.col("text"), F.lit(" upd")))
+             .otherwise(F.col("text")).alias("text")))
+    return dedup.minhash_delta(prior, changes, num_hashes=16, n=3)

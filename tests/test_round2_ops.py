@@ -1,0 +1,126 @@
+"""Round-2 operators: sequence packing, stratified reservoir sampling,
+batched model inference, incremental MinHash maintenance."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from examples_scala_spark.operators.dedup import (
+    minhash_delta, minhash_signatures)
+from examples_scala_spark.operators.inference import (
+    WEIGHTS, quality_model_scores)
+from examples_scala_spark.operators.packing import PACK_STRIDE, pack_sequences
+from examples_scala_spark.operators.sampling import stratified_reservoir
+from examples_scala_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# ----------------------------------------------------------------- packing
+
+def test_pack_sequences_cumsum_arithmetic(spark, sf_dir):
+    budget, buckets = 64, 16
+    out = pack_sequences(_docs(spark, sf_dir), budget=budget,
+                         n_buckets=buckets).toPandas()
+    assert len(out) == _docs(spark, sf_dir).count()
+    # replay the packing arithmetic in pandas
+    out = out.sort_values(["bucket", "doc_id"]).reset_index(drop=True)
+    for bucket, grp in out.groupby("bucket"):
+        cum = 0
+        for row in grp.itertuples():
+            assert row.offset == cum % budget
+            assert row.pack_id == bucket * PACK_STRIDE + cum // budget
+            cum += row.n_tokens
+    # offsets always inside the budget, ids in the bucket's stride range
+    assert (out["offset"] < budget).all()
+    assert (out["pack_id"] // PACK_STRIDE == out["bucket"]).all()
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = pack_sequences(docs.repartition(7), budget=32, n_buckets=8)
+    b = pack_sequences(docs.coalesce(1), budget=32, n_buckets=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --------------------------------------------------------------- reservoir
+
+def test_stratified_reservoir_matches_direct_bottom_k(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    k = 7
+    got = stratified_reservoir(docs.repartition(13), "lang", k, "doc_id")
+    # direct global ranking over the full table (the oracle semantics)
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("rsv-"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint"))
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    want = (docs.select("lang", "doc_id", u.alias("u"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("lang", "doc_id", F.col("rnk").cast("long").alias("rnk")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stratified_reservoir_exact_k_per_stratum(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sizes = dict(docs.groupBy("lang").count().collect())
+    k = 5
+    got = stratified_reservoir(docs, "lang", k, "doc_id")
+    per = dict(got.groupBy("lang").count().collect())
+    assert per == {lang: min(k, n) for lang, n in sizes.items()}
+
+
+# --------------------------------------------------------------- inference
+
+def test_quality_model_matches_jvm_expression(spark, sf_dir):
+    """The pandas-UDF forward pass must equal the same formula computed
+    entirely JVM-side — proves the Arrow plumbing transports values
+    unchanged."""
+    scored = quality_model_scores(_docs(spark, sf_dir))
+    w = WEIGHTS
+    jvm = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(
+        F.lit(w["bias"])
+        + F.lit(w["log_len"]) * F.log(F.col("n_chars") + F.lit(1.0))
+        + F.lit(w["stop_ratio"]) * (F.col("n_stop")
+                                    / F.col("n_words").cast("double"))
+        + F.lit(w["punct_ratio"]) * (F.col("n_punct")
+                                     / F.col("n_words").cast("double"))))), 6)
+    bad = scored.withColumn("jvm", jvm).filter(
+        F.abs(F.col("score") - F.col("jvm")) > 1e-9)
+    assert bad.count() == 0
+    rng = scored.agg(F.min("score"), F.max("score")).first()
+    assert 0.0 < rng[0] and rng[1] < 1.0
+
+
+# ------------------------------------------------------- incremental minhash
+
+def test_minhash_delta_equals_full_recompute(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(200).cache()
+    prior = minhash_signatures(docs, num_hashes=8, n=3)
+    # changelog: update ids %7==0, delete ids %7==1, insert two new docs
+    updates = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select("doc_id", F.lit("upsert").alias("op"),
+                       F.concat("text", F.lit(" changed")).alias("text")))
+    deletes = (docs.filter(F.col("doc_id") % 7 == 1)
+               .select("doc_id", F.lit("delete").alias("op"), "text"))
+    inserts = spark.createDataFrame(
+        [(10_000_001, "upsert", "brand new document text here"),
+         (10_000_002, "upsert", "xx")],  # < 3 words: no shingles, no sig
+        "doc_id bigint, op string, text string")
+    changes = updates.unionByName(deletes).unionByName(inserts)
+
+    got = minhash_delta(prior, changes, num_hashes=8, n=3)
+
+    new_corpus = (
+        docs.filter(F.col("doc_id") % 7 != 1)
+        .select("doc_id",
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat("text", F.lit(" changed")))
+                 .otherwise(F.col("text")).alias("text"))
+        .unionByName(inserts.select("doc_id", "text")))
+    want = minhash_signatures(new_corpus, num_hashes=8, n=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    docs.unpersist()
