@@ -2116,12 +2116,7 @@ def stream_delta_alerts(spark, sf_dir):
         F.col("value").alias("temperature"),
     )
     out = temperature_delta_alerts(readings, threshold=17.0)
-    name = "stream_delta_alerts_result"
-    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
-    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
-         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _run_to_memory(spark, out, "stream_delta_alerts_result")
 
 
 @register(
@@ -2151,12 +2146,7 @@ def stream_early_firing(spark, sf_dir):
     out = early_firing_window_counts(
         readings, window_ms=3_600_000, interval_ms=600_000,
         watermark_delay="5 seconds")
-    name = "stream_early_firing_result"
-    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
-    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
-         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _run_to_memory(spark, out, "stream_early_firing_result")
 
 # ======================================================================
 # Beyond-parity relational surface: per-key top-N (rank window), an
@@ -2317,12 +2307,7 @@ def stream_interval_join_query(spark, sf_dir):
         F.expr("unix_micros(err_ts) div 1000").alias("err_ms"),
         F.expr("unix_micros(click_ts) div 1000").alias("click_ms"),
     )
-    name = "stream_interval_join_result"
-    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
-    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
-         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _run_to_memory(spark, out, "stream_interval_join_result")
 
 
 def _events_stream(spark, sf_dir):
@@ -2341,12 +2326,30 @@ def _events_stream(spark, sf_dir):
 
 
 def _run_to_memory(spark, out, name, mode="append"):
+    """Run a bounded streaming replay to a memory sink and return the
+    materialized table.
+
+    State-store partitioning is sized to the REPLAY's volume (8), not
+    the session's scale default: a streaming query locks its stateful
+    shuffle partitioning into the (fresh) checkpoint at start, and at
+    correctness-gate SF the per-micro-batch fixed cost of 32 state
+    stores dominates runtime (measured 2-4x on the stream-stream
+    joins). A production deployment sizes this to the stream rate —
+    the knob is per-query, exactly as here. The session conf is
+    restored before returning; the memory table is already
+    materialized, so callers' batch reads are unaffected."""
     import tempfile
 
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
-    q = (out.writeStream.format("memory").queryName(name).outputMode(mode)
-         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (out.writeStream.format("memory").queryName(name).outputMode(mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -3850,15 +3853,8 @@ def stream_incremental_state(spark, sf_dir):
     agg = src.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(dec("value", 14)).cast("double").alias("total"))
-    import tempfile
-    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
-    q = (agg.writeStream.format("memory")
-         .queryName("stream_incremental_state_result")
-         .outputMode("complete")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table("stream_incremental_state_result")
+    return _run_to_memory(spark, agg, "stream_incremental_state_result",
+                          mode="complete")
 
 
 @register(
@@ -3886,15 +3882,8 @@ def stream_rolling_max_state(spark, sf_dir):
            .agg(F.max(F.struct("value", "event_id")).alias("m"))
            .select("user_id", F.col("m.value").alias("value"),
                    F.col("m.event_id").alias("event_id")))
-    import tempfile
-    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
-    q = (agg.writeStream.format("memory")
-         .queryName("stream_rolling_max_state_result")
-         .outputMode("complete")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table("stream_rolling_max_state_result")
+    return _run_to_memory(spark, agg, "stream_rolling_max_state_result",
+                          mode="complete")
 
 
 @register(

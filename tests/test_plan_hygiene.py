@@ -131,6 +131,13 @@ def _shuffles(plan: str) -> int:
     # one user_id shuffle serves lag/run-id windows, the per-run
     # groupBy (user_id prefixes the grouping key), and the lead window
     ("events_scd2_intervals", 1),
+    ("doc_sequence_packing", 1),    # one bucket shuffle for the cumsum
+    # the corpus never shuffles: only the Arrow-pruned candidate set
+    # (<= k * partitions * strata rows) moves for the exact ranking
+    ("stratified_reservoir", 1),
+    ("quality_model_scores", 0),    # inference is a narrow map
+    # prior sigs agg + fresh sigs agg; the changed-id join broadcasts
+    ("minhash_incremental", 3),
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
