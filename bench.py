@@ -147,7 +147,10 @@ def main() -> None:
     for name in ["pipeline_training_data", "dedup_clusters",
                  "doc_repetition_stats", "funnel_conversion",
                  "stream_windowed_avg", "token_heavy_hitters",
-                 "value_quantile_sketch", "ann_topk_pq"]:
+                 "value_quantile_sketch", "ann_topk_pq",
+                 "doc_sequence_packing", "stratified_reservoir",
+                 "quality_model_scores", "minhash_incremental",
+                 "embedding_semantic_dedup"]:
         t0 = time.time()
         n = len(REGISTRY[name].fn(spark, sf_dir).collect())
         extra[name] = round(time.time() - t0, 3)

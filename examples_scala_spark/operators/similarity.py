@@ -404,3 +404,52 @@ def rp_project(emb: DataFrame, out_dim: int = 16, dim: int = 64,
         comps.append(F.aggregate(F.zip_with(v, signs, lambda a, b: a * b),
                                  F.lit(0.0), lambda acc, x: acc + x))
     return emb.select(F.col(id_col), F.array(*comps).alias("embedding_rp"))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
+                   centroid_mod: int = 23, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings by
+    nearest centroid, then drop any vector with a lower-id neighbor
+    above the cosine threshold INSIDE its cluster.
+
+    This is the scale shape of embedding near-dup removal: the
+    quadratic pair comparison is confined to one cell (cells multiply
+    with data, so per-cell work is bounded), the centroid set rides a
+    broadcast, and the only wide ops are the cell equi-join and one
+    groupBy(id) for the neighbor minimum. The deterministic id-sampled
+    quantizer keeps the whole path oracle-reproducible;
+    `train_centroids` is the drop-in k-means upgrade.
+
+    Returns (id, cell, keep_id, kept): keep_id is the smallest id in
+    the vector's near-neighbor set (itself included), kept = "I am my
+    own keeper".
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
+    cents = sampled_centroids(base, centroid_mod, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        base.join(F.broadcast(cents))
+        .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
+                cosine(F.col("v"), F.col("cv"),
+                       F.col("norm"), F.col("cnorm")).alias("ccos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"))
+    )
+    left, right = assign.alias("l"), assign.alias("r")
+    nbr_min = (
+        left.join(right, "cent_id")
+        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .filter(cosine(F.col("l.v"), F.col("r.v"),
+                       F.col("l.norm"), F.col("r.norm")) >= threshold)
+        .groupBy(F.col(f"l.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"r.{id_col}")).alias("nbr_min"))
+    )
+    out = assign.join(nbr_min, on=id_col, how="left")
+    keep = F.least(F.col(id_col), F.coalesce(F.col("nbr_min"), F.col(id_col)))
+    return out.select(
+        F.col(id_col), F.col("cent_id").alias("cell"),
+        keep.cast("long").alias("keep_id"),
+        (F.col(id_col) == keep).alias("kept"))

@@ -4628,3 +4628,47 @@ def minhash_incremental(spark, sf_dir):
                    F.concat(F.col("text"), F.lit(" upd")))
              .otherwise(F.col("text")).alias("text")))
     return dedup.minhash_delta(prior, changes, num_hashes=16, n=3)
+
+
+@register(
+    "embedding_semantic_dedup",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1),
+    a AS (
+      SELECT vec_id, cent_id, v, norm FROM (
+        SELECT n.vec_id, c.cent_id, n.v, n.norm,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm)
+                   DESC, c.cent_id) AS r
+        FROM n CROSS JOIN c) WHERE r = 1),
+    p AS (
+      SELECT l.vec_id, min(r.vec_id) AS nbr_min
+      FROM a l JOIN a r USING (cent_id)
+      WHERE l.vec_id <> r.vec_id
+        AND list_dot_product(l.v, r.v) / (l.norm * r.norm) >= 0.35
+      GROUP BY l.vec_id)
+    SELECT a.vec_id, a.cent_id AS cell,
+           least(a.vec_id, COALESCE(nbr_min, a.vec_id))::BIGINT AS keep_id,
+           (a.vec_id = least(a.vec_id, COALESCE(nbr_min, a.vec_id))) AS kept
+    FROM a LEFT JOIN p USING (vec_id)""",
+    "llm", "dedup", "similarity",
+)
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): nearest-centroid cells confine the quadratic
+    cosine comparison, centroids ride a broadcast, and a vector is
+    dropped when a lower-id neighbor in its cell clears the threshold.
+    The deterministic id-sampled quantizer makes the full path —
+    assignment argmax, pair pruning, keeper election —
+    oracle-checkable; embedding_near_pairs is the brute-force twin
+    this replaces at scale."""
+    from .operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35)

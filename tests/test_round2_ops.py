@@ -124,3 +124,19 @@ def test_minhash_delta_equals_full_recompute(spark, sf_dir):
     want = minhash_signatures(new_corpus, num_hashes=8, n=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     docs.unpersist()
+
+
+# ---------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_keeper_invariants(spark, sf_dir):
+    from examples_scala_spark.operators.similarity import semantic_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.35).toPandas()
+    # every vector appears exactly once; keepers keep themselves
+    assert out["vec_id"].is_unique and len(out) == emb.count()
+    kept = out[out["kept"]]
+    assert (kept["keep_id"] == kept["vec_id"]).all()
+    # a dropped vector's keeper has a smaller id and lives in some cell
+    dropped = out[~out["kept"]]
+    assert (dropped["keep_id"] < dropped["vec_id"]).all()
+    assert set(dropped["keep_id"]).issubset(set(out["vec_id"]))
