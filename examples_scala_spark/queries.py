@@ -4672,3 +4672,85 @@ def embedding_semantic_dedup(spark, sf_dir):
     from .operators.similarity import semantic_dedup
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.35)
+
+
+@register(
+    "jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "sources", "llm",
+)
+def jsonl_roundtrip(spark, sf_dir):
+    """JSONL ingest/egress (sources/files.py): stage the documents
+    table as gzip JSONL, read it back schema-first, and prove the
+    round trip is lossless (oracle = the original table). The staging
+    write is the egress path a corpus release uses; the schema-first
+    read is the ingest path for crawler/annotation dumps — neither
+    infers schema (a second full scan at 100 TB) and parquet remains
+    the query-side format."""
+    import tempfile
+    from .sources.files import DOCUMENTS_SCHEMA, read_jsonl, write_jsonl
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="sgs_jsonl_")
+    write_jsonl(docs, d, partitions=4)
+    return read_jsonl(spark, d, DOCUMENTS_SCHEMA)
+
+
+@register(
+    "csv_roundtrip",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+    "sources", "llm",
+)
+def csv_roundtrip(spark, sf_dir):
+    """CSV ingest/egress twin of jsonl_roundtrip (text column excluded:
+    free text in CSV is an escaping minefield — the docstring IS the
+    guidance: ship text in JSONL/parquet, keep CSV for flat metadata
+    exports)."""
+    import tempfile
+    from .sources.files import DOCUMENTS_SCHEMA, read_csv, write_csv
+    from pyspark.sql import types as T
+    schema = T.StructType([f for f in DOCUMENTS_SCHEMA if f.name != "text"])
+    docs = _t(spark, sf_dir, "documents").drop("text")
+    d = tempfile.mkdtemp(prefix="sgs_csv_")
+    write_csv(docs, d, partitions=4)
+    return read_csv(spark, d, schema)
+
+
+@register(
+    "mixture_temperature_rates",
+    """
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents
+      GROUP BY source),
+    p AS (
+      SELECT source, n_docs,
+             pow(n_docs, 0.7) AS w,
+             sum(pow(n_docs, 0.7)) OVER () AS wsum,
+             sum(n_docs) OVER ()::BIGINT AS total
+      FROM s)
+    SELECT source, n_docs,
+           round(w / wsum, 6) AS target_share,
+           round((w / wsum) * total / n_docs, 6) AS sample_weight
+    FROM p""",
+    "llm", "sampling",
+)
+def mixture_temperature_rates(spark, sf_dir):
+    """Temperature-scaled mixture weighting (the multilingual-corpus
+    recipe: target share of source s ∝ n_s^alpha, alpha=0.7 —
+    up-weights small sources without flattening to uniform).
+    sample_weight > 1 means repeat/up-sample, < 1 means downsample via
+    hash_split_sample's md5 keep. Work is one source-sized hash agg;
+    the window normalization runs over the handful of sources, not the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    p = s.select(
+        "source", F.col("n_docs").cast("long").alias("n_docs"),
+        F.pow("n_docs", F.lit(0.7)).alias("w"),
+        F.sum(F.pow("n_docs", F.lit(0.7))).over(w).alias("wsum"),
+        F.sum("n_docs").over(w).cast("long").alias("total"))
+    return p.select(
+        "source", "n_docs",
+        F.round(F.col("w") / F.col("wsum"), 6).alias("target_share"),
+        F.round((F.col("w") / F.col("wsum")) * F.col("total")
+                / F.col("n_docs"), 6).alias("sample_weight"))
