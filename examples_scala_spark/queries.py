@@ -4754,3 +4754,27 @@ def mixture_temperature_rates(spark, sf_dir):
         F.round(F.col("w") / F.col("wsum"), 6).alias("target_share"),
         F.round((F.col("w") / F.col("wsum")) * F.col("total")
                 / F.col("n_docs"), 6).alias("sample_weight"))
+
+
+@register(
+    "user_hll_rollup",
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS est_distinct
+    FROM events GROUP BY event_type""",
+    "llm", "sketch",
+)
+def user_hll_rollup(spark, sf_dir):
+    """Distinct users per event type via MERGEABLE sketch partials
+    (operators/sketches.py:hll_partials/hll_rollup): daily Datasketches
+    HLL sketches union into per-type totals — the storable rollup
+    count_distinct can't express (distinct isn't mergeable; at 100 TB
+    the daily partials are bytes and the fact table is scanned once,
+    ever). At lgk=14 the sketch runs exact through the gate
+    cardinalities (sparse mode), so the exact-distinct oracle
+    hash-matches; production cardinalities see ~0.8% error at the
+    default lgk=12 (tolerance-tested in tests/test_sketches.py)."""
+    from .operators.sketches import hll_partials, hll_rollup
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000").alias("d")
+    parts = hll_partials(ev, ["event_type"], day, "user_id", lgk=14)
+    return hll_rollup(parts, ["event_type"])

@@ -112,3 +112,23 @@ def test_spark_tree_matches_exact(spark, sf_dir):
         assert row["n"] == len(vals)
         for p, col in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
             assert _rank_error(vals, row[col], p) < 0.03, (etype, col)
+
+
+def test_hll_rollup_union_tolerance(spark):
+    """Default-lgk sketches at 100k distincts: union of bucketed
+    partials must land within 5% of the exact distinct count
+    (lgk=12 std error is 1.04/sqrt(2^12) ~ 1.6%; 5% is ~3 sigma)."""
+    from pyspark.sql import functions as F
+    from examples_scala_spark.operators.sketches import (
+        hll_partials, hll_rollup)
+    df = spark.range(300_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 20).alias("bucket"),
+        (F.col("id") % 100_000).alias("u"))
+    parts = hll_partials(df, ["g"], F.col("bucket"), "u", lgk=12)
+    got = {r["g"]: r["est_distinct"] for r in
+           hll_rollup(parts, ["g"]).collect()}
+    exact = {r["g"]: r["ex"] for r in
+             df.groupBy("g").agg(F.count_distinct("u").alias("ex")).collect()}
+    for g, ex in exact.items():
+        assert abs(got[g] - ex) / ex < 0.05, (g, got[g], ex)
