@@ -320,3 +320,56 @@ def test_metrics_collector_captures_progress_and_state(spark, tmpdir):
         assert t["dropped_by_watermark"] == 0
     finally:
         spark.streams.removeListener(c)
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """The production state backend: at 100 TB-scale state (dedup keys,
+    join buffers, window partials) the default HDFS-backed in-memory
+    provider OOMs; RocksDB spills to local disk with the same
+    semantics. Run the same watermarked dedup with both providers and
+    require identical output — the provider is a storage swap, never a
+    semantics change."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    d = tempfile.mkdtemp(prefix="sgs_rocks_")
+    try:
+        src_path = os.path.join(d, "in")
+        rows = [(i % 7, i) for i in range(100)]  # heavy duplication
+        spark.createDataFrame(rows, ["k", "seq"]) \
+            .repartition(1).write.mode("overwrite").parquet(src_path)
+
+        def run(tag, provider):
+            prev = spark.conf.get(conf, None)
+            try:
+                if provider:
+                    spark.conf.set(conf, provider)
+                stream = (spark.readStream.schema("k long, seq long")
+                          .parquet(src_path)
+                          .withColumn("ts", F.timestamp_millis(F.col("seq") * 1000))
+                          .withWatermark("ts", "10 seconds")
+                          .dropDuplicatesWithinWatermark(["k"]))
+                q = (stream.writeStream.format("memory").queryName(tag)
+                     .outputMode("append")
+                     .option("checkpointLocation", os.path.join(d, f"ckpt_{tag}"))
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+                return sorted((r.k,) for r in
+                              spark.table(tag).select("k").collect())
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf)
+                else:
+                    spark.conf.set(conf, prev)
+
+        got_rocks = run("rocks_dedup", rocks)
+        got_default = run("default_dedup", None)
+        assert got_rocks == got_default
+        assert len(got_rocks) == 7
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
