@@ -4778,3 +4778,66 @@ def user_hll_rollup(spark, sf_dir):
     day = F.expr("unix_micros(ts) div 86400000000").alias("d")
     parts = hll_partials(ev, ["event_type"], day, "user_id", lgk=14)
     return hll_rollup(parts, ["event_type"])
+
+
+@register(
+    "data_quality_checks",
+    """
+    SELECT 'lineitem_qty_range' AS check,
+           sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                    THEN 1 ELSE 0 END)::BIGINT AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_negative_price',
+           sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                    THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           COALESCE(sum(n - 1), 0)::BIGINT
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'orders_custkey_resolves',
+           count(*)::BIGINT
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL""",
+    "llm", "quality",
+)
+def data_quality_checks(spark, sf_dir):
+    """The batch-promotion validation gate (operators/quality_checks.py):
+    range / nullability expectations ride ONE pass per fact table
+    (conditional aggregates, merged map-side), primary-key uniqueness
+    is one groupBy on the key, and referential integrity is a
+    left-anti join against the broadcast dimension. Output is the tiny
+    (check, violations) table a pipeline stores per batch and alerts
+    on."""
+    from .operators.quality_checks import (
+        check_columns, check_references, check_unique)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    row_checks = check_columns(li, {
+        "lineitem_qty_range":
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50),
+        "lineitem_negative_price": F.col("l_extendedprice") < 0,
+        "lineitem_discount_range":
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    })
+    order_checks = check_columns(orders, {
+        "orders_null_custkey": F.col("o_custkey").isNull(),
+    })
+    pk = check_unique(li, ["l_orderkey", "l_linenumber"],
+                      "lineitem_pk_unique")
+    fk = check_references(orders, "o_custkey", cust, "c_custkey",
+                          "orders_custkey_resolves")
+    return (row_checks.unionByName(order_checks)
+            .unionByName(pk).unionByName(fk))

@@ -140,3 +140,24 @@ def test_semantic_dedup_keeper_invariants(spark, sf_dir):
     dropped = out[~out["kept"]]
     assert (dropped["keep_id"] < dropped["vec_id"]).all()
     assert set(dropped["keep_id"]).issubset(set(out["vec_id"]))
+
+
+# ------------------------------------------------------------ quality gate
+
+def test_quality_checks_count_injected_violations(spark):
+    from examples_scala_spark.operators.quality_checks import (
+        check_columns, check_references, check_unique)
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 200.0), (3, None)],
+        "id int, v double")
+    rows = dict(check_columns(df, {
+        "v_negative": F.col("v") < 0,
+        "v_null": F.col("v").isNull(),
+        "v_over_100": F.col("v") > 100,
+    }).collect())
+    assert rows == {"v_negative": 1, "v_null": 1, "v_over_100": 1}
+    assert dict(check_unique(df, ["id"], "id_unique").collect()) == \
+        {"id_unique": 1}
+    dim = spark.createDataFrame([(1,), (2,)], "k int")
+    assert dict(check_references(df, "id", dim, "k", "fk").collect()) == \
+        {"fk": 1}
