@@ -4841,3 +4841,66 @@ def data_quality_checks(spark, sf_dir):
                           "orders_custkey_resolves")
     return (row_checks.unionByName(order_checks)
             .unionByName(pk).unionByName(fk))
+
+
+@register(
+    "partition_pruned_scan",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'error'""",
+    "layout", "sources",
+)
+def partition_pruned_scan(spark, sf_dir):
+    """Directory-level file skipping (sources/layout.py:
+    write_cell_partitioned): the events table staged partitioned by
+    event_type, then read back filtered to one type — the filter
+    becomes a PartitionFilter (asserted in tests/test_layout.py), so
+    at 100 TB the scan opens 1/|types| of the files and reads zero
+    bytes of the rest. The oracle is the same filter over the unstaged
+    table: pruning must never change results."""
+    import tempfile
+    from .sources.layout import write_cell_partitioned
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type")
+    d = tempfile.mkdtemp(prefix="sgs_part_")
+    write_cell_partitioned(ev, d, "event_type")
+    return (spark.read.parquet(d)
+            .filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", "value"))
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           count(*)::BIGINT AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS items_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice""",
+    "layout", "join",
+)
+def bucketed_colocated_join(spark, sf_dir):
+    """Shuffle-free fact-fact join (sources/layout.py:write_bucketed):
+    orders and lineitem both persisted bucketed+sorted by orderkey on
+    the same bucket count, so the join AND the downstream per-order
+    aggregate run with ZERO Exchange (asserted in tests/test_layout.py)
+    — bucketing pays the shuffle once at write time, every subsequent
+    query on the key skips it. At 100 TB this is the difference
+    between re-shuffling 100 TB per query and never shuffling it
+    again."""
+    from .sources.layout import write_bucketed
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, "sgs_orders_bkt", "o_orderkey", buckets=8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "sgs_lineitem_bkt", "o_orderkey", buckets=8)
+    o = spark.table("sgs_orders_bkt")
+    l = spark.table("sgs_lineitem_bkt")
+    return (o.join(l, "o_orderkey")
+            .groupBy("o_orderkey", "o_totalprice")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double").alias("items_total"))
+            .select(F.col("o_orderkey"), "o_totalprice", "n_items",
+                    "items_total"))

@@ -20,6 +20,16 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     the table back exposes the bucketing to Catalyst: joins and
     aggregations on `key` skip their Exchange (and with sort=True,
     sort-merge joins skip the Sort too)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous SESSION may have left the managed location behind (the
+    # default catalog is in-memory, the warehouse dir is not) — remove
+    # it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

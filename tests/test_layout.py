@@ -75,3 +75,24 @@ def test_compact_parquet_restores_big_files(spark, sf_dir):
     a = ev.groupBy("event_type").count().collect()
     b = spark.read.parquet(dst).groupBy("event_type").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_registry_partition_pruned_scan_prunes(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    df = REGISTRY["partition_pruned_scan"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # the event_type filter must reach the directory level, not the rows
+    frag = plan.split("PartitionFilters", 1)
+    assert len(frag) == 2 and "event_type" in frag[1][:200], plan
+
+
+def test_registry_bucketed_join_zero_exchange(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["bucketed_colocated_join"].fn(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
