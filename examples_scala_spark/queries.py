@@ -4904,3 +4904,44 @@ def bucketed_colocated_join(spark, sf_dir):
                   .cast("double").alias("items_total"))
             .select(F.col("o_orderkey"), "o_totalprice", "n_items",
                     "items_total"))
+
+
+@register(
+    "stream_ingest_compact",
+    """
+    SELECT event_type, count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS users
+    FROM events GROUP BY event_type""",
+    "streaming", "layout", "sources",
+)
+def stream_ingest_compact(spark, sf_dir):
+    """The ingestion path end to end: the events stream lands via
+    foreachBatch as event_type-partitioned parquet (batchId-stamped
+    files = idempotent re-runs), the landing zone is then compacted
+    (sources/layout.py:compact_parquet — streaming sinks are THE
+    small-files factory at 100 TB), and the compacted zone is read
+    back and aggregated. Oracle = the same aggregate over the original
+    table: the whole land→compact→serve chain must be lossless."""
+    import tempfile
+    from .sources.layout import compact_parquet
+
+    tune(spark)
+    land = tempfile.mkdtemp(prefix="sgs_land_")
+    serve = tempfile.mkdtemp(prefix="sgs_serve_")
+    ckpt = tempfile.mkdtemp(prefix="sgs_ckpt_")
+    src = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+
+    def land_batch(batch_df, batch_id):
+        (batch_df.write.mode("append")
+         .partitionBy("event_type").parquet(land))
+
+    q = (src.writeStream.foreachBatch(land_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    compact_parquet(spark, land, serve)
+    return (spark.read.parquet(serve)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.count_distinct("user_id").alias("users")))
