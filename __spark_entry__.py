@@ -42,16 +42,22 @@ PRIORITY = [
     "alert_temp_increase", "asof_smoke_alert", "switch_forward",
     "enrich_locations", "broadcast_thresholds", "late_classify",
     "late_window_updates", "side_output_freezing",
-    # (b) never checked in round 1 — category breadth
-    "dedup_canonical", "simhash_fingerprints", "simhash_near_pairs",
-    "ngram_jaccard_pairs", "embedding_near_pairs", "edit_distance_pairs",
-    "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
-    "ann_recall_lsh", "lang_id", "token_count", "quality_score",
-    "doc_fingerprint", "tfidf_top_terms", "vocab_top_ngrams",
+    # (b) never checked in round 1 — category breadth (one entry per
+    # family; the sibling variants follow in registration order)
+    "dedup_canonical", "simhash_near_pairs", "ngram_jaccard_pairs",
+    "embedding_near_pairs", "edit_distance_pairs",
+    "ann_topk_bruteforce", "ann_topk_ivf", "lang_id", "token_count",
+    "quality_score", "doc_fingerprint", "tfidf_top_terms",
     "hash_split_sample", "length_weighted_sample", "media_meta",
-    "media_chunks", "pipeline_training_data", "w_sliding_counts",
-    "session_windows", "approx_distinct_users", "topn_per_key",
-    "error_recent_clicks", "stream_windowed_avg", "stream_dedup",
+    "pipeline_training_data", "w_sliding_counts", "session_windows",
+    "approx_distinct_users", "topn_per_key", "stream_windowed_avg",
+    "stream_dedup",
+    # (c) round-2 operators opening new judged categories: sequence
+    # packing, Arrow-batched inference, the data-quality gate, storage
+    # layout (bucketed join + partition pruning), semantic dedup
+    "doc_sequence_packing", "quality_model_scores",
+    "data_quality_checks", "bucketed_colocated_join",
+    "partition_pruned_scan", "embedding_semantic_dedup",
 ]
 
 
