@@ -71,3 +71,49 @@ def stratified_reservoir(df: DataFrame, stratum_col: str, k: int,
             .select(F.col("stratum").alias(stratum_col),
                     F.col("sid").alias(id_col),
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+def weighted_reservoir(df: DataFrame, stratum_col: str, k: int,
+                       id_col: str, weight_col: str,
+                       salt: str = "wrsv") -> DataFrame:
+    """Weighted sampling without replacement, k per stratum
+    (Efraimidis–Spirakis by exponential clocks): each row draws
+    key = -ln(U)/w from its deterministic salted-hash uniform U, and
+    the k SMALLEST keys win — P(row in sample) rises with weight
+    exactly as sequential weighted draws would give. Same mergeable
+    bottom-k structure as stratified_reservoir, so the same two-stage
+    plan applies: per-partition Arrow pruning, then one exact window
+    over <= k * partitions * strata candidates; the corpus never
+    shuffles. Deterministic under retries/appends (rand() is neither).
+
+    Key ties need bit-identical doubles across engines for the oracle;
+    with 60-bit hashes the nearest-key gap is ~2^-60 relative, far
+    above double rounding, and id breaks exact ties.
+    """
+    two60 = float(1 << 60)
+    u_unit = (_hash_col(id_col, salt).cast("double") + 1.0) / two60
+    key = -F.log(u_unit) / F.col(weight_col).cast("double")
+    hashed = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("sid"),
+        key.alias("u"),
+    )
+    schema = hashed.schema
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (both.sort_values(["u", "sid"])
+                   .groupby("stratum", sort=False).head(k))
+        yield acc if acc is not None else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in schema.fields})
+
+    candidates = hashed.mapInPandas(prune, schema)
+    w = Window.partitionBy("stratum").orderBy("u", "sid")
+    return (candidates
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("stratum").alias(stratum_col),
+                    F.col("sid").alias(id_col),
+                    F.col("rnk").cast("long").alias("rnk")))

@@ -4945,3 +4945,35 @@ def stream_ingest_compact(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.count_distinct("user_id").alias("users")))
+
+
+@register(
+    "weighted_reservoir_sample",
+    """
+    WITH h AS (
+      SELECT lang AS stratum, doc_id,
+             -ln((('0x' || substr(md5('wrsv-' || doc_id::VARCHAR), 1, 15))
+                  ::BIGINT::DOUBLE + 1.0) / 1152921504606846976.0)
+               / n_chars::DOUBLE AS u
+      FROM documents),
+    r AS (
+      SELECT stratum, doc_id,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY u, doc_id) AS rnk
+      FROM h)
+    SELECT stratum AS lang, doc_id, rnk::BIGINT AS rnk
+    FROM r WHERE rnk <= 25""",
+    "llm", "sampling",
+)
+def weighted_reservoir_sample(spark, sf_dir):
+    """Length-weighted sampling WITHOUT replacement, exactly 25 docs
+    per language (operators/sampling.py:weighted_reservoir —
+    Efraimidis–Spirakis exponential clocks on deterministic hashes):
+    longer docs proportionally likelier, no duplicates, merge-exact
+    across partitions. Complements length_weighted_sample, which is
+    with-replacement-style Bernoulli keeps with HT weights; this one
+    guarantees the fixed per-stratum budget."""
+    from .operators.sampling import weighted_reservoir
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_reservoir(docs, stratum_col="lang", k=25,
+                              id_col="doc_id", weight_col="n_chars")

@@ -161,3 +161,25 @@ def test_quality_checks_count_injected_violations(spark):
     dim = spark.createDataFrame([(1,), (2,)], "k int")
     assert dict(check_references(df, "id", dim, "k", "fk").collect()) == \
         {"fk": 1}
+
+
+# ------------------------------------------------------- weighted reservoir
+
+def test_weighted_reservoir_length_bias_and_invariance(spark):
+    from examples_scala_spark.operators.sampling import weighted_reservoir
+    # two weight classes: ids 0..999 weight 1, ids 1000..1999 weight 9
+    df = spark.createDataFrame(
+        [(i, "s", 1.0 if i < 1000 else 9.0) for i in range(2000)],
+        "doc_id long, lang string, w double")
+    got = weighted_reservoir(df, "lang", 200, "doc_id", "w")
+    rows = got.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r.doc_id >= 1000)
+    # heavy class holds 90% of the mass; E[heavy] ~ 180 of 200.
+    # loose 3-sigma-ish band — the draw is deterministic, so this
+    # never flakes once it passes
+    assert heavy > 150, heavy
+    # partition invariance: the sample is a pure function of the data
+    again = weighted_reservoir(df.repartition(17), "lang", 200,
+                               "doc_id", "w")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
