@@ -4889,14 +4889,18 @@ def bucketed_colocated_join(spark, sf_dir):
     query on the key skips it. At 100 TB this is the difference
     between re-shuffling 100 TB per query and never shuffling it
     again."""
+    import os
     from .sources.layout import write_bucketed
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    write_bucketed(orders, "sgs_orders_bkt", "o_orderkey", buckets=8)
+    # pid-suffixed names: concurrent gate runs must not fight over one
+    # managed-table location
+    t_o, t_l = f"sgs_orders_bkt_{os.getpid()}", f"sgs_lineitem_bkt_{os.getpid()}"
+    write_bucketed(orders, t_o, "o_orderkey", buckets=8)
     write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
-                   "sgs_lineitem_bkt", "o_orderkey", buckets=8)
-    o = spark.table("sgs_orders_bkt")
-    l = spark.table("sgs_lineitem_bkt")
+                   t_l, "o_orderkey", buckets=8)
+    o = spark.table(t_o)
+    l = spark.table(t_l)
     return (o.join(l, "o_orderkey")
             .groupBy("o_orderkey", "o_totalprice")
             .agg(F.count("*").alias("n_items"),
