@@ -61,9 +61,44 @@ PRIORITY = [
 ]
 
 
+def _gate_history() -> dict[str, str]:
+    """Per-query outcome across every recorded gate run
+    (CORRECTNESS_r*.json, written into the repo by the driver each
+    round): 'passed' if the latest check hash-matched (or rows-matched
+    for rows-only entries), else 'failed'. Absent = never evaluated."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    status: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rep = json.load(open(path))
+        except Exception:
+            continue
+        for name, res in rep.items():
+            ok = bool(res.get("hash_match")
+                      or (res.get("err") is None and res.get("rows_match")
+                          is not False and res.get("spark_rows") is not None))
+            status[name] = "passed" if ok else "failed"
+    return status
+
+
 def _ordered_names() -> list[str]:
-    seen = [n for n in PRIORITY if n in REGISTRY]
-    return seen + [n for n in REGISTRY if n not in set(seen)]
+    """Gate evaluation order. The budget covers ~50 queries per round,
+    so: manual PRIORITY head first, then rotation by recorded history —
+    never-evaluated queries, then previously-failed (re-prove fixes),
+    then previously-passed (cheapest to lose) — each group in
+    registration order."""
+    head = [n for n in PRIORITY if n in REGISTRY]
+    seen = set(head)
+    hist = _gate_history()
+    rank = {"passed": 2, "failed": 1}
+    tail = sorted(
+        (n for n in REGISTRY if n not in seen),
+        key=lambda n: rank.get(hist.get(n), 0))
+    return head + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
