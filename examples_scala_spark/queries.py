@@ -4981,3 +4981,48 @@ def weighted_reservoir_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return weighted_reservoir(docs, stratum_col="lang", k=25,
                               id_col="doc_id", weight_col="n_chars")
+
+
+def _scd2_enrich_sql() -> str:
+    return f"""
+    WITH dim AS ({REGISTRY["events_scd2_intervals"].oracle}),
+    f AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.us::BIGINT AS us,
+           dim.event_type AS dim_event_type, dim.version, dim.is_current
+    FROM f JOIN dim USING (user_id)
+    WHERE f.us >= dim.valid_from_us
+      AND (dim.valid_to_us IS NULL OR f.us < dim.valid_to_us)"""
+
+
+@register(
+    "events_scd2_enrich",
+    _scd2_enrich_sql(),
+    "llm", "join", "window_functions",
+)
+def events_scd2_enrich(spark, sf_dir):
+    """Point-in-time (temporal) join: each purchase event enriched with
+    the SCD2 dimension version active at ITS OWN timestamp —
+    valid_from_us <= ts < valid_to_us, open current interval included.
+    The lakehouse query every SCD2 build exists to serve.
+
+    Scale shape: equi-join on user_id (both sides already hash that
+    key) + interval predicate as a post-join filter — per-user interval
+    counts are bounded by runs-per-user, so the join never blows up the
+    way a global range join would; no new shuffle beyond the two
+    keyed inputs. Every purchase matches exactly one interval
+    (intervals tile each user's timeline from their first event)."""
+    dim = events_scd2_intervals(spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("dim_event_type"),
+        "version", "valid_from_us", "valid_to_us", "is_current")
+    facts = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"))
+    j = facts.join(dim, "user_id").filter(
+        (F.col("us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull()
+           | (F.col("us") < F.col("valid_to_us"))))
+    return j.select("event_id", "user_id", "us", "dim_event_type",
+                    "version", "is_current")
+
