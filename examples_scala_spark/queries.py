@@ -5026,3 +5026,85 @@ def events_scd2_enrich(spark, sf_dir):
     return j.select("event_id", "user_id", "us", "dim_event_type",
                     "version", "is_current")
 
+
+
+@register(
+    "stream_trending_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt FROM (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM c) WHERE rnk <= 20""",
+    "streaming", "llm", "text",
+)
+def stream_trending_tokens(spark, sf_dir):
+    """Trending terms as REAL streaming state: the documents table
+    replayed as a bounded stream, tokens exploded JVM-side, counts
+    maintained in complete-mode state across micro-batches, top-20
+    taken from the final materialized state (deterministic tie-break
+    on token). The streaming shape of vocabulary monitoring — state is
+    vocab-sized, not corpus-sized, and the oracle is the batch term
+    frequency query."""
+    import tempfile
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="sgs_trend_")
+    (load_table(spark, sf_dir, "documents").select("doc_id", "text")
+     .repartition(4).write.mode("overwrite").parquet(d))
+    src = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    toks = src.select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    state = _run_to_memory(spark, counts, "stream_trending_tokens_result",
+                           mode="complete")
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (state.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20).select("token", "cnt"))
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH k AS (
+      SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+    s AS (
+      SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS total,
+             max(n)::BIGINT AS max_n,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
+               AS p50,
+             CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT)
+               AS p99
+      FROM k)
+    SELECT n_keys, total, p50, p99, max_n,
+           round(max_n / (total / CAST(n_keys AS DOUBLE)), 6)
+             AS max_over_mean
+    FROM s""",
+    "llm", "skew", "diagnostics",
+)
+def key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostics — the report to run BEFORE picking
+    a join/agg strategy at 100 TB: per-key count distribution (p50,
+    p99, max) and the hot-key ratio max/mean. A max_over_mean in the
+    hundreds says salting or AQE skew-join is mandatory; ~1 says plain
+    hash partitioning is fine. One groupBy on the key, then percentile
+    over the key-sized rollup (never the fact table)."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+         .cast("long").alias("p50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+         .cast("long").alias("p99"))
+    return s.select(
+        "n_keys", "total", "p50", "p99", "max_n",
+        F.round(F.col("max_n")
+                / (F.col("total") / F.col("n_keys").cast("double")), 6)
+        .alias("max_over_mean"))
