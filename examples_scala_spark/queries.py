@@ -5108,3 +5108,43 @@ def key_skew_report(spark, sf_dir):
         F.round(F.col("max_n")
                 / (F.col("total") / F.col("n_keys").cast("double")), 6)
         .alias("max_over_mean"))
+
+
+@register(
+    "partition_backfill",
+    """
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_type = 'error' THEN value * 2.0 ELSE value END
+             AS value
+    FROM events""",
+    "layout", "sources",
+)
+def partition_backfill(spark, sf_dir):
+    """Idempotent single-partition backfill (the daily re-land):
+    events staged partitioned by event_type, then ONE partition
+    re-written with corrected values under dynamic partition overwrite
+    — `INSERT OVERWRITE` semantics that replace only the partitions
+    present in the write, leaving every other partition's files
+    untouched (static overwrite mode would wipe the table). The oracle
+    is the corrected full table: the backfill must be surgical AND
+    lossless. At 100 TB this is how a bad day of data gets fixed
+    without rewriting the year."""
+    import tempfile
+
+    tune(spark)
+    d = tempfile.mkdtemp(prefix="sgs_backfill_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+
+    corrected = (ev.filter(F.col("event_type") == "error")
+                 .withColumn("value", F.col("value") * 2.0))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (corrected.write.partitionBy("event_type")
+         .mode("overwrite").parquet(d))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (spark.read.parquet(d)
+            .select("event_id", "user_id", "event_type", "value"))

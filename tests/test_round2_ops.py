@@ -183,3 +183,35 @@ def test_weighted_reservoir_length_bias_and_invariance(spark):
     again = weighted_reservoir(df.repartition(17), "lang", 200,
                                "doc_id", "w")
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+# ----------------------------------------------------- empty-input hardening
+
+def test_operators_survive_empty_input(spark, sf_dir):
+    """A 100 TB pipeline routinely produces empty slices (a filter that
+    matches nothing, a new partition, a drained changelog). Operators
+    must return empty/defined results, never throw."""
+    from examples_scala_spark.operators.dedup import (
+        exact_dedup, minhash_delta, minhash_signatures)
+    from examples_scala_spark.operators.inference import (
+        quality_model_scores as score)
+    from examples_scala_spark.operators.packing import pack_sequences
+    from examples_scala_spark.operators.sampling import (
+        stratified_reservoir, weighted_reservoir)
+
+    docs = _docs(spark, sf_dir)
+    empty = docs.filter(F.lit(False))
+    assert pack_sequences(empty).count() == 0
+    assert stratified_reservoir(empty, "lang", 5, "doc_id").count() == 0
+    assert weighted_reservoir(empty, "lang", 5, "doc_id",
+                              "n_chars").count() == 0
+    assert score(empty).count() == 0
+    assert exact_dedup(empty).count() == 0
+    assert minhash_signatures(empty, num_hashes=4).count() == 0
+    # empty changelog: delta == priors, bit for bit
+    prior = minhash_signatures(docs.limit(50), num_hashes=4)
+    changes = spark.createDataFrame(
+        [], "doc_id bigint, op string, text string")
+    got = minhash_delta(prior, changes, num_hashes=4)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, prior.collect()))
