@@ -20,6 +20,9 @@ SAMPLE = [
     "late_window_updates", "q1_pricing_summary", "q5_local_supplier",
     "dedup_exact", "minhash_lsh_pairs", "ann_topk_bruteforce",
     "quality_score", "media_meta",
+    # round-2 representatives
+    "doc_sequence_packing", "weighted_reservoir_sample",
+    "quality_model_scores", "data_quality_checks", "user_hll_rollup",
 ]
 
 
