@@ -5148,3 +5148,57 @@ def partition_backfill(spark, sf_dir):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (spark.read.parquet(d)
             .select("event_id", "user_id", "event_type", "value"))
+
+
+@register(
+    "cdc_snapshot_merge",
+    """
+    WITH snap AS (
+      SELECT user_id, value, us FROM (
+        SELECT user_id, value, epoch_us(ts) AS us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id < 5000) WHERE rn = 1),
+    chg AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             value, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_id >= 5000),
+    latest AS (
+      SELECT user_id, op, value, us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY us DESC, event_id DESC) AS rn
+        FROM chg) WHERE rn = 1)
+    SELECT user_id, value, us::BIGINT AS us FROM snap
+    WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, value, us::BIGINT AS us FROM latest
+    WHERE op = 'upsert'""",
+    "llm", "cdc",
+)
+def cdc_snapshot_merge(spark, sf_dir):
+    """MERGE INTO semantics without a table format (operators/cdc.py:
+    apply_changelog): the first half of the event log collapses to a
+    latest-value-per-user snapshot, the second half replays as a CDC
+    changelog (errors = deletes, rest = upserts), last-write-wins per
+    key. One window over the changelog + one broadcast anti-join
+    against the snapshot — the 100 TB snapshot side never shuffles.
+    The generic form of minhash_delta's signature maintenance."""
+    from .operators.cdc import apply_changelog
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc())
+    snap = (ev.filter(F.col("event_id") < 5000)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value", "us"))
+    chg = (ev.filter(F.col("event_id") >= 5000)
+           .select("user_id",
+                   F.when(F.col("event_type") == "error", "delete")
+                    .otherwise("upsert").alias("op"),
+                   "value", "us", "event_id"))
+    return apply_changelog(snap, chg, key="user_id",
+                           order_cols=["us", "event_id"])

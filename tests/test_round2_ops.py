@@ -215,3 +215,19 @@ def test_operators_survive_empty_input(spark, sf_dir):
     got = minhash_delta(prior, changes, num_hashes=4)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, prior.collect()))
+
+
+# ------------------------------------------------------------------- cdc
+
+def test_apply_changelog_semantics(spark):
+    from examples_scala_spark.operators.cdc import apply_changelog
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(2, "upsert", "b2", 1), (2, "delete", None, 2),   # delete wins
+         (3, "upsert", "c2", 1),                           # update
+         (4, "upsert", "d", 1), (4, "upsert", "d2", 2)],   # insert, LWW
+        "k long, op string, v string, seq long")
+    got = sorted(map(tuple, apply_changelog(
+        snap, chg, key="k", order_cols=["seq"]).collect()))
+    assert got == [(1, "a"), (3, "c2"), (4, "d2")]
