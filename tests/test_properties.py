@@ -96,3 +96,50 @@ def test_bottom_k_merge_property(parts, k):
     pruned = [x for p in parts for x in bottom_k(p, k)]
     everything = [x for p in parts for x in p]
     assert bottom_k(pruned, k) == bottom_k(everything, k)
+
+
+# ----------------------------------------------------------- CDC semantics
+
+def apply_ref(snapshot: dict, changes: list[tuple]) -> dict:
+    """Reference sequential CDC apply: changes are (key, op, value, seq);
+    replay in seq order over the snapshot dict."""
+    out = dict(snapshot)
+    for key, op, value, _seq in sorted(changes, key=lambda c: c[3]):
+        if op == "delete":
+            out.pop(key, None)
+        else:
+            out[key] = value
+    return out
+
+
+def apply_lww(snapshot: dict, changes: list[tuple]) -> dict:
+    """The operator's plan: last-write-wins per key, applied once —
+    what operators/cdc.py:apply_changelog computes distributively."""
+    latest: dict = {}
+    for key, op, value, seq in changes:
+        if key not in latest or seq > latest[key][2]:
+            latest[key] = (op, value, seq)
+    out = {k: v for k, v in snapshot.items() if k not in latest}
+    for key, (op, value, _seq) in latest.items():
+        if op == "upsert":
+            out[key] = value
+    return out
+
+
+@given(
+    snap=st.dictionaries(st.integers(0, 30), st.integers(), max_size=20),
+    changes=st.lists(
+        st.tuples(st.integers(0, 30),
+                  st.sampled_from(["upsert", "delete"]),
+                  st.integers(),
+                  st.integers(0, 10**6)),
+        unique_by=lambda c: c[3], max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_lww_apply_equals_sequential_replay(snap, changes):
+    """Collapsing a changelog to last-write-wins per key and applying
+    once must equal replaying every entry in order — the property that
+    lets apply_changelog do one window + one anti-join instead of a
+    sequential scan. (Unique seq per entry: the operator requires a
+    total order, which the query provides via (us, event_id).)"""
+    assert apply_lww(snap, changes) == apply_ref(snap, changes)
