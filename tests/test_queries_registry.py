@@ -60,3 +60,24 @@ def test_entry_smoke(spark):
     rows = e.entry(spark).limit(5).collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_gate_ordering_invariants():
+    """__spark_entry__ ordering: PRIORITY names must exist, the full
+    ordering must cover the registry exactly once, and never-checked
+    queries must precede previously-passed ones in the tail."""
+    import __spark_entry__ as e
+
+    assert len(e.PRIORITY) == len(set(e.PRIORITY)) == 50
+    assert all(n in REGISTRY for n in e.PRIORITY)
+    names = list(e.queries())
+    assert sorted(names) == sorted(REGISTRY)
+    assert names[:50] == e.PRIORITY
+    hist = e._gate_history()
+    tail = names[50:]
+    seen_passed = False
+    for n in tail:
+        if hist.get(n) == "passed":
+            seen_passed = True
+        elif hist.get(n) is None:
+            assert not seen_passed, f"never-checked {n} after passed entries"
