@@ -53,12 +53,25 @@ def pack_sequences(docs: DataFrame, budget: int = 64, n_buckets: int = 16,
          .rowsBetween(Window.unboundedPreceding, -1))
     c = t.withColumn(
         "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    # Local pack numbers live in [0, PACK_STRIDE); if a bucket ever
+    # accumulates >= 2^32 packs its ids would silently collide with the
+    # next bucket's range. Guard with a zero-cost expression: raise at
+    # execution time rather than emit a wrong id. Sizing rule: choose
+    # n_buckets >= total_tokens / (budget * 2^32) — at budget=4096
+    # that's one bucket per ~16 quadrillion tokens, so any sane bucket
+    # count clears it; the assert is belt-and-braces for misuse
+    # (budget=1 on a giant bucket).
+    local = F.expr(f"cum_before div {int(budget)}")
     return c.select(
         id_col, "bucket", "n_tokens",
         (F.col("cum_before") % budget).cast("long").alias("offset"),
         # integer div, not float: cum_before can exceed 2^53 in a hot
         # bucket at full scale and floor(double) would drop bits there
         (F.col("bucket") * PACK_STRIDE
-         + F.expr(f"cum_before div {int(budget)}")).cast("long")
-        .alias("pack_id"),
+         + F.when(local < F.lit(PACK_STRIDE), local)
+            .otherwise(F.raise_error(F.lit(
+                "pack_sequences: local pack id overflowed PACK_STRIDE "
+                f"(2^32); raise n_buckets so each bucket holds < 2^32 "
+                f"packs of budget={int(budget)}"))))
+        .cast("long").alias("pack_id"),
     )

@@ -57,9 +57,10 @@ def stratified_reservoir(df: DataFrame, stratum_col: str, k: int,
         for pdf in batches:
             both = pdf if acc is None else pd.concat((acc, pdf))
             # nsmallest per stratum on (u, sid); k+ties don't matter —
-            # stage 2 re-ranks exactly
+            # stage 2 re-ranks exactly. dropna=False: a NULL stratum is
+            # its own partition (matches the window + SQL oracle).
             acc = (both.sort_values(["u", "sid"])
-                   .groupby("stratum", sort=False).head(k))
+                   .groupby("stratum", sort=False, dropna=False).head(k))
         yield acc if acc is not None else pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in schema.fields})
 
@@ -104,8 +105,10 @@ def weighted_reservoir(df: DataFrame, stratum_col: str, k: int,
         acc: pd.DataFrame | None = None
         for pdf in batches:
             both = pdf if acc is None else pd.concat((acc, pdf))
+            # dropna=False: NULL stratum is its own partition (oracle
+            # and the stage-2 window both treat it that way)
             acc = (both.sort_values(["u", "sid"])
-                   .groupby("stratum", sort=False).head(k))
+                   .groupby("stratum", sort=False, dropna=False).head(k))
         yield acc if acc is not None else pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in schema.fields})
 

@@ -2080,17 +2080,31 @@ def session_windows(spark, sf_dir):
 
 @register(
     "approx_distinct_users",
-    None,  # HLL sketch result is algorithm-specific — rows-only check
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type""",
     "beyond",
 )
 def approx_distinct_users(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) per event_type — the
-    approximate-aggregate surface (SURVEY §2.3 note). No DuckDB oracle:
-    sketch estimates are engine-specific; the exact twin is
-    events_distinct_users."""
+    approximate-aggregate surface (SURVEY §2.3 note). Sketch estimates
+    are engine-specific, so instead of hashing the estimate itself the
+    query emits a CHECKABLE BOUND: within_bound is true iff the HLL
+    estimate (rsd=0.01) lands within 5 % of the exact distinct count
+    (>= 5 sigma of the configured rsd — a genuine correctness envelope,
+    not a tautology). The oracle recomputes the exact count and asserts
+    TRUE, so the gate row hash-fails exactly when the sketch leaves its
+    published error bound. Exact twin: events_distinct_users."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_exact"))
+    return agg.select(
+        "event_type", "n_exact",
+        (F.abs(F.col("approx_users") - F.col("n_exact"))
+         <= F.greatest(F.lit(1.0), F.col("n_exact") * 0.05))
+        .alias("within_bound"))
 
 
 @register(
@@ -4111,7 +4125,10 @@ def token_heavy_hitters(spark, sf_dir):
 
 @register(
     "value_quantile_sketch",
-    None,
+    """
+    SELECT event_type, p, TRUE AS rank_err_ok
+    FROM (SELECT DISTINCT event_type FROM events)
+    CROSS JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) t(p)""",
     "llm", "sketch", "A5",
 )
 def value_quantile_sketch(spark, sf_dir):
@@ -4119,15 +4136,31 @@ def value_quantile_sketch(spark, sf_dir):
     pandas UDAF tree (operators/sketches.py) — the reference's
     AggregateFunction accumulator contract
     (chapter6/WindowFunctions.scala:87-105) with a bounded-centroid
-    accumulator. Rows-only: the estimates are algorithm-specific (no
-    SQL oracle reproduces the digest); tests bound the rank error
-    against exact percentiles instead. The salted two-level tree keeps
-    every task's state at <= ~2*delta centroids, so the same plan holds
-    when one event_type carries 10^10 rows."""
+    accumulator. The digest's floats are algorithm-specific, so the
+    gate row hashes a CHECKABLE RANK-ERROR BOUND instead: for each
+    (event_type, p) the estimate's realized rank — the fraction of
+    values <= estimate, computed by broadcasting the tiny estimate
+    table back over events — must sit within 0.02 of p (t-digest
+    delta=100 guarantees ~q(1-q)/delta, well inside). The oracle
+    asserts TRUE per cell, so a digest drifting out of its bound
+    hash-fails the row. The salted two-level tree keeps every task's
+    state at <= ~2*delta centroids, so the same plan holds when one
+    event_type carries 10^10 rows."""
     ev = _t(spark, sf_dir, "events")
     from .operators.sketches import tdigest_quantiles
 
-    return tdigest_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
+    est = tdigest_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99])
+    long = est.select(
+        "event_type",
+        F.expr("stack(3, 0.5D, q50, 0.9D, q90, 0.99D, q99) AS (p, est)"))
+    joined = ev.select("event_type", "value").join(
+        F.broadcast(long), "event_type")
+    return (joined.groupBy("event_type", "p")
+            .agg(F.avg(F.when(F.col("value") <= F.col("est"), 1.0)
+                       .otherwise(0.0)).alias("rank_frac"))
+            .select("event_type", "p",
+                    (F.abs(F.col("rank_frac") - F.col("p")) <= 0.02)
+                    .alias("rank_err_ok")))
 
 @register(
     "events_scd2_intervals",
@@ -4289,9 +4322,58 @@ def stream_semi_join(spark, sf_dir):
     res = _run_to_memory(spark, out, "stream_semi_join_result")
     return res.filter(F.col("event_id") >= 0)
 
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85,
+                  decimals: int = 6) -> str:
+    """Unrolled power-iteration PageRank as chained CTEs — the exact
+    arithmetic of operators/graph.py:pagerank (symmetrized LSH edges,
+    per-round dangling-mass redistribution), 10 fixed rounds, ranks
+    rounded to 6 decimals so order-dependent double summation cannot
+    flip the hash (residual cross-engine error ~1e-12 << 5e-7)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference; each
+        # r{i} is referenced twice downstream, so inlining would double
+        # the plan per iteration (2^10 scans by r10)
+        steps.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(sum(r.rank), 0.0) AS dm
+      FROM {prev} r LEFT JOIN deg g ON r.id = g.src
+      WHERE g.src IS NULL),
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS id, sum(r.rank / g.deg) AS contrib
+      FROM edges e
+      JOIN {prev} r ON e.src = r.id
+      JOIN deg g ON g.src = e.src
+      GROUP BY e.dst),
+    r{i} AS MATERIALIZED (
+      SELECT ids.id,
+             ({1.0 - damping} / nn.n
+              + {damping} * (SELECT dm FROM d{i}) / nn.n
+              + {damping} * COALESCE(c.contrib, 0.0)) AS rank
+      FROM ids LEFT JOIN c{i} c ON ids.id = c.id CROSS JOIN nn)""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_pairs_sql()}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg AS MATERIALIZED (
+      SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+    ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM ids),
+    r0 AS MATERIALIZED (
+      SELECT id, 1.0 / nn.n AS rank FROM ids CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT id AS doc_id, round(rank, {decimals}) AS rank
+    FROM {prev}
+    ORDER BY round(rank, {decimals}) DESC, id LIMIT 20"""
+
+
 @register(
     "doc_pagerank",
-    None,  # power-iteration double sums are summation-order-dependent
+    _pagerank_sql(),
     "llm", "graph", "iterative",
 )
 def doc_pagerank(spark, sf_dir):
@@ -4302,9 +4384,13 @@ def doc_pagerank(spark, sf_dir):
     the two queries share the LSH candidate machinery; power iteration
     (operators/graph.py:pagerank) does one rank-to-edges shuffle per
     round with map-side partial sums, dangling mass redistributed.
-    Rows-only: iterative double summation is order-dependent, so no SQL
-    oracle reproduces the bits; the analytic fixed-point and
-    stochasticity tests in tests/test_operators.py carry correctness.
+    Oracle: the SAME 10 fixed rounds unrolled as chained SQL CTEs
+    (_pagerank_sql). Iterative double summation is order-dependent
+    across engines, so both sides round to 6 decimals (residual error
+    ~1e-12, five orders under the rounding grain) and order by
+    (rounded rank DESC, doc_id) — a deterministic tolerance hash; the
+    analytic fixed-point and stochasticity tests in
+    tests/test_operators.py carry the un-rounded correctness.
     Top-20 is TakeOrderedAndProject with doc_id tie-break."""
     from .operators.graph import pagerank
 
@@ -4314,7 +4400,8 @@ def doc_pagerank(spark, sf_dir):
     ranks = pagerank(docs.select(F.col("doc_id").alias("id")),
                      pairs.select("doc_a", "doc_b"),
                      src_col="doc_a", dst_col="doc_b", iterations=10)
-    return (ranks.select(F.col("id").alias("doc_id"), "rank")
+    return (ranks.select(F.col("id").alias("doc_id"),
+                         F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), "doc_id").limit(20))
 
 @register(
@@ -4759,7 +4846,8 @@ def mixture_temperature_rates(spark, sf_dir):
 @register(
     "user_hll_rollup",
     """
-    SELECT event_type, count(DISTINCT user_id)::BIGINT AS est_distinct
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS within_bound
     FROM events GROUP BY event_type""",
     "llm", "sketch",
 )
@@ -4769,15 +4857,26 @@ def user_hll_rollup(spark, sf_dir):
     HLL sketches union into per-type totals — the storable rollup
     count_distinct can't express (distinct isn't mergeable; at 100 TB
     the daily partials are bytes and the fact table is scanned once,
-    ever). At lgk=14 the sketch runs exact through the gate
-    cardinalities (sparse mode), so the exact-distinct oracle
-    hash-matches; production cardinalities see ~0.8% error at the
-    default lgk=12 (tolerance-tested in tests/test_sketches.py)."""
+    ever). The gate row hashes a CHECKABLE BOUND rather than the raw
+    estimate (which is only exact while the lgk=14 sketch stays in
+    sparse mode — a precondition that breaks at larger SFs):
+    within_bound asserts the unioned estimate lands within 4 % of the
+    exact distinct count (~5 sigma of lgk=14's 0.81 % rsd), so the row
+    stays green at any scale factor and hash-fails exactly when the
+    sketch leaves its published envelope. Raw-estimate accuracy is
+    tolerance-tested in tests/test_sketches.py."""
     from .operators.sketches import hll_partials, hll_rollup
     ev = _t(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000").alias("d")
     parts = hll_partials(ev, ["event_type"], day, "user_id", lgk=14)
-    return hll_rollup(parts, ["event_type"])
+    rolled = hll_rollup(parts, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"))
+    return (exact.join(F.broadcast(rolled), "event_type")
+            .select("event_type", "n_exact",
+                    (F.abs(F.col("est_distinct") - F.col("n_exact"))
+                     <= F.greatest(F.lit(1.0), F.col("n_exact") * 0.04))
+                    .alias("within_bound")))
 
 
 @register(
@@ -4920,12 +5019,16 @@ def bucketed_colocated_join(spark, sf_dir):
 )
 def stream_ingest_compact(spark, sf_dir):
     """The ingestion path end to end: the events stream lands via
-    foreachBatch as event_type-partitioned parquet (batchId-stamped
-    files = idempotent re-runs), the landing zone is then compacted
-    (sources/layout.py:compact_parquet — streaming sinks are THE
-    small-files factory at 100 TB), and the compacted zone is read
-    back and aggregated. Oracle = the same aggregate over the original
-    table: the whole land→compact→serve chain must be lossless."""
+    foreachBatch as batchId-keyed, event_type-partitioned parquet
+    (each micro-batch OVERWRITES its own `ingest_batch=<id>` directory,
+    so a retried batch after a partial failure replaces — never
+    duplicates — its rows: genuinely idempotent re-runs), the landing
+    zone is then compacted (sources/layout.py:compact_parquet —
+    streaming sinks are THE small-files factory at 100 TB), and the
+    compacted zone is read back and aggregated. Oracle = the same
+    aggregate over the original table: the whole land→compact→serve
+    chain must be lossless."""
+    import os
     import tempfile
     from .sources.layout import compact_parquet
 
@@ -4937,8 +5040,11 @@ def stream_ingest_compact(spark, sf_dir):
         "event_id", "user_id", "event_type")
 
     def land_batch(batch_df, batch_id):
-        (batch_df.write.mode("append")
-         .partitionBy("event_type").parquet(land))
+        # one directory per micro-batch, overwritten on replay — the
+        # standard exactly-once landing idiom for object stores
+        (batch_df.write.mode("overwrite")
+         .partitionBy("event_type")
+         .parquet(os.path.join(land, f"ingest_batch={batch_id}")))
 
     q = (src.writeStream.foreachBatch(land_batch)
          .option("checkpointLocation", ckpt)

@@ -73,6 +73,25 @@ def test_stratified_reservoir_exact_k_per_stratum(spark, sf_dir):
     assert per == {lang: min(k, n) for lang, n in sizes.items()}
 
 
+def test_stratified_reservoir_null_stratum_is_its_own_partition(spark):
+    """NULL strata must not be dropped by the stage-1 pandas prune
+    (groupby dropna=False): they form their own partition, exactly as
+    the stage-2 window and the SQL oracle treat them."""
+    from examples_scala_spark.operators.sampling import weighted_reservoir
+    rows = ([(i, "en", 1.0) for i in range(20)]
+            + [(i, None, 1.0) for i in range(100, 130)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    k = 4
+    got = stratified_reservoir(df.repartition(9), "lang", k, "doc_id")
+    per = {r["lang"]: r["count"]
+           for r in got.groupBy("lang").count().collect()}
+    assert per == {"en": k, None: k}
+    wgot = weighted_reservoir(df.repartition(9), "lang", k, "doc_id", "w")
+    wper = {r["lang"]: r["count"]
+            for r in wgot.groupBy("lang").count().collect()}
+    assert wper == {"en": k, None: k}
+
+
 # --------------------------------------------------------------- inference
 
 def test_quality_model_matches_jvm_expression(spark, sf_dir):
