@@ -117,20 +117,24 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     for _ in range(iterations):
         with_deg = ranks.join(degrees, ranks.id == degrees.src, "left").select(
             "id", "rank", "deg")
+        # dangling mass as a broadcast 1-row aggregate, NOT a driver
+        # .first(): keeps each round ONE job (the eager checkpoint)
+        # instead of two — the scalar never leaves the cluster
         dangling = (
             with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
         contribs = (
             sym.join(with_deg, sym.src == with_deg.id)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.select(F.col(id_col).alias("id"))
             .join(contribs, F.col("id") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(dangling))
             .select("id",
-                    (F.lit(base)
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * F.col("dm") / n
                      + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                      ).alias("rank"))
             .localCheckpoint(eager=True)

@@ -3955,7 +3955,13 @@ def _staged_sentinel_side(spark, ev, etype: str, sid: int,
     d = tempfile.mkdtemp(prefix=f"sgs_sentinel_{etype}_")
     side = ev.filter(F.col("event_type") == etype).select(
         "event_id", "ts", "user_id")
-    sent = spark.createDataFrame([(sid, far, sid)], schema=side.schema)
+    # SQL literal, not createDataFrame: parallelize() spreads one row
+    # over defaultParallelism partitions, each paying a Python-worker
+    # spin-up — measured ~5 s per staged side at gate SF; the
+    # LocalRelation stays JVM-side and costs nothing
+    sent = spark.sql(
+        f"SELECT {int(sid)}::BIGINT AS event_id, {int(far)}::BIGINT AS ts, "
+        f"{int(sid)}::BIGINT AS user_id")
     side.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(d)
     return (spark.readStream
             .schema("event_id bigint, ts bigint, user_id bigint")
