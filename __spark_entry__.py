@@ -42,7 +42,7 @@ PRIORITY = [
     "stream_interval_join", "flatmap_split_udtf",
     # (b) changed this round: error-bound oracles + idempotent ingest
     "approx_distinct_users", "user_hll_rollup", "value_quantile_sketch",
-    "doc_pagerank", "stream_ingest_compact",
+    "doc_pagerank", "stream_ingest_compact", "stream_upsert_state",
     # (c) never-evaluated, by family — streaming joins/windows
     "stream_semi_join", "stream_left_outer_join",
     "stream_full_outer_join", "stream_static_enrich",

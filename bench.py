@@ -35,6 +35,12 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "token_count",
     "media_meta",
+    # promoted from the breadth section in round 3 (judge request):
+    # the composite LLM pipeline and the iterative clustering path are
+    # headline workloads, not extras. Round-over-round totals compare
+    # per-query, so the headline-set change doesn't break the series.
+    "pipeline_training_data",
+    "dedup_clusters",
 ]
 
 
@@ -87,20 +93,30 @@ def skew_bench(spark) -> dict[str, float]:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
+        # best-of-two per variant: single-sample skew timings swung
+        # 2-3x run-to-run on this VM (r2->r3 "salted 2.4s vs 6.6s" was
+        # pure noise); min-of-two is the reproducible plan cost
+        def run2(df_fn):
+            (t1, r1), (t2, r2) = _timed_count_sum(df_fn()), \
+                _timed_count_sum(df_fn())
+            assert r1 == r2
+            return min(t1, t2), r1
+
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        timings["plain"], results["plain"] = _timed_count_sum(
-            big.join(small, "k"))
+        timings["plain"], results["plain"] = run2(
+            lambda: big.join(small, "k"))
 
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-        timings["aqe_skew"], results["aqe_skew"] = _timed_count_sum(
-            big.join(small, "k"))
+        timings["aqe_skew"], results["aqe_skew"] = run2(
+            lambda: big.join(small, "k"))
 
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        timings["salted"], results["salted"] = _timed_count_sum(
-            salted_join(big, small, "k", salt_from=["payload"], buckets=32))
+        timings["salted"], results["salted"] = run2(
+            lambda: salted_join(big, small, "k", salt_from=["payload"],
+                                buckets=32))
     finally:
         for c, v in saved.items():
             if v is None:
@@ -144,8 +160,7 @@ def main() -> None:
     # headline set doesn't time (kept out of the headline total so the
     # round-over-round "value" series stays comparable)
     extra: dict[str, float] = {}
-    for name in ["pipeline_training_data", "dedup_clusters",
-                 "doc_repetition_stats", "funnel_conversion",
+    for name in ["doc_repetition_stats", "funnel_conversion",
                  "stream_windowed_avg", "token_heavy_hitters",
                  "value_quantile_sketch", "ann_topk_pq",
                  "doc_sequence_packing", "stratified_reservoir",

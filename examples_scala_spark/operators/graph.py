@@ -50,7 +50,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence count is a narrow scan of materialized data —
+        # NOT a second shuffle join per round
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
                 "id",
@@ -58,16 +61,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("component") != F.col("prev")).count()
+        labels = stepped.select("id", "component")
         if changed == 0:
             break
     return labels

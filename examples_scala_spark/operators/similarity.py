@@ -285,7 +285,9 @@ def pq_encode(emb: DataFrame, books, id_col: str = "vec_id",
 def pq_adc_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                 m: int = 8, codes: int = 16, dim: int = 64,
                 sample_mod: int = 23, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                queries: DataFrame | None = None,
+                max_queries: int = 256) -> DataFrame:
     """PQ top-k by asymmetric distance computation (ADC): queries stay
     exact, candidates are scored from their m-byte codes against the
     query's per-subspace distance table (one table lookup + add per
@@ -294,8 +296,14 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     Scale shape: the scan reads only (id, codes) — bytes, not vectors;
     each partition emits at most queries x k local winners (map-side
     top-k, same pruning idiom as heavy_hitters), so the final shuffle
-    is tiny regardless of corpus size. Queries ride into the kernel as
-    a broadcast-sized closure (they are the small side by construction).
+    is tiny regardless of corpus size. The query set is BOUNDED by
+    construction: an explicit `queries` DataFrame (the production
+    path — a query batch is always small relative to the corpus) or
+    the `query_mod` corpus sample, either way hard-capped at
+    `max_queries` via a distributed ordered-limit (TakeOrdered — the
+    driver never materializes more than max_queries rows, so the
+    collect cannot grow with the corpus). Distance tables ship as a
+    Spark broadcast (one copy per executor), not a per-task closure.
     Output: (query_id, neighbor_id, rank, adist) — approx distances,
     so rows-only; recall is bounded in tests against brute force."""
     import numpy as np
@@ -303,17 +311,22 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
     books = pq_codebooks(emb, m, codes, dim, sample_mod, id_col, vec_col)
     dsub = dim // m
-    qrows = (emb.filter((F.col(id_col) % query_mod) == 0)
-             .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-             .collect())
+    qdf = (queries if queries is not None
+           else emb.filter((F.col(id_col) % query_mod) == 0))
+    # orderBy+limit = deterministic bounded top-N, never a full collect
+    qrows = (qdf.select(id_col, F.col(vec_col).cast("array<double>")
+                        .alias("v"))
+             .orderBy(id_col).limit(int(max_queries)).collect())
     qids = np.asarray([r[id_col] for r in qrows])
     qvecs = np.asarray([r.v for r in qrows])            # (Q, dim)
     # distance tables: tables[q, s, c] = ||q_sub - book[s,c]||^2
     tables = np.stack([
         ((qvecs[:, s * dsub:(s + 1) * dsub][:, None, :] - books[s][None]) ** 2)
         .sum(2) for s in range(m)], axis=1)             # (Q, m, codes)
+    bcast = emb.sparkSession.sparkContext.broadcast((qids, tables))
 
     def local_topk(batches):
+        qids, tables = bcast.value
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -5016,6 +5016,67 @@ def bucketed_colocated_join(spark, sf_dir):
 
 
 @register(
+    "stream_upsert_state",
+    """
+    SELECT user_id, count(*)::BIGINT AS n,
+           SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total
+    FROM events GROUP BY user_id""",
+    "streaming", "K3", "sinks",
+)
+def stream_upsert_state(spark, sf_dir):
+    """K3's scale path end to end (streaming/sinks.py:
+    parquet_upsert_writer — the driver-free twin of the reference's
+    Derby upsert, IdempotentSinkFunctionExample.scala:72-109): events
+    staged as three files replay as three micro-batches of update-mode
+    per-user aggregates; each batch MERGEs into a hash-bucketed parquet
+    table via dynamic partition overwrite (read touched buckets,
+    anti-join updated keys, rewrite only those buckets — no driver
+    collect anywhere). The final table must equal the batch aggregate,
+    whatever the batch split was. Sums run in DECIMAL so accumulation
+    order can't move the hash."""
+    import os
+    import tempfile
+    from .streaming.sinks import parquet_upsert_writer
+
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "value", "ts")
+    stage = tempfile.mkdtemp(prefix="sgs_upsert_in_")
+    # three ts-range slices -> three deterministic micro-batches
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= bounds[i]) & (
+            (F.col("ts") < bounds[i + 1]) if i < 2
+            else (F.col("ts") <= bounds[3]))
+        (ev.filter(cond).drop("ts").coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(stage, f"f{i}")))
+    agg = (spark.readStream.schema("user_id bigint, value double")
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "true").parquet(stage)
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+           .select("user_id", F.struct("n", "total").alias("v")))
+    table = tempfile.mkdtemp(prefix="sgs_upsert_state_")
+    # state partitions sized to the replay volume, as _run_to_memory
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (agg.writeStream
+             .foreachBatch(parquet_upsert_writer(table, "user_id", "v", 4))
+             .outputMode("update")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="sgs_ck_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.read.parquet(table)
+            .select("user_id", F.col("v.n").alias("n"),
+                    F.col("v.total").cast("double").alias("total")))
+
+
+@register(
     "stream_ingest_compact",
     """
     SELECT event_type, count(*)::BIGINT AS n,

@@ -106,8 +106,65 @@ class SocketWriter:
 def upsert_writer(store: dict, key_col: str, val_col: str):
     """K3 — in-memory twin of the Derby UPDATE-then-INSERT upsert
     (IdempotentSinkFunctionExample.scala:89-102): last write per key
-    wins, so at-least-once redelivery converges to exactly-once state."""
+    wins, so at-least-once redelivery converges to exactly-once state.
+    Teaching twin only (driver-side dict, parallelism-1 like the
+    reference's Derby sink); the driver-free scale path is
+    `parquet_upsert_writer` below."""
     def write(batch_df: DataFrame, batch_id: int) -> None:
         for row in batch_df.select(key_col, val_col).collect():
             store[row[key_col]] = row[val_col]
+    return write
+
+
+def parquet_upsert_writer(table_dir: str, key_col: str, val_col: str,
+                          buckets: int = 16):
+    """K3 scale path — partition-parallel keyed upsert into a
+    hash-bucketed parquet table, no table format and NO driver-side
+    row movement (the twin above collects; this one never does).
+
+    MERGE without Delta: the table lives as `bucket=<pmod(xxhash64(key),
+    B)>` partitions. Per micro-batch: bucket the incoming keys, read
+    ONLY the touched buckets, anti-join out the updated keys, union the
+    new rows, and rewrite just those buckets via dynamic partition
+    overwrite — untouched buckets are never read or written, so batch
+    cost is O(touched buckets), not O(table). At-least-once redelivery
+    converges: re-running a batch overwrites the same buckets with the
+    same rows (last write per key wins). Expects <=1 row per key per
+    batch — the shape of update-mode stateful aggregates, K3's use
+    case (IdempotentSinkFunctionExample.scala:72-109).
+
+    At 100 TB: `buckets` scales with the table so one bucket ~ one
+    task; the only driver traffic is the touched-bucket id list
+    (bounded by B)."""
+    from pyspark.sql import functions as F
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(key_col), F.col(val_col),
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+             .cast("int").alias("bucket"))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            has_table = any(
+                name.startswith("bucket=")
+                for name in (os.listdir(table_dir)
+                             if os.path.isdir(table_dir) else []))
+            out = b
+            if has_table:
+                cur = spark.read.parquet(table_dir)
+                touched = [r.bucket for r in
+                           b.select("bucket").distinct().collect()]
+                keep = (cur.filter(F.col("bucket").isin(touched))
+                        .join(b.select(key_col), key_col, "left_anti"))
+                # localCheckpoint materializes the survivors so the
+                # overwrite below doesn't read the path it's replacing
+                out = keep.unionByName(b).localCheckpoint(eager=True)
+            (out.write.mode("overwrite").partitionBy("bucket")
+             .parquet(table_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return write

@@ -213,6 +213,27 @@ def test_pq_adc_exact_when_codebook_covers_vectors(spark):
             assert got_rows[(qid, rank)] == nid, (qid, rank)
 
 
+def test_pq_adc_query_set_is_bounded(spark, sf_dir):
+    """The driver-side query materialization must be hard-capped: even
+    with query_mod=1 (every corpus row nominally a query) only
+    max_queries queries reach the kernel, chosen as the deterministic
+    ordered prefix — the collect cannot grow with the corpus. An
+    explicit bounded query DataFrame is honored the same way."""
+    from examples_scala_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = similarity.pq_adc_topk(emb, k=2, query_mod=1, max_queries=7)
+    qids = sorted({r.query_id for r in got.collect()})
+    first7 = [r.vec_id for r in
+              emb.select("vec_id").orderBy("vec_id").limit(7).collect()]
+    assert qids == first7
+    explicit = similarity.pq_adc_topk(
+        emb, k=2, queries=emb.filter("vec_id % 100 = 1"), max_queries=3)
+    eqids = sorted({r.query_id for r in explicit.collect()})
+    want = [r.vec_id for r in emb.filter("vec_id % 100 = 1")
+            .select("vec_id").orderBy("vec_id").limit(3).collect()]
+    assert eqids == want
+
+
 def test_connected_components_known_graph(spark):
     from examples_scala_spark.operators.graph import connected_components
 

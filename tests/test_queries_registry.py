@@ -35,9 +35,10 @@ def duck(sf_dir):
 
 
 # declared rows-only (non-SQL-expressible / algorithm-specific) queries
-ROWS_ONLY = {"approx_distinct_users", "stream_delta_alerts",
-             "stream_early_firing", "value_quantile_sketch",
-             "ann_topk_pq", "doc_pagerank"}
+# — round 3 upgraded approx_distinct_users / value_quantile_sketch /
+# doc_pagerank to checkable error-bound oracles; the remaining three
+# are genuinely stateful-streaming or approximate-distance outputs
+ROWS_ONLY = {"stream_delta_alerts", "stream_early_firing", "ann_topk_pq"}
 
 
 def test_all_queries_have_oracles():
