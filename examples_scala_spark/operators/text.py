@@ -239,3 +239,45 @@ def rare_token_stats(docs: DataFrame, rare_df_num: int = 1,
              .alias("rare_ratio"),
         )
     )
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k1: float = 1.2,
+              b: float = 0.75, topk: int = 20, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set;
+    returns the global top-k as (doc_id, bm25).
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))        (Robertson)
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the term filter lands immediately after the explode,
+    so only (doc, query-term) hits shuffle — selectivity |terms|/|vocab|.
+    Doc length rides along with the exploded tokens (no corpus-sized
+    dl join), and N/avgdl are one scalar map-side aggregate broadcast
+    back via a 1-row cross join. df(t) is |terms| rows, broadcast.
+    Top-k compiles to TakeOrderedAndProject — no global sort. Ordering
+    ties break on the ROUNDED score then doc_id, so the cut is
+    engine-deterministic.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+    stats = words.agg(
+        F.count("*").cast("double").alias("N"),
+        F.avg(F.size("__w")).alias("avgdl"))
+    tok = (words.select(F.col(id_col), F.size("__w").alias("dl"),
+                        F.explode("__w").alias("term"))
+           .filter(F.col("term").isin(terms)))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (idf * (F.col("tf") * (k1 + 1))
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum(contrib), 6).alias("bm25"))
+    return (per_doc.orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(topk))

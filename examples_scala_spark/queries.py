@@ -5375,3 +5375,128 @@ def cdc_snapshot_merge(spark, sf_dir):
                    "value", "us", "event_id"))
     return apply_changelog(snap, chg, key="user_id",
                            order_cols=["us", "event_id"])
+
+
+# ======================================================================
+# Round 3 additions: retrieval scoring, bloom pruning, budget selection
+# ======================================================================
+
+@register(
+    "bm25_topk",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    stats AS (
+      SELECT count(*)::DOUBLE AS N, avg(len(words))::DOUBLE AS avgdl FROM w),
+    tok AS (
+      SELECT doc_id, len(words)::BIGINT AS dl, unnest(words) AS term FROM w),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+      FROM tok WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.5)
+               / (t.tf + 1.5 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s)
+    SELECT doc_id, round(sum(c), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "llm", "text", "retrieval",
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-20 documents for a fixed query-term set (k1=1.5,
+    b=0.75 — dyadic constants so float arithmetic is engine-exact).
+    Term filter lands right after the explode; doc length rides with
+    the tokens (no corpus-sized dl join); N/avgdl broadcast as a 1-row
+    scalar; top-k is TakeOrderedAndProject, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["spark", "join", "window"],
+                          k1=1.5, b=0.75, topk=20)
+
+
+@register(
+    "bloom_decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     AS g
+            FROM w)),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+           FROM sh GROUP BY doc_id),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
+    ov AS (
+      SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+      FROM (SELECT * FROM sh WHERE doc_id % 89 <> 0) c
+      JOIN bench b USING (shingle)
+      GROUP BY c.doc_id)
+    SELECT o.doc_id, s.n_shingles, o.n_overlap,
+           round(o.n_overlap / s.n_shingles::DOUBLE, 6) AS overlap_frac,
+           (o.n_overlap / s.n_shingles::DOUBLE >= 0.05) AS contaminated
+    FROM ov o JOIN sz s USING (doc_id)""",
+    "llm", "dedup", "decontamination", "bloom",
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Decontamination via a distributed Bloom prefilter
+    (operators/bloom.py): the benchmark 3-gram set becomes a 16 KiB
+    broadcast bitmap; corpus shingles are bloom-probed (Arrow-batched
+    numpy bit tests) BEFORE any join, then exact-confirmed with a
+    broadcast semi join — the same pattern as Spark's runtime
+    row-level filtering, made explicit. Result is bit-identical to
+    the plain exact overlap (the oracle), so false positives cost
+    only work, never correctness."""
+    from .operators.bloom import bloom_benchmark_overlap
+    docs = _t(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 89 == 0)
+    corpus = docs.filter(F.col("doc_id") % 89 != 0)
+    return bloom_benchmark_overlap(corpus, bench_docs, n=3,
+                                   frac_threshold=0.05)
+
+
+@register(
+    "corpus_budget_selection",
+    f"""
+    WITH q AS ({_quality_sql()}),
+    s AS (
+      SELECT doc_id, n_words, quality_score,
+             sum(n_words) OVER (
+               ORDER BY quality_score DESC, n_words ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q)
+    SELECT doc_id, n_words::BIGINT AS n_words, quality_score
+    FROM s WHERE cum <= 10000""",
+    "llm", "sampling", "selection",
+)
+def corpus_budget_selection(spark, sf_dir):
+    """Token-budgeted corpus selection: greedy prefix by (quality
+    desc, length asc, doc_id) until 10k tokens are spent — the
+    'best docs under a budget' curriculum cut. NOT a global window:
+    operators/selection.py resolves the cut two-phase (tiny bucket
+    histogram -> wholesale keep/drop -> exact cumsum only inside the
+    single cutoff bucket), so at 100 TB no single-partition ordering
+    ever happens. Integer weights end-to-end, so the budget arithmetic
+    is exact in both engines."""
+    from .operators.selection import budget_prefix_select
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select(
+        "doc_id", F.col("n_words").cast("bigint").alias("n_words"),
+        "quality_score")
+    q4 = (F.col("quality_score") * 4).cast("int")
+    bucket = ((F.lit(4) - q4) * 1024
+              + F.least((F.col("n_words") / 16).cast("int"), F.lit(1023)))
+    df = q.withColumn("__bucket", bucket)
+    sel = budget_prefix_select(
+        df, "__bucket", "n_words", 10_000,
+        order_cols=[F.col("n_words").asc(), F.col("doc_id").asc()])
+    return sel.select("doc_id", "n_words", "quality_score")

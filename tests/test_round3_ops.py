@@ -1,0 +1,108 @@
+"""Round-3 operators: BM25 retrieval scoring, bloom-filter
+decontamination pruning, budgeted greedy-prefix corpus selection."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from examples_scala_spark.operators.bloom import (
+    bloom_benchmark_overlap, build_bitmap, might_contain_udf)
+from examples_scala_spark.operators.dedup import benchmark_overlap
+from examples_scala_spark.operators.selection import budget_prefix_select
+from examples_scala_spark.operators.text import bm25_topk
+from examples_scala_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------------- bm25
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a d"), (3, "e e e e")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(docs, ["a"], k1=1.5, b=0.75, topk=10).collect()}
+    n, avgdl = 3.0, (4 + 2 + 4) / 3.0
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return round(idf * tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl)), 6)
+
+    assert out == {1: score(2, 4), 2: score(1, 2)}  # doc 3 has no hit
+
+
+def test_bm25_topk_cut_is_deterministic(spark, sf_dir):
+    out = bm25_topk(_docs(spark, sf_dir), ["spark", "join"], topk=5).collect()
+    assert len(out) <= 5
+    keys = [(-r["bm25"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+
+
+# ------------------------------------------------------------------ bloom
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    keys = spark.range(0, 2000).select((F.col("id") * 7919).alias("key"))
+    bc = build_bitmap(keys, "key", m_bits=1 << 15, k=5)
+    probe = might_contain_udf(bc, m_bits=1 << 15, k=5)
+    # every inserted key must test positive
+    assert keys.filter(~probe(F.col("key"))).count() == 0
+    # disjoint probe set: fp rate stays near the analytic bound
+    other = spark.range(0, 20000).select((F.col("id") * 7919 + 3).alias("key"))
+    fp = other.filter(probe(F.col("key"))).count() / 20000
+    load = 1 - math.exp(-5 * 2000 / (1 << 15))
+    assert fp <= 2 * load ** 5 + 0.01
+
+
+def test_bloom_overlap_equals_exact_overlap(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    via_bloom = bloom_benchmark_overlap(corpus, bench, n=3,
+                                        frac_threshold=0.05).toPandas()
+    exact = (benchmark_overlap(corpus, bench, n=3, frac_threshold=0.05)
+             .filter(F.col("n_overlap") > 0).toPandas())
+    key = ["doc_id"]
+    via_bloom = via_bloom.sort_values(key).reset_index(drop=True)
+    exact = exact.sort_values(key).reset_index(drop=True)
+    assert via_bloom.equals(exact[via_bloom.columns])
+    assert len(via_bloom) > 0  # the comparison is not vacuous
+
+
+# -------------------------------------------------------------- selection
+
+def _naive_prefix(df, budget):
+    w = (Window.orderBy("__bucket", F.col("n_words").asc(),
+                        F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("cum", F.sum("n_words").over(w))
+            .filter(F.col("cum") <= budget).drop("cum"))
+
+
+def test_budget_select_equals_naive_window(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"))
+    df = docs.withColumn(
+        "__bucket", F.least((F.col("n_words") / 8).cast("int"), F.lit(63)))
+    for budget in (0, 500, 2000, 10**9):
+        got = sorted(r["doc_id"] for r in budget_prefix_select(
+            df, "__bucket", "n_words", budget,
+            [F.col("n_words").asc(), F.col("doc_id").asc()]).collect())
+        want = sorted(r["doc_id"] for r in _naive_prefix(df, budget).collect())
+        assert got == want, f"budget={budget}"
+
+
+def test_budget_select_exhausts_budget_exactly(spark):
+    # weights 1..10 ordered by id: prefix sums 1,3,6,10,15... budget 10
+    # keeps ids 1..4 and nothing else
+    df = (spark.range(1, 11)
+          .select(F.col("id").alias("doc_id"), F.col("id").alias("n_words"))
+          .withColumn("__bucket", (F.col("doc_id") / 3).cast("int")))
+    out = budget_prefix_select(df, "__bucket", "n_words", 10,
+                               [F.col("doc_id").asc()])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
