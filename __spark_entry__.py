@@ -67,8 +67,10 @@ PRIORITY = [
     # sampling / layout
     "stratified_reservoir", "weighted_reservoir_sample",
     "partition_backfill",
-    # (c2) new this round: retrieval scoring, bloom pruning, budget cut
+    # (c2) new this round: retrieval scoring, bloom pruning, budget
+    # cut, z-order layout
     "bm25_topk", "bloom_decontaminate", "corpus_budget_selection",
+    "zorder_clustered_scan",
     # (d) re-proves of early greens (regression canaries; packing and
     # the training pipeline changed transitively this round)
     "q1_pricing_summary", "minhash_lsh_pairs", "doc_sequence_packing",

@@ -124,13 +124,14 @@ def bloom_benchmark_overlap(docs: DataFrame, bench_docs: DataFrame,
     bitmap = build_bitmap(bench_sh, "shingle", m_bits=m_bits, k=k)
     probe = might_contain_udf(bitmap, m_bits=m_bits, k=k)
 
-    corpus_sh = _sh(docs)
-    # doc-level shingle counts survive independently of the prefilter
-    doc_sz = corpus_sh.groupBy(id_col).agg(F.max("sz").alias("n_shingles"))
-    cand = corpus_sh.filter(probe(F.col("shingle")))
-    confirmed = (cand.join(F.broadcast(bench_sh), "shingle", "leftsemi")
-                 .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
-    out = doc_sz.join(confirmed, id_col, "inner")
+    # sz is a per-doc constant riding on every shingle row, so the
+    # per-doc total survives the prefilter on the surviving rows
+    # (max(sz)) — the shingle pipeline runs exactly ONCE, and only
+    # docs with a confirmed hit ever reach the groupBy
+    cand = _sh(docs).filter(probe(F.col("shingle")))
+    out = (cand.join(F.broadcast(bench_sh), "shingle", "leftsemi")
+           .groupBy(id_col).agg(F.max("sz").alias("n_shingles"),
+                                F.count("*").alias("n_overlap")))
     return out.select(
         F.col(id_col), F.col("n_shingles").cast("bigint"),
         F.col("n_overlap").cast("bigint"),

@@ -5429,8 +5429,8 @@ def bm25_topk(spark, sf_dir):
              ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
       FROM (SELECT doc_id,
                    unnest(list_transform(
-                     range(1, greatest(len(words) - 2, 0) + 1),
-                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     range(1, greatest(len(words) - 3, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 3), ' ')))
                      AS g
             FROM w)),
     sz AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
@@ -5449,7 +5449,7 @@ def bm25_topk(spark, sf_dir):
 )
 def bloom_decontaminate(spark, sf_dir):
     """Decontamination via a distributed Bloom prefilter
-    (operators/bloom.py): the benchmark 3-gram set becomes a 16 KiB
+    (operators/bloom.py): the benchmark 4-gram set becomes a 16 KiB
     broadcast bitmap; corpus shingles are bloom-probed (Arrow-batched
     numpy bit tests) BEFORE any join, then exact-confirmed with a
     broadcast semi join — the same pattern as Spark's runtime
@@ -5460,7 +5460,7 @@ def bloom_decontaminate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench_docs = docs.filter(F.col("doc_id") % 89 == 0)
     corpus = docs.filter(F.col("doc_id") % 89 != 0)
-    return bloom_benchmark_overlap(corpus, bench_docs, n=3,
+    return bloom_benchmark_overlap(corpus, bench_docs, n=4,
                                    frac_threshold=0.05)
 
 
@@ -5500,3 +5500,31 @@ def corpus_budget_selection(spark, sf_dir):
         df, "__bucket", "n_words", 10_000,
         order_cols=[F.col("n_words").asc(), F.col("doc_id").asc()])
     return sel.select("doc_id", "n_words", "quality_score")
+
+
+@register(
+    "zorder_clustered_scan",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE user_id BETWEEN 40 AND 60
+      AND value BETWEEN 100.0 AND 200.0""",
+    "layout", "storage",
+)
+def zorder_clustered_scan(spark, sf_dir):
+    """Z-order (Morton-curve) data layout: rewrite events clustered on
+    the interleaved (user_id, value) key, then run a two-sided range
+    scan over the copy. Every output file is a tight hyper-rectangle
+    in (user_id, value) space, so parquet min/max stats prune the 2-D
+    box down to a handful of files — a 1-D sort can only prune its
+    leading column (quantified in tests/test_layout.py). At 100 TB the
+    rewrite is one range-repartition paid at write time; the scan-side
+    win repeats on every query. sources/layout.py:write_zordered."""
+    import tempfile
+    from .sources.layout import write_zordered
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="sgs_zorder_")
+    write_zordered(ev, d, ["user_id", "value"], bits=8, n_files=32)
+    return (spark.read.parquet(d)
+            .filter(F.col("user_id").between(40, 60)
+                    & F.col("value").between(100.0, 200.0)))

@@ -96,3 +96,47 @@ def test_registry_bucketed_join_zero_exchange(spark, sf_dir):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+# ---------------------------------------------------------------- z-order
+
+def test_zorder_key_interleaves_bits(spark):
+    from examples_scala_spark.sources.layout import zorder_key
+    df = spark.createDataFrame([(3, 1), (0, 0), (255, 255)], "x long, y long")
+    out = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()}
+    # x bit i -> position 2i, y bit i -> position 2i+1
+    assert out[(3, 1)] == 0b111          # x:1@0,1@2  y:1@1
+    assert out[(0, 0)] == 0
+    assert out[(255, 255)] == (1 << 16) - 1
+
+
+def test_zorder_files_cluster_2d_box_better_than_1d_sort(spark, sf_dir,
+                                                         tmp_path):
+    from examples_scala_spark.sources.layout import write_zordered
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    n_files = 16
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, zdir, ["user_id", "value"], bits=8, n_files=n_files)
+    # 1-D comparison layout: range-sorted by value only
+    (ev.repartitionByRange(n_files, "value").sortWithinPartitions("value")
+       .write.mode("overwrite").parquet(sdir))
+
+    box = (F.col("user_id").between(40, 60)
+           & F.col("value").between(100.0, 200.0))
+
+    def files_hit(path):
+        return (spark.read.parquet(path).filter(box)
+                .select(F.input_file_name()).distinct().count())
+
+    z_hit, s_hit = files_hit(zdir), files_hit(sdir)
+    # identical rows either way
+    assert (spark.read.parquet(zdir).filter(box).count()
+            == spark.read.parquet(sdir).filter(box).count()
+            == ev.filter(box).count())
+    # the 2-D box concentrates in fewer files under z-order than under
+    # a sort on the non-leading dimension, and never touches them all
+    assert z_hit <= s_hit
+    assert z_hit < n_files
