@@ -70,7 +70,8 @@ PRIORITY = [
     # (c2) new this round: retrieval scoring, bloom pruning, budget
     # cut, z-order layout
     "bm25_topk", "bloom_decontaminate", "corpus_budget_selection",
-    "zorder_clustered_scan",
+    "zorder_clustered_scan", "snapshot_diff_changelog",
+    "corpus_shuffle_shards",
     # (d) re-proves of early greens (regression canaries; packing and
     # the training pipeline changed transitively this round)
     "q1_pricing_summary", "minhash_lsh_pairs", "doc_sequence_packing",

@@ -41,3 +41,35 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str,
     upserts = (latest.filter(F.col(op_col) == "upsert")
                .select(*snapshot.columns))
     return kept.unionByName(upserts)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  value_cols: list[str]) -> DataFrame:
+    """Emit the changelog that turns snapshot `old` into snapshot
+    `new`: (key, op in {'insert','update','delete'}, old_*, new_*).
+    Unchanged keys are dropped. The inverse of apply_changelog — the
+    two compose to a round-trip (tested), which is how a pipeline
+    derives an incremental feed from full-table drops when the source
+    system has no CDC.
+
+    Scale shape: one full outer sort-merge join on the key — both
+    snapshots shuffle once, which is the information-theoretic minimum
+    for a diff of unsorted tables (bucketed layouts on `key` remove
+    even that; see sources/layout.py:write_bucketed)."""
+    # explicit presence markers: NULL value columns must not be read
+    # as absence
+    o = old.select(key, F.lit(True).alias("__in_old"),
+                   *[F.col(c).alias(f"old_{c}") for c in value_cols])
+    n = new.select(key, F.lit(True).alias("__in_new"),
+                   *[F.col(c).alias(f"new_{c}") for c in value_cols])
+    j = o.join(n, key, "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (F.when(F.col("__in_old").isNull(), "insert")
+          .when(F.col("__in_new").isNull(), "delete")
+          .when(changed, "update"))
+    return (j.withColumn("op", op).filter(F.col("op").isNotNull())
+            .select(key, "op",
+                    *[f"old_{c}" for c in value_cols],
+                    *[f"new_{c}" for c in value_cols]))

@@ -120,3 +120,30 @@ def weighted_reservoir(df: DataFrame, stratum_col: str, k: int,
             .select(F.col("stratum").alias(stratum_col),
                     F.col("sid").alias(id_col),
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 64,
+                   seed: str = "seed0") -> DataFrame:
+    """Deterministic global shuffle into training shards:
+    (id, shard, pos) — the order a data loader should read.
+
+    key = md5(id || seed) gives a uniform pseudorandom total order
+    that is stable under retries, repartitioning, and engine choice
+    (no rand(), which breaks replay); shard = 60-bit prefix mod
+    n_shards; pos = rank within the shard by (key, id). Changing the
+    seed produces an independent permutation — epoch shuffling is
+    seed rotation, zero state.
+
+    Scale shape: one hash-partition shuffle on shard + a per-shard
+    local sort (the terasort shape). Each shard sorts in ONE task, so
+    pick n_shards ~ data_size / task_budget (100 TB / 1 GB -> ~100k
+    shards); pos never needs a global window."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (df.select(F.col(id_col), key.alias("key"),
+                      shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .select(id_col, "shard", "pos"))

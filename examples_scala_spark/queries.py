@@ -5528,3 +5528,75 @@ def zorder_clustered_scan(spark, sf_dir):
     return (spark.read.parquet(d)
             .filter(F.col("user_id").between(40, 60)
                     & F.col("value").between(100.0, 200.0)))
+
+
+@register(
+    "snapshot_diff_changelog",
+    """
+    WITH snap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id < 5000) WHERE rn = 1),
+    snap2 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.value AS old_value, n.value AS new_value
+    FROM snap o FULL OUTER JOIN snap2 n USING (user_id)
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.value IS DISTINCT FROM n.value""",
+    "llm", "cdc",
+)
+def snapshot_diff_changelog(spark, sf_dir):
+    """Derive an incremental changelog from two full snapshots — the
+    inverse of cdc_snapshot_merge, for sources with no CDC feed. One
+    full-outer join on the key (the information-theoretic minimum for
+    a diff of unsorted tables); round-trips through apply_changelog
+    (tested). operators/cdc.py:snapshot_diff."""
+    from .operators.cdc import snapshot_diff
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc())
+
+    def latest(d):
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("user_id", "value"))
+
+    old = latest(ev.filter(F.col("event_id") < 5000))
+    new = latest(ev)
+    return snapshot_diff(old, new, "user_id", ["value"])
+
+
+@register(
+    "corpus_shuffle_shards",
+    """
+    WITH k AS (
+      SELECT doc_id, md5(doc_id::VARCHAR || 'r3') AS key FROM documents),
+    s AS (
+      SELECT doc_id, key,
+             ('0x' || substr(key, 1, 15))::BIGINT % 64 AS shard FROM k)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY key, doc_id)::BIGINT AS pos
+    FROM s""",
+    "llm", "sampling", "shuffle",
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global corpus shuffle into 64 training shards
+    (doc_id, shard, pos): md5-keyed pseudorandom total order — stable
+    under retries and engine choice, reshuffled per epoch by rotating
+    the seed. Terasort shape: one hash shuffle + per-shard local sort,
+    n_shards sized so each shard sorts in one task.
+    operators/sampling.py:shuffle_shards."""
+    from .operators.sampling import shuffle_shards
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=64, seed="r3")

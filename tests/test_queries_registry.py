@@ -23,6 +23,9 @@ SAMPLE = [
     # round-2 representatives
     "doc_sequence_packing", "weighted_reservoir_sample",
     "quality_model_scores", "data_quality_checks", "user_hll_rollup",
+    # round-3 representatives
+    "bm25_topk", "bloom_decontaminate", "corpus_budget_selection",
+    "zorder_clustered_scan",
 ]
 
 

@@ -106,3 +106,51 @@ def test_budget_select_exhausts_budget_exactly(spark):
     out = budget_prefix_select(df, "__bucket", "n_words", 10,
                                [F.col("doc_id").asc()])
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+# ------------------------------------------------------- diff / shards
+
+def test_snapshot_diff_roundtrips_through_apply_changelog(spark):
+    from examples_scala_spark.operators.cdc import (
+        apply_changelog, snapshot_diff)
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)],
+        "user_id long, value double")
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (4, None), (5, 50.0)],
+        "user_id long, value double")
+    diff = snapshot_diff(old, new, "user_id", ["value"])
+    got = {r["user_id"]: r["op"] for r in diff.collect()}
+    # 1 unchanged (absent), 2 NULL->20 update, 3 delete, 4 40->NULL
+    # update, 5 insert
+    assert got == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+    # round-trip: old + diff-as-changelog == new
+    chg = diff.select(
+        "user_id",
+        F.when(F.col("op") == "delete", "delete").otherwise("upsert")
+         .alias("op"),
+        F.col("new_value").alias("value"),
+        F.lit(1).alias("seq"))
+    rebuilt = apply_changelog(old, chg, key="user_id", order_cols=["seq"])
+    assert (sorted(map(tuple, rebuilt.collect()))
+            == sorted(map(tuple, new.collect())))
+
+
+def test_shuffle_shards_is_a_permutation_and_seed_sensitive(spark, sf_dir):
+    from examples_scala_spark.operators.sampling import shuffle_shards
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    a = shuffle_shards(docs, "doc_id", n_shards=8, seed="a").toPandas()
+    # every doc exactly once; positions are 1..|shard| per shard
+    assert len(a) == n and a["doc_id"].is_unique
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # a different seed produces a different order (overwhelmingly)
+    b = shuffle_shards(docs, "doc_id", n_shards=8, seed="b").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert ((merged["shard_a"] != merged["shard_b"])
+            | (merged["pos_a"] != merged["pos_b"])).any()
+    # deterministic under recompute
+    a2 = shuffle_shards(docs, "doc_id", n_shards=8, seed="a").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        a2.sort_values("doc_id").reset_index(drop=True))
