@@ -71,7 +71,7 @@ PRIORITY = [
     # cut, z-order layout
     "bm25_topk", "bloom_decontaminate", "corpus_budget_selection",
     "zorder_clustered_scan", "snapshot_diff_changelog",
-    "corpus_shuffle_shards",
+    "corpus_shuffle_shards", "substring_dup_stats",
     # (d) re-proves of early greens (regression canaries; packing and
     # the training pipeline changed transitively this round)
     "q1_pricing_summary", "minhash_lsh_pairs", "doc_sequence_packing",

@@ -361,3 +361,49 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95,
         .select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
     )
     return pairs
+
+
+def substring_dup_stats(docs: DataFrame, L: int = 30,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring statistics, ExactSubstr-style: for
+    every char offset, hash the length-L substring; an offset is
+    'duplicated' if its substring occurs >= 2 times anywhere in the
+    corpus (including within the same doc). Returns per doc
+    (doc_id, n_positions, n_dup, dup_frac).
+
+    This is the char-level complement of the passage/shingle family:
+    it catches boilerplate that crosses token and sentence boundaries.
+
+    Scale shape: positions = total corpus chars — linear, the
+    information content of the problem. Substrings never leave the
+    executor: the transform hashes each window to a 60-bit int inside
+    the array builder, so the explode emits 8-byte longs (not L-char
+    strings), and the two shuffles (count per hash, join-back + per-doc
+    count) move longs only. The rolling-hash mapInPandas variant would
+    cut the per-window md5 CPU, not the shuffle volume — this form
+    stays engine-reproducible (same md5-prefix idiom as the shingle
+    ops, collision-identical to the oracle)."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("n"))
+    eligible = base.filter(F.col("n") >= L)
+    pos = eligible.select(
+        F.col(id_col), (F.col("n") - (L - 1)).alias("n_positions"),
+        F.explode(F.expr(
+            f"transform(sequence(1L, n - {L - 1}L), "
+            f"i -> CAST(conv(substr(md5(substring(t, i, {L})), 1, 15), "
+            f"16, 10) AS BIGINT))")).alias("g"))
+    dup_hashes = (pos.groupBy("g").agg(F.count("*").alias("c"))
+                  .filter(F.col("c") >= 2).select("g"))
+    per_doc = (pos.join(dup_hashes, "g")
+               .groupBy(id_col).agg(F.count("*").alias("n_dup")))
+    out = (eligible.select(F.col(id_col),
+                           (F.col("n") - (L - 1)).alias("n_positions"))
+           .join(per_doc, id_col, "left")
+           .withColumn("n_dup", F.coalesce("n_dup", F.lit(0))))
+    return out.select(
+        F.col(id_col), F.col("n_positions").cast("bigint"),
+        F.col("n_dup").cast("bigint"),
+        F.round(F.col("n_dup") / F.col("n_positions"), 6)
+         .alias("dup_frac"))

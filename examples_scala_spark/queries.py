@@ -5600,3 +5600,37 @@ def corpus_shuffle_shards(spark, sf_dir):
     from .operators.sampling import shuffle_shards
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return shuffle_shards(docs, "doc_id", n_shards=64, seed="r3")
+
+
+@register(
+    "substring_dup_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+      WHERE length(text) >= 30),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, n - 29 + 1),
+               i -> ('0x' || substr(md5(substr(text, i::INT, 30)), 1, 15))::BIGINT))
+               AS g
+      FROM d),
+    c AS (SELECT g FROM p GROUP BY g HAVING count(*) >= 2),
+    dup AS (
+      SELECT p.doc_id, count(*)::BIGINT AS n_dup
+      FROM p JOIN c USING (g) GROUP BY p.doc_id)
+    SELECT d.doc_id, (d.n - 29)::BIGINT AS n_positions,
+           coalesce(dup.n_dup, 0)::BIGINT AS n_dup,
+           round(coalesce(dup.n_dup, 0) / (d.n - 29)::DOUBLE, 6) AS dup_frac
+    FROM d LEFT JOIN dup USING (doc_id)""",
+    "llm", "dedup", "text",
+)
+def substring_dup_stats(spark, sf_dir):
+    """ExactSubstr-style duplicated-substring fraction per document:
+    every 30-char window is hashed in place (the explode ships 8-byte
+    longs, never substrings); a window is duplicated if its hash
+    occurs twice anywhere in the corpus. Catches boilerplate that
+    crosses token/sentence boundaries — the char-level complement of
+    shared_passages. operators/dedup.py:substring_dup_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(docs, L=30)

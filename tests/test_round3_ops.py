@@ -154,3 +154,29 @@ def test_shuffle_shards_is_a_permutation_and_seed_sensitive(spark, sf_dir):
     a2 = shuffle_shards(docs, "doc_id", n_shards=8, seed="a").toPandas()
     assert a.sort_values("doc_id").reset_index(drop=True).equals(
         a2.sort_values("doc_id").reset_index(drop=True))
+
+
+# ------------------------------------------------------ substring dups
+
+def test_substring_dup_stats_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+    from examples_scala_spark.operators.dedup import substring_dup_stats
+    L = 30
+    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    counts = Counter(
+        r["text"][i:i + L]
+        for r in rows if len(r["text"]) >= L
+        for i in range(len(r["text"]) - L + 1))
+    expect = {}
+    for r in rows:
+        t = r["text"]
+        if len(t) < L:
+            continue
+        n_pos = len(t) - L + 1
+        n_dup = sum(1 for i in range(n_pos) if counts[t[i:i + L]] >= 2)
+        expect[r["doc_id"]] = (n_pos, n_dup)
+    got = {r["doc_id"]: (r["n_positions"], r["n_dup"])
+           for r in substring_dup_stats(
+               _docs(spark, sf_dir), L=L).collect()}
+    assert got == expect
+    assert any(d for _, d in got.values())  # not vacuous: dups exist
