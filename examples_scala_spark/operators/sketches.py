@@ -192,3 +192,50 @@ def hll_rollup(partials, keys: list[str]):
     return (partials.groupBy(*keys)
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("est_distinct")))
+
+
+def cms_counts(tokens: DataFrame, col: str, probes: list[str],
+               d: int = 4, w: int = 512) -> DataFrame:
+    """Count-min sketch point-count estimates for `probes`, built as
+    PURE DataFrame ops — no Python in the path: the sketch table IS a
+    d x w cell aggregate (one explode into d (row, pos) cells + one
+    groupBy), mergeable across any partitioning by construction; the
+    estimate is min over rows of the probed cell.
+
+    CMS guarantees (deterministic here — hashes are fixed universal
+    params shared with the oracle): est >= true always, and
+    est - true <= 2N/w with prob >= 1 - 2^-d per probe. Shuffle volume
+    is d*w cells regardless of token count — the additive counterpart
+    of the HLL/Misra-Gries partials. Returns
+    (term, exact_cnt, cms_est, within_bound)."""
+    from .dedup import P, _hash_params, base_hash
+
+    params = _hash_params(d)
+    x = (base_hash(F.col(col)) % P).alias("x")
+    cells_expr = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 (((F.lit(a) * F.col("x") + F.lit(b)) % P) % w).alias("pos"))
+        for i, (a, b) in enumerate(params)])).alias("cell")
+    sketch = (tokens.select(x).select(cells_expr)
+              .select("cell.i", "cell.pos")
+              .groupBy("i", "pos").agg(F.count("*").alias("c")))
+
+    n_total = tokens.select(F.count("*").cast("double").alias("N"))
+    probe_df = tokens.sparkSession.createDataFrame(
+        [(t,) for t in probes], f"{col} string")
+    probe_cells = (probe_df.select(F.col(col), x).select(col, cells_expr)
+                   .select(col, "cell.i", "cell.pos"))
+    est = (probe_cells.join(sketch, ["i", "pos"], "left")
+           .groupBy(col)
+           .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint")
+                .alias("cms_est")))
+    exact = (tokens.filter(F.col(col).isin(probes))
+             .groupBy(col).agg(F.count("*").alias("exact_cnt")))
+    return (est.join(exact, col, "left")
+            .withColumn("exact_cnt",
+                        F.coalesce("exact_cnt", F.lit(0)).cast("bigint"))
+            .crossJoin(F.broadcast(n_total))
+            .select(F.col(col), "exact_cnt", "cms_est",
+                    ((F.col("cms_est") >= F.col("exact_cnt"))
+                     & ((F.col("cms_est") - F.col("exact_cnt"))
+                        <= 2.0 * F.col("N") / w)).alias("within_bound")))

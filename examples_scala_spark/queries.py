@@ -5634,3 +5634,98 @@ def substring_dup_stats(spark, sf_dir):
     shared_passages. operators/dedup.py:substring_dup_stats."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.substring_dup_stats(docs, L=30)
+
+
+_CMS_PROBES = "'data','table','query','spark','the','value','row','join','window','scan'"
+
+
+@register(
+    "token_cms_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    x AS (SELECT term,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS x
+          FROM tok),
+    cells AS (
+      SELECT i, pos, count(*)::BIGINT AS c FROM (
+        SELECT 0 AS i, ((506952114 * x + 17) % 2147483647) % 512 AS pos FROM x
+        UNION ALL
+        SELECT 1, ((1520856342 * x + 40520) % 2147483647) % 512 FROM x
+        UNION ALL
+        SELECT 2, ((387276923 * x + 81023) % 2147483647) % 512 FROM x
+        UNION ALL
+        SELECT 3, ((1401181151 * x + 121526) % 2147483647) % 512 FROM x)
+      GROUP BY i, pos),
+    n AS (SELECT count(*)::DOUBLE AS N FROM tok),
+    probes AS (SELECT unnest([{_CMS_PROBES}]) AS term),
+    px AS (SELECT term,
+                  ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS x
+           FROM probes),
+    pc AS (
+      SELECT term, i, pos FROM (
+        SELECT term, 0 AS i,
+               ((506952114 * x + 17) % 2147483647) % 512 AS pos FROM px
+        UNION ALL
+        SELECT term, 1, ((1520856342 * x + 40520) % 2147483647) % 512 FROM px
+        UNION ALL
+        SELECT term, 2, ((387276923 * x + 81023) % 2147483647) % 512 FROM px
+        UNION ALL
+        SELECT term, 3, ((1401181151 * x + 121526) % 2147483647) % 512 FROM px)),
+    est AS (
+      SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS cms_est
+      FROM pc LEFT JOIN cells c USING (i, pos) GROUP BY pc.term),
+    exact AS (
+      SELECT term, count(*)::BIGINT AS exact_cnt FROM tok
+      WHERE term IN ({_CMS_PROBES}) GROUP BY term)
+    SELECT e.term, coalesce(x2.exact_cnt, 0)::BIGINT AS exact_cnt,
+           e.cms_est,
+           (e.cms_est >= coalesce(x2.exact_cnt, 0)
+            AND (e.cms_est - coalesce(x2.exact_cnt, 0))
+                <= 2.0 * n.N / 512) AS within_bound
+    FROM est e LEFT JOIN exact x2 USING (term) CROSS JOIN n""",
+    "llm", "sketch",
+)
+def token_cms_counts(spark, sf_dir):
+    """Count-min sketch point counts for a probe-term set, as PURE
+    DataFrame ops: the sketch is a d x w = 4 x 512 cell aggregate
+    (shuffle volume 2048 rows regardless of corpus size — the additive
+    counterpart of the HLL partials), the estimate is min over rows.
+    Deterministic universal hashes shared with the oracle, so the
+    estimates hash-match exactly AND carry the analytic
+    one-sided-error bound as a checked column.
+    operators/sketches.py:cms_counts."""
+    from .operators.sketches import cms_counts
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    probes = ["data", "table", "query", "spark", "the", "value", "row",
+              "join", "window", "scan"]
+    return cms_counts(tokens, "term", probes, d=4, w=512)
+
+
+@register(
+    "dataset_manifest",
+    """
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars,
+           bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS checksum
+    FROM documents GROUP BY source, lang""",
+    "llm", "quality", "layout",
+)
+def dataset_manifest(spark, sf_dir):
+    """Partition-level dataset manifest: per (source, lang) cell, row
+    count, char mass, and an ORDER-INDEPENDENT content checksum
+    (bit_xor of 60-bit text hashes — commutative, overflow-free, and
+    mergeable, so incremental producers can maintain it per batch).
+    The manifest is what snapshot_diff-style sync and data_quality
+    gates compare instead of re-reading 100 TB: one map-side-combined
+    groupBy over a two-column projection."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (docs.select("source", "lang", "n_chars", h.alias("h"))
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars"),
+                 F.expr("bit_xor(h)").alias("checksum")))

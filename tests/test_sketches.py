@@ -132,3 +132,24 @@ def test_hll_rollup_union_tolerance(spark):
              df.groupBy("g").agg(F.count_distinct("u").alias("ex")).collect()}
     for g, ex in exact.items():
         assert abs(got[g] - ex) / ex < 0.05, (g, got[g], ex)
+
+
+def test_cms_exact_when_width_covers_domain_and_bounded_when_not(spark):
+    from examples_scala_spark.operators.sketches import cms_counts
+    import pyspark.sql.functions as F
+    # 20 distinct tokens, zipf-ish counts
+    rows = [(f"t{i}",) for i in range(20) for _ in range(i + 1)]
+    tokens = spark.createDataFrame(rows, "term string")
+    probes = [f"t{i}" for i in range(0, 20, 4)] + ["absent"]
+    # wide sketch: collisions vanish -> estimates exactly equal counts
+    wide = cms_counts(tokens, "term", probes, d=4, w=4096).collect()
+    for r in wide:
+        assert r["cms_est"] == r["exact_cnt"], r
+        assert r["within_bound"]
+    # deliberately tiny sketch: still one-sided and within 2N/w
+    tiny = cms_counts(tokens, "term", probes, d=4, w=8).collect()
+    n = len(rows)
+    for r in tiny:
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["cms_est"] - r["exact_cnt"] <= 2 * n / 8
+        assert r["within_bound"]
