@@ -165,7 +165,8 @@ def main() -> None:
                  "value_quantile_sketch", "ann_topk_pq",
                  "doc_sequence_packing", "stratified_reservoir",
                  "quality_model_scores", "minhash_incremental",
-                 "embedding_semantic_dedup"]:
+                 "embedding_semantic_dedup", "pipeline_curation_v2",
+                 "bm25_topk", "substring_dup_stats"]:
         t0 = time.time()
         n = len(REGISTRY[name].fn(spark, sf_dir).collect())
         extra[name] = round(time.time() - t0, 3)

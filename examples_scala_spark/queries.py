@@ -5729,3 +5729,91 @@ def dataset_manifest(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").cast("bigint").alias("n_chars"),
                  F.expr("bit_xor(h)").alias("checksum")))
+
+
+@register(
+    "pipeline_curation_v2",
+    f"""
+    WITH q AS ({_quality_sql()}),
+    good AS (
+      SELECT d.doc_id, d.text, q.n_words, q.quality_score
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality_score >= 0.75 AND d.doc_id % 97 <> 0),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, md5(text) AS h FROM good) GROUP BY h),
+    k AS (SELECT g.* FROM good g JOIN keep USING (doc_id)),
+    w8 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 7, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 7), ' ')))
+                     AS g
+            FROM w8)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+      WHERE s.doc_id % 97 <> 0),
+    clean AS (SELECT * FROM k
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               sum(n_words) OVER (
+                 ORDER BY quality_score DESC, n_words ASC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM clean) WHERE cum <= 8000),
+    keyd AS (
+      SELECT doc_id, md5(doc_id::VARCHAR || 'v2') AS key FROM sel),
+    shardd AS (
+      SELECT doc_id, key,
+             ('0x' || substr(key, 1, 15))::BIGINT % 16 AS shard FROM keyd)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY key, doc_id)::BIGINT AS pos
+    FROM shardd""",
+    "llm", "pipeline",
+)
+def pipeline_curation_v2(spark, sf_dir):
+    """The full curation chain as one job: quality filter (>= 0.75) ->
+    exact dedup (min doc_id per md5) -> decontamination against the
+    doc_id%97 benchmark set (bloom-prefiltered 8-gram overlap, exact
+    via the confirm join, applied as a broadcast anti-join) -> 8k-token
+    greedy-prefix budget cut (two-phase histogram, no global window) ->
+    deterministic 16-shard training order. Returns (doc_id, shard,
+    pos) — what a data loader consumes. Every stage is the standalone
+    operator the registry checks individually; composed, the only
+    corpus-sized shuffles are the dedup md5 groupBy and the shingle
+    count — text itself never crosses the wire after the feature
+    projection."""
+    from .operators.bloom import bloom_benchmark_overlap
+    from .operators.sampling import shuffle_shards
+    from .operators.selection import budget_prefix_select
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    good = (corpus.select(
+        "doc_id", "text",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+         .alias("n_words"),
+        text.quality_score_col(F.col("text")).alias("quality_score"))
+        .filter(F.col("quality_score") >= 0.75))
+    keep = (good.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    k = good.join(keep, "doc_id")
+    dirty = (bloom_benchmark_overlap(k, bench, n=8, frac_threshold=1.0)
+             .select("doc_id"))
+    clean = k.join(F.broadcast(dirty), "doc_id", "left_anti")
+    q4 = (F.col("quality_score") * 4).cast("int")
+    bucket = ((F.lit(4) - q4) * 1024
+              + F.least((F.col("n_words") / 16).cast("int"), F.lit(1023)))
+    sel = budget_prefix_select(
+        clean.withColumn("__bucket", bucket), "__bucket", "n_words", 8_000,
+        order_cols=[F.col("n_words").asc(), F.col("doc_id").asc()])
+    return shuffle_shards(sel.select("doc_id"), "doc_id",
+                          n_shards=16, seed="v2")

@@ -110,6 +110,11 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
+    if any(row[f"__lo_{c}"] is None for c in cols):
+        # empty input (or an all-NULL cluster column): nothing to
+        # cluster — write through unmodified
+        df.write.mode("overwrite").parquet(path)
+        return
     buckets = [
         equiwidth_bucket(F.col(c), float(row[f"__lo_{c}"]),
                          float(row[f"__hi_{c}"]) + 1e-9, bits)
