@@ -73,6 +73,7 @@ PRIORITY = [
     "zorder_clustered_scan", "snapshot_diff_changelog",
     "corpus_shuffle_shards", "substring_dup_stats",
     "token_cms_counts", "dataset_manifest", "pipeline_curation_v2",
+    "events_gap_fill", "quality_percentile_by_source",
     # (d) re-proves of early greens (regression canaries; packing and
     # the training pipeline changed transitively this round)
     "q1_pricing_summary", "minhash_lsh_pairs", "doc_sequence_packing",

@@ -5817,3 +5817,78 @@ def pipeline_curation_v2(spark, sf_dir):
         order_cols=[F.col("n_words").asc(), F.col("doc_id").asc()])
     return shuffle_shards(sel.select("doc_id"), "doc_id",
                           n_shards=16, seed="v2")
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+             round(avg(value), 6) AS v
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, epoch_us(ts) // 3600000000),
+    r AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM r),
+    j AS (SELECT g.user_id, g.bucket, b.v
+          FROM grid g LEFT JOIN b USING (user_id, bucket))
+    SELECT user_id, bucket::BIGINT AS bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           (v IS NULL) AS is_gap
+    FROM j""",
+    "relational", "timeseries",
+)
+def events_gap_fill(spark, sf_dir):
+    """time_bucket_gapfill + LOCF: densify each user's hourly value
+    series onto its own [first, last] hour range and carry the last
+    observation forward through the gaps. Grid generation is per-key
+    `sequence` (no global calendar cross join), the fill a per-key
+    ordered window — partitions by user end to end.
+    operators/timeseries.py:gap_fill_locf."""
+    from .operators.timeseries import gap_fill_locf
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    b = (ev.select("user_id",
+                   F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+                   "value")
+         .groupBy("user_id", "bucket")
+         .agg(F.round(F.avg("value"), 6).alias("v")))
+    return gap_fill_locf(b, "user_id", "bucket", "v")
+
+
+@register(
+    "quality_percentile_by_source",
+    f"""
+    WITH q AS ({_quality_sql()}),
+    d AS (SELECT q.doc_id, s.source, q.quality_score
+          FROM q JOIN documents s USING (doc_id))
+    SELECT doc_id, source, quality_score,
+           round(cume_dist() OVER (PARTITION BY source
+                                   ORDER BY quality_score), 6) AS pct
+    FROM d""",
+    "llm", "quality",
+)
+def quality_percentile_by_source(spark, sf_dir):
+    """Per-source quality-percentile calibration (cume_dist), computed
+    the scale-correct way: NOT a row-level window — scores are
+    aggregated to per-(source, score) counts first (tiny: sources x
+    distinct scores), the cumulative distribution is a window over
+    THAT aggregate, and docs join the result back via broadcast. At
+    100 TB the row-level cume_dist would put each source's full corpus
+    in one partition; this form shuffles counts only. Bit-identical to
+    cume_dist by construction (ties share a score bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        text.quality_score_col(F.col("text")).alias("quality_score"))
+    g = (scored.groupBy("source", "quality_score")
+         .agg(F.count("*").alias("c")))
+    w = (Window.partitionBy("source").orderBy("quality_score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("source")
+    dist = g.select(
+        "source", "quality_score",
+        F.round(F.sum("c").over(w) / F.sum("c").over(wt), 6).alias("pct"))
+    return scored.join(F.broadcast(dist), ["source", "quality_score"])\
+                 .select("doc_id", "source", "quality_score", "pct")

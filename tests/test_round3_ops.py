@@ -180,3 +180,16 @@ def test_substring_dup_stats_matches_bruteforce(spark, sf_dir):
                _docs(spark, sf_dir), L=L).collect()}
     assert got == expect
     assert any(d for _, d in got.values())  # not vacuous: dups exist
+
+
+# ------------------------------------------------------------- gap fill
+
+def test_gap_fill_locf_semantics(spark):
+    from examples_scala_spark.operators.timeseries import gap_fill_locf
+    df = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 13, 2.0), ("b", 5, 9.0)],
+        "k string, bucket long, v double")
+    out = sorted(map(tuple, gap_fill_locf(df, "k", "bucket", "v").collect()))
+    assert out == [
+        ("a", 10, 1.0, False), ("a", 11, 1.0, True), ("a", 12, 1.0, True),
+        ("a", 13, 2.0, False), ("b", 5, 9.0, False)]
