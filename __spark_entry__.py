@@ -67,17 +67,21 @@ PRIORITY = [
     # sampling / layout
     "stratified_reservoir", "weighted_reservoir_sample",
     "partition_backfill",
-    # (c2) new this round: retrieval scoring, bloom pruning, budget
-    # cut, z-order layout
+    # (d) re-proves of early greens (regression canaries; packing and
+    # the training pipeline changed transitively this round) — kept
+    # INSIDE the ~50-query budget, ahead of the round-3 additions:
+    # the additions are never-evaluated, so the auto-rotation front-
+    # loads whatever the budget misses here in the next round anyway
+    "q1_pricing_summary", "minhash_lsh_pairs", "doc_sequence_packing",
+    "pipeline_training_data",
+    # (e) new this round: retrieval scoring, bloom pruning, budget
+    # cut, z-order layout, diff/shards, substring dups, CMS, manifest,
+    # curation pipeline, gap fill, percentile calibration
     "bm25_topk", "bloom_decontaminate", "corpus_budget_selection",
     "zorder_clustered_scan", "snapshot_diff_changelog",
     "corpus_shuffle_shards", "substring_dup_stats",
     "token_cms_counts", "dataset_manifest", "pipeline_curation_v2",
     "events_gap_fill", "quality_percentile_by_source",
-    # (d) re-proves of early greens (regression canaries; packing and
-    # the training pipeline changed transitively this round)
-    "q1_pricing_summary", "minhash_lsh_pairs", "doc_sequence_packing",
-    "pipeline_training_data",
 ]
 
 
