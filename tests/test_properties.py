@@ -143,3 +143,132 @@ def test_lww_apply_equals_sequential_replay(snap, changes):
     sequential scan. (Unique seq per entry: the operator requires a
     total order, which the query provides via (us, event_id).)"""
     assert apply_lww(snap, changes) == apply_ref(snap, changes)
+
+
+# ---------------------------------------------------- round-3 arithmetic
+
+def two_phase_select(rows, budget):
+    """Reference of selection.budget_prefix_select: rows are
+    (bucket, order_key, weight)."""
+    hist: dict[int, int] = {}
+    for b, _, w in rows:
+        hist[b] = hist.get(b, 0) + w
+    cum, full, cutoff, spent = 0, set(), None, 0
+    for b in sorted(hist):
+        if cum + hist[b] <= budget:
+            full.add(b)
+            cum += hist[b]
+        else:
+            cutoff, spent = b, cum
+            break
+    keep = [(b, o) for b, o, _ in rows if b in full]
+    if cutoff is not None:
+        c = spent
+        for b, o, w in sorted(r for r in rows if r[0] == cutoff):
+            c += w
+            if c <= budget:
+                keep.append((b, o))
+    return sorted(keep)
+
+
+def naive_prefix_select(rows, budget):
+    keep, cum = [], 0
+    for b, o, w in sorted(rows):
+        cum += w
+        if cum <= budget:
+            keep.append((b, o))
+    return sorted(keep)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 10**6),
+                  st.integers(1, 50)),
+        unique_by=lambda t: t[1], max_size=150),
+    budget=st.integers(0, 2000),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_phase_budget_select_equals_naive_prefix(rows, budget):
+    # positive weights => inclusive cumsum strictly increases => the
+    # bucket histogram cut + cutoff-bucket window is the exact prefix
+    assert two_phase_select(rows, budget) == naive_prefix_select(rows, budget)
+
+
+def interleave(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_is_bijective_and_monotone_on_axes(x, y):
+    z = interleave(x, y, 8)
+    # invertible: de-interleave recovers both coordinates
+    xr = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    yr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (xr, yr) == (x, y)
+    assert 0 <= z < 1 << 16
+    # axis monotonicity of the high bit: doubling a coordinate's top
+    # bit always raises the key (locality of the curve's quadrants)
+    if x < 128:
+        assert interleave(x + 128, y, 8) > z
+    if y < 128:
+        assert interleave(x, y + 128, 8) > z
+
+
+P31 = 2_147_483_647
+
+
+def cms_estimate(stream: list[int], probe: int, d: int, w: int) -> int:
+    from examples_scala_spark.operators.dedup import _hash_params
+    params = _hash_params(d)
+    cells: dict[tuple[int, int], int] = {}
+    for x in stream:
+        for i, (a, b) in enumerate(params):
+            cells[(i, (a * (x % P31) + b) % P31 % w)] = \
+                cells.get((i, (a * (x % P31) + b) % P31 % w), 0) + 1
+    return min(cells.get((i, (a * (probe % P31) + b) % P31 % w), 0)
+               for i, (a, b) in enumerate(params))
+
+
+@given(
+    stream=st.lists(st.integers(0, 2**50), max_size=300),
+    probe=st.integers(0, 2**50),
+    w=st.sampled_from([8, 64, 512]),
+)
+@settings(max_examples=100, deadline=None)
+def test_cms_is_one_sided(stream, probe, w):
+    true = stream.count(probe)
+    assert cms_estimate(stream, probe, d=4, w=w) >= true
+
+
+def snapshot_diff_model(old: dict, new: dict) -> dict:
+    out = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            out[k] = ("insert", new[k])
+        elif k not in new:
+            out[k] = ("delete", None)
+        elif old[k] != new[k]:
+            out[k] = ("update", new[k])
+    return out
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 30),
+                        st.one_of(st.none(), st.integers(0, 5)), max_size=30),
+    new=st.dictionaries(st.integers(0, 30),
+                        st.one_of(st.none(), st.integers(0, 5)), max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_snapshot_diff_applied_to_old_yields_new(old, new):
+    rebuilt = dict(old)
+    for k, (op, v) in snapshot_diff_model(old, new).items():
+        if op == "delete":
+            rebuilt.pop(k, None)
+        else:
+            rebuilt[k] = v
+    assert rebuilt == new
