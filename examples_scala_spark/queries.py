@@ -5892,3 +5892,44 @@ def quality_percentile_by_source(spark, sf_dir):
         F.round(F.sum("c").over(w) / F.sum("c").over(wt), 6).alias("pct"))
     return scored.join(F.broadcast(dist), ["source", "quality_score"])\
                  .select("doc_id", "source", "quality_score", "pct")
+
+
+@register(
+    "leakage_free_split",
+    f"""
+    WITH c AS ({_dedup_clusters_sql()}),
+    h AS (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('split-' || cluster_id::VARCHAR), 1, 15))
+               ::BIGINT % 100 AS r
+      FROM c)
+    SELECT doc_id, cluster_id,
+           CASE WHEN r < 80 THEN 'train'
+                WHEN r < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h""",
+    "llm", "dedup", "sampling",
+)
+def leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val/test split: the unit of assignment is
+    the NEAR-DUP CLUSTER, not the document — a doc and its near
+    duplicates always land in the same split, so eval can never see a
+    paraphrase of a training row (the classic contamination channel
+    doc-level hash splits leave open; hash_split_sample is that
+    baseline). Composes minhash_lsh_pairs -> connected components ->
+    one deterministic md5 draw PER CLUSTER broadcast onto members —
+    after clustering, zero additional shuffles."""
+    from .operators.graph import dedup_clusters as clusters
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    comp = clusters(docs, pairs)
+    r = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("split-"), F.col("cluster_id").cast("string"))),
+            1, 15), 16, 10).cast("bigint"),
+        F.lit(100))
+    return comp.select(
+        "doc_id", "cluster_id",
+        F.when(r < 80, "train").when(r < 90, "val")
+         .otherwise("test").alias("split"))

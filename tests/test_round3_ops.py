@@ -193,3 +193,20 @@ def test_gap_fill_locf_semantics(spark):
     assert out == [
         ("a", 10, 1.0, False), ("a", 11, 1.0, True), ("a", 12, 1.0, True),
         ("a", 13, 2.0, False), ("b", 5, 9.0, False)]
+
+
+# -------------------------------------------------- leakage-free split
+
+def test_leakage_free_split_never_separates_near_dups(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.operators.dedup import minhash_lsh_pairs
+    out = REGISTRY["leakage_free_split"].fn(spark, sf_dir).toPandas()
+    # all members of a cluster share one split
+    assert (out.groupby("cluster_id")["split"].nunique() <= 1).all()
+    # no near-dup pair crosses a split boundary
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16,
+                              bands=4, n=3, threshold=0.5).toPandas()
+    split_of = dict(zip(out["doc_id"], out["split"]))
+    assert len(pairs) > 0
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert split_of[a] == split_of[b]
