@@ -82,7 +82,7 @@ PRIORITY = [
     "corpus_shuffle_shards", "substring_dup_stats",
     "token_cms_counts", "dataset_manifest", "pipeline_curation_v2",
     "events_gap_fill", "quality_percentile_by_source",
-    "leakage_free_split",
+    "leakage_free_split", "ivf_incremental_assign",
 ]
 
 

@@ -162,6 +162,51 @@ def train_centroids(emb: DataFrame, centroid_mod: int = 23,
     return cents
 
 
+def cell_affinity(base: DataFrame, cents: DataFrame,
+                  id_col: str = "vec_id") -> DataFrame:
+    """Cosine affinity of every vector to every centroid (C is small:
+    broadcast cross join, no shuffle): (id, cent_id, ccos)."""
+    return base.join(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cent_id"),
+        cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm"))
+        .alias("ccos"),
+    )
+
+
+def assign_cells(base: DataFrame, cents: DataFrame,
+                 id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid cell per vector: (id, cell), argmax cosine,
+    ties broken by centroid id."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    return (cell_affinity(base, cents, id_col)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col(id_col), F.col("cent_id").alias("cell")))
+
+
+def ivf_incremental_assign(index: DataFrame, changes: DataFrame,
+                           cents: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           op_col: str = "op") -> DataFrame:
+    """Maintain the IVF cell index under a vector changelog instead of
+    re-assigning the corpus: only the CHANGED vectors pay the
+    nearest-centroid computation; prior rows for changed ids are
+    dropped with a broadcast anti-join (changelogs are small), deletes
+    disappear, upserts land in their new cell. With a fixed coarse
+    quantizer (index maintenance does not retrain), the result is
+    bit-identical to assigning everything from scratch (tested +
+    oracle-checked) at changelog cost — minhash_delta's idiom applied
+    to the ANN index. Returns the new (id, cell) index."""
+    changed_ids = changes.select(F.col(id_col)).distinct()
+    kept = index.join(F.broadcast(changed_ids), id_col, "left_anti")
+    ups = changes.filter(F.col(op_col) == "upsert")
+    newly = assign_cells(
+        with_norm(ups, vec_col).select(F.col(id_col), "v", "norm"),
+        cents, id_col)
+    return kept.unionByName(newly)
+
+
 def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
              centroid_mod: int = 23, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -183,11 +228,7 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     cents = (centroids if centroids is not None
              else sampled_centroids(base, centroid_mod, id_col))
     # cell affinity of every vector to every centroid (C is small)
-    affinity = base.join(F.broadcast(cents)).select(
-        F.col(id_col), F.col("cent_id"),
-        cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm"))
-        .alias("ccos"),
-    )
+    affinity = cell_affinity(base, cents, id_col)
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
     assign = (affinity.withColumn("r", F.row_number().over(w_assign))

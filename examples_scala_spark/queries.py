@@ -5933,3 +5933,46 @@ def leakage_free_split(spark, sf_dir):
         "doc_id", "cluster_id",
         F.when(r < 80, "train").when(r < 90, "val")
          .otherwise("test").alias("split"))
+
+
+@register(
+    "ivf_incremental_assign",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1),
+    affinity AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY list_dot_product(v, cv)
+                                         / (norm * cnorm) DESC,
+                                         cent_id) AS r
+      FROM n, c),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM affinity WHERE r = 1)
+    SELECT cell, count(*)::BIGINT AS n_vectors
+    FROM assign GROUP BY cell""",
+    "llm", "similarity", "cdc",
+)
+def ivf_incremental_assign(spark, sf_dir):
+    """ANN index maintenance under a vector changelog: the prior index
+    covers vec_id % 9 != 0; the % 9 == 0 vectors arrive as upserts and
+    ONLY they pay the nearest-centroid assignment (broadcast centroids,
+    anti-join on the changed ids). With the coarse quantizer fixed,
+    the merged index is bit-identical to assigning the whole corpus —
+    which is exactly what the oracle computes. Output: per-cell vector
+    counts. operators/similarity.py:ivf_incremental_assign."""
+    from .operators import similarity as sim
+    emb = _t(spark, sf_dir, "embeddings")
+    base = sim.with_norm(emb).select("vec_id", "v", "norm")
+    cents = sim.sampled_centroids(base)
+    prior = sim.assign_cells(
+        base.filter(F.col("vec_id") % 9 != 0), cents)
+    changes = (emb.filter(F.col("vec_id") % 9 == 0)
+               .select("vec_id", "embedding", F.lit("upsert").alias("op")))
+    merged = sim.ivf_incremental_assign(prior, changes, cents)
+    return merged.groupBy("cell").agg(F.count("*").alias("n_vectors"))

@@ -210,3 +210,25 @@ def test_leakage_free_split_never_separates_near_dups(spark, sf_dir):
     assert len(pairs) > 0
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         assert split_of[a] == split_of[b]
+
+
+# ------------------------------------------------ incremental IVF index
+
+def test_ivf_incremental_assign_equals_full_reassign(spark, sf_dir):
+    from examples_scala_spark.operators import similarity as sim
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = sim.with_norm(emb).select("vec_id", "v", "norm")
+    cents = sim.sampled_centroids(base)
+    full = sim.assign_cells(base, cents).toPandas()
+    prior = sim.assign_cells(base.filter(F.col("vec_id") % 5 != 0), cents)
+    changes = (emb.filter(F.col("vec_id") % 5 == 0)
+               .select("vec_id", "embedding", F.lit("upsert").alias("op")))
+    merged = sim.ivf_incremental_assign(prior, changes, cents).toPandas()
+    full = full.sort_values("vec_id").reset_index(drop=True)
+    merged = merged.sort_values("vec_id").reset_index(drop=True)
+    assert merged.equals(full)
+    # deletes disappear
+    dels = changes.withColumn("op", F.lit("delete"))
+    after_del = sim.ivf_incremental_assign(prior, dels, cents).toPandas()
+    assert set(after_del["vec_id"]) == set(
+        full[full["vec_id"] % 5 != 0]["vec_id"])
