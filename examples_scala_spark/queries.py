@@ -5976,3 +5976,61 @@ def ivf_incremental_assign(spark, sf_dir):
                .select("vec_id", "embedding", F.lit("upsert").alias("op")))
     merged = sim.ivf_incremental_assign(prior, changes, cents)
     return merged.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+
+
+@register(
+    "part_cooccurrence_lift",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT o)::DOUBLE AS n_orders FROM op),
+    supp AS (SELECT p, count(*)::BIGINT AS s FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*)::BIGINT AS pair_cnt
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 3)
+    SELECT part_a, part_b, pair_cnt,
+           round(pair_cnt / sa.s::DOUBLE, 6) AS confidence_a_b,
+           round(pair_cnt * n.n_orders / (sa.s * sb.s), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.p = part_a
+    JOIN supp sb ON sb.p = part_b
+    CROSS JOIN n
+    ORDER BY round(pair_cnt * n.n_orders / (sa.s * sb.s), 6) DESC,
+             part_a, part_b
+    LIMIT 20""",
+    "relational", "basket",
+)
+def part_cooccurrence_lift(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs ordered together, with
+    support, confidence, and lift; top-20 by lift. The self-join is
+    keyed on the order (pairs are per-basket quadratic, never
+    corpus-quadratic — the same bounded-blocking shape as the dedup
+    joins), supports broadcast back onto the pair aggregate, top-k as
+    TakeOrderedAndProject. The min-support HAVING prunes before the
+    support join, so the heavy pair stream collapses map-side first."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    n = li.select(F.countDistinct("o").cast("double").alias("n_orders"))
+    supp = li.groupBy("p").agg(F.count("*").alias("s"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("part_a"),
+                      F.col("b.p").alias("part_b"))
+             .agg(F.count("*").alias("pair_cnt"))
+             .filter(F.col("pair_cnt") >= 3))
+    sa = supp.select(F.col("p").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("p").alias("part_b"), F.col("s").alias("sb"))
+    lift = F.round(F.col("pair_cnt") * F.col("n_orders")
+                   / (F.col("sa") * F.col("sb")), 6)
+    return (pairs.join(F.broadcast(sa), "part_a")
+            .join(F.broadcast(sb), "part_b")
+            .crossJoin(F.broadcast(n))
+            .select("part_a", "part_b", "pair_cnt",
+                    F.round(F.col("pair_cnt") / F.col("sa"), 6)
+                     .alias("confidence_a_b"),
+                    lift.alias("lift"))
+            .orderBy(F.col("lift").desc(), "part_a", "part_b")
+            .limit(20))
