@@ -388,12 +388,15 @@ def substring_dup_stats(docs: DataFrame, L: int = 30,
         F.col(id_col), F.col(text_col).alias("t"),
         F.length(text_col).cast("bigint").alias("n"))
     eligible = base.filter(F.col("n") >= L)
+    # materialize the hashed positions once: they feed BOTH the global
+    # hash-count and the join-back, and the per-window md5 is the
+    # dominant CPU — recomputing it doubles the query
     pos = eligible.select(
         F.col(id_col), (F.col("n") - (L - 1)).alias("n_positions"),
         F.explode(F.expr(
             f"transform(sequence(1L, n - {L - 1}L), "
             f"i -> CAST(conv(substr(md5(substring(t, i, {L})), 1, 15), "
-            f"16, 10) AS BIGINT))")).alias("g"))
+            f"16, 10) AS BIGINT))")).alias("g")).localCheckpoint(eager=False)
     dup_hashes = (pos.groupBy("g").agg(F.count("*").alias("c"))
                   .filter(F.col("c") >= 2).select("g"))
     per_doc = (pos.join(dup_hashes, "g")

@@ -5805,15 +5805,24 @@ def pipeline_curation_v2(spark, sf_dir):
         .filter(F.col("quality_score") >= 0.75))
     keep = (good.groupBy(F.md5("text").alias("h"))
             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
-    k = good.join(keep, "doc_id")
+    # k feeds BOTH the decontamination shingling and the anti-join —
+    # materialize so the quality+dedup prefix runs once per action
+    k = good.join(keep, "doc_id").localCheckpoint(eager=False)
     dirty = (bloom_benchmark_overlap(k, bench, n=8, frac_threshold=1.0)
              .select("doc_id"))
     clean = k.join(F.broadcast(dirty), "doc_id", "left_anti")
     q4 = (F.col("quality_score") * 4).cast("int")
     bucket = ((F.lit(4) - q4) * 1024
               + F.least((F.col("n_words") / 16).cast("int"), F.lit(1023)))
+    # materialize the survivors (narrow: 3 cols) before the budget
+    # resolve — the histogram collect AND the final selection both
+    # consume `clean`, and recomputing the quality+dedup+decon chain
+    # for each action doubles the pipeline
+    clean = (clean.select("doc_id", "n_words", "quality_score")
+             .withColumn("__bucket", bucket)
+             .localCheckpoint(eager=False))
     sel = budget_prefix_select(
-        clean.withColumn("__bucket", bucket), "__bucket", "n_words", 8_000,
+        clean, "__bucket", "n_words", 8_000,
         order_cols=[F.col("n_words").asc(), F.col("doc_id").asc()])
     return shuffle_shards(sel.select("doc_id"), "doc_id",
                           n_shards=16, seed="v2")
