@@ -83,7 +83,7 @@ PRIORITY = [
     "token_cms_counts", "dataset_manifest", "pipeline_curation_v2",
     "events_gap_fill", "quality_percentile_by_source",
     "leakage_free_split", "ivf_incremental_assign",
-    "part_cooccurrence_lift",
+    "part_cooccurrence_lift", "ann_topk_lsh_multiprobe",
 ]
 
 

@@ -507,3 +507,45 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
         F.col(id_col), F.col("cent_id").alias("cell"),
         keep.cast("long").alias("keep_id"),
         (F.col(id_col) == keep).alias("kept"))
+
+
+def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                        num_planes: int = 8, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket AND
+    every 1-bit-flip neighbor bucket (num_planes+1 probes) — the
+    standard recall upgrade that needs NO index change: near vectors
+    most often differ in exactly one hyperplane sign, so probing
+    Hamming-1 neighbors recovers most of what single-bucket LSH loses
+    (measured against brute force in tests). The probe set stays an
+    equi-join on the signature (partition-prunable at scale); cost is
+    (num_planes+1) broadcast-side rows per query, not a bigger index."""
+    base = with_norm(emb, vec_col).withColumn(
+        "sig", lsh_signature(F.col("v"), num_planes, dim))
+    masks = [0] + [1 << p for p in range(num_planes)]
+    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(F.array(*[
+            F.col("sig").bitwiseXOR(F.lit(m)) for m in masks
+        ])).alias("psig"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("sig") == F.col("psig"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v"),
+                   F.col("qnorm"), F.col("norm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cos"))
+    )

@@ -6043,3 +6043,53 @@ def part_cooccurrence_lift(spark, sf_dir):
                     lift.alias("lift"))
             .orderBy(F.col("lift").desc(), "part_a", "part_b")
             .limit(20))
+
+
+def _lsh_multiprobe_sql(num_planes: int = 8, dim: int = 64) -> str:
+    planes = []
+    for p in range(num_planes):
+        comps = ",".join(repr(similarity._plane_component(p, d))
+                         for d in range(dim))
+        planes.append(
+            f"(CASE WHEN list_dot_product(v, [{comps}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    sig = " + ".join(planes)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+             ({sig})::BIGINT AS sig
+      FROM e),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm, sig AS qsig
+      FROM n WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             list_dot_product(qv, v) / (qnorm * norm) AS cos
+      FROM n JOIN q
+        ON bit_count(xor(sig, qsig)) <= 1 AND vec_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5"""
+
+
+@register("ann_topk_lsh_multiprobe", _lsh_multiprobe_sql(),
+          "llm", "similarity")
+def ann_topk_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-5: each query probes its own bucket plus
+    all 8 Hamming-1 neighbor buckets — the standard recall upgrade
+    with NO index change (near vectors usually differ in exactly one
+    hyperplane sign). Still an equi-join on the signature, so the
+    partition-pruned serving layout is unchanged; recall gain over
+    single-probe is measured in tests.
+    operators/similarity.py:lsh_multiprobe_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_multiprobe_topk(emb, k=5, query_mod=50,
+                                         num_planes=8, dim=64)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"), "cos")

@@ -232,3 +232,22 @@ def test_ivf_incremental_assign_equals_full_reassign(spark, sf_dir):
     after_del = sim.ivf_incremental_assign(prior, dels, cents).toPandas()
     assert set(after_del["vec_id"]) == set(
         full[full["vec_id"] % 5 != 0]["vec_id"])
+
+
+# ------------------------------------------------------ multi-probe LSH
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    from examples_scala_spark.operators import similarity as sim
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(sim.brute_force_topk(emb, k=5, query_mod=10))
+    single = pairs(sim.lsh_topk(emb, k=5, query_mod=10))
+    multi = pairs(sim.lsh_multiprobe_topk(emb, k=5, query_mod=10))
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    # probing a superset of buckets can only add candidates
+    assert r_multi >= r_single
+    assert r_multi > 0
