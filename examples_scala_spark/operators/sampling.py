@@ -147,3 +147,33 @@ def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 64,
                       shard.alias("shard"))
             .withColumn("pos", F.row_number().over(w).cast("bigint"))
             .select(id_col, "shard", "pos"))
+
+
+def stratified_split_exact(df: DataFrame, stratum_col: str, id_col: str,
+                           total_k: int, salt: str = "alloc") -> DataFrame:
+    """Proportional stratified sample with an EXACT global size:
+    largest-remainder (Hamilton) allocation distributes `total_k` over
+    strata proportionally to their counts — integer arithmetic only
+    (base = total_k*n_i div N, remainders ranked), so the allocation
+    is engine-reproducible, then each stratum takes its bottom-k_i by
+    the deterministic sampling hash via stratified_reservoir's
+    mergeable two-stage plan (the corpus never shuffles). Exact total
+    whenever total_k <= N and no stratum is allocated past its size.
+    Returns (stratum, id, rnk <= k_i)."""
+    rows = df.groupBy(F.col(stratum_col).alias("stratum")) \
+             .agg(F.count("*").alias("n_i")).collect()
+    N = sum(r["n_i"] for r in rows)
+    alloc = [(r["stratum"], (total_k * r["n_i"]) // N,
+              (total_k * r["n_i"]) % N) for r in rows]
+    extra = total_k - sum(b for _, b, _ in alloc)
+    by_rem = sorted(alloc, key=lambda t: (-t[2], t[0]))
+    k_of = {s: b + (1 if i < extra else 0)
+            for i, (s, b, _) in enumerate(by_rem)}
+    kmax = max(k_of.values(), default=0)
+    samp = stratified_reservoir(df, stratum_col, kmax, id_col, salt)
+    kdf = df.sparkSession.createDataFrame(
+        [(s, k) for s, k in k_of.items()],
+        f"{stratum_col} string, __k bigint")
+    return (samp.join(F.broadcast(kdf), stratum_col)
+            .filter(F.col("rnk") <= F.col("__k"))
+            .select(stratum_col, id_col, "rnk"))

@@ -6093,3 +6093,43 @@ def ann_topk_lsh_multiprobe(spark, sf_dir):
                                          num_planes=8, dim=64)
     return out.select("query_id", "neighbor_id",
                       F.col("rank").cast("bigint").alias("rank"), "cos")
+
+
+@register(
+    "stratified_split_alloc",
+    """
+    WITH n AS (
+      SELECT source, count(*)::BIGINT AS n_i FROM documents GROUP BY source),
+    t AS (SELECT sum(n_i)::BIGINT AS N FROM n),
+    alloc AS (
+      SELECT source, n_i, (100 * n_i) // t.N AS base, (100 * n_i) % t.N AS rem
+      FROM n CROSS JOIN t),
+    e AS (SELECT (100 - sum(base))::BIGINT AS extra FROM alloc),
+    r AS (SELECT source, base,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rr
+          FROM alloc),
+    k AS (SELECT source,
+                 base + CASE WHEN rr <= e.extra THEN 1 ELSE 0 END AS k_i
+          FROM r CROSS JOIN e),
+    h AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('alloc-' || doc_id::VARCHAR),
+                                        1, 15))::BIGINT, doc_id) AS rnk
+      FROM documents)
+    SELECT h.source, h.doc_id, h.rnk::BIGINT AS rnk
+    FROM h JOIN k USING (source) WHERE h.rnk <= k.k_i""",
+    "llm", "sampling",
+)
+def stratified_split_alloc(spark, sf_dir):
+    """Exactly 100 documents sampled proportionally across sources:
+    largest-remainder allocation (integer-exact, engine-reproducible)
+    + per-stratum bottom-k_i by deterministic hash on the mergeable
+    reservoir plan. The 'sample exactly K rows, stratified' primitive
+    eval-set builders need — hash_split_sample only hits K in
+    expectation. operators/sampling.py:stratified_split_exact."""
+    from .operators.sampling import stratified_split_exact
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split_exact(docs, "source", "doc_id",
+                                  total_k=100, salt="alloc")

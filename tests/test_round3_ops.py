@@ -251,3 +251,20 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     # probing a superset of buckets can only add candidates
     assert r_multi >= r_single
     assert r_multi > 0
+
+
+# ------------------------------------------------- exact stratified split
+
+def test_stratified_split_exact_total_and_proportionality(spark, sf_dir):
+    from examples_scala_spark.operators.sampling import stratified_split_exact
+    docs = _docs(spark, sf_dir)
+    out = stratified_split_exact(docs, "source", "doc_id",
+                                 total_k=40).toPandas()
+    assert len(out) == 40
+    assert out["doc_id"].is_unique
+    # per-stratum counts differ from exact proportionality by < 1
+    n = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    got = out.groupby("source").size()
+    for s, n_i in n.items():
+        share = 40 * n_i / n.sum()
+        assert abs(got.get(s, 0) - share) < 1
