@@ -84,7 +84,7 @@ PRIORITY = [
     "events_gap_fill", "quality_percentile_by_source",
     "leakage_free_split", "ivf_incremental_assign",
     "part_cooccurrence_lift", "ann_topk_lsh_multiprobe",
-    "stratified_split_alloc",
+    "stratified_split_alloc", "sliding_distinct_users",
 ]
 
 

@@ -6133,3 +6133,42 @@ def stratified_split_alloc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return stratified_split_exact(docs, "source", "doc_id",
                                   total_k=100, salt="alloc")
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH pane AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
+      FROM events),
+    w AS (
+      SELECT DISTINCT user_id, h - off AS w_start
+      FROM pane CROSS JOIN (SELECT unnest(range(0, 6)) AS off)
+      WHERE h - off >= (SELECT min(epoch_us(ts) // 3600000000) FROM events))
+    SELECT w_start::BIGINT AS w_start,
+           count(*)::BIGINT AS distinct_users
+    FROM w GROUP BY w_start""",
+    "relational", "window", "distinct",
+)
+def sliding_distinct_users(spark, sf_dir):
+    """Distinct users per 6-hour window sliding hourly, via PANE
+    SHARING: events first dedupe to (user, hour-pane) — the only
+    corpus-sized aggregation — then each tiny pane row fans out to the
+    6 windows containing it and a second (user, window) dedupe feeds
+    the count. The fan-out happens AFTER the cardinality collapse, so
+    the 6x slide factor multiplies users x active-panes, never raw
+    events — the exact-arithmetic version of merging per-pane HLL
+    partials. Windows clipped to fully-formed starts (>= first pane)."""
+    ev = _t(spark, sf_dir, "events")
+    pane = (ev.select("user_id",
+                      F.expr("unix_micros(ts) div 3600000000").alias("h"))
+            .distinct())
+    h_min = pane.agg(F.min("h").alias("h0"))
+    offs = F.explode(F.sequence(F.lit(0), F.lit(5))).alias("off")
+    w = (pane.select("user_id", "h", offs)
+         .select("user_id", (F.col("h") - F.col("off")).alias("w_start"))
+         .crossJoin(F.broadcast(h_min))
+         .filter(F.col("w_start") >= F.col("h0"))
+         .select("user_id", "w_start").distinct())
+    return (w.groupBy("w_start")
+            .agg(F.count("*").alias("distinct_users")))
