@@ -76,3 +76,28 @@ def score_sql_expr() -> str:
             f"+ {w['log_len']} * ln(n_chars + 1.0) "
             f"+ {w['stop_ratio']} * (n_stop / CAST(n_words AS DOUBLE)) "
             f"+ {w['punct_ratio']} * (n_punct / CAST(n_words AS DOUBLE))))), 6)")
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """zlib compression ratio per document — the classic
+    low-information-content quality signal (boilerplate and repetition
+    compress far better than natural prose; pipelines drop docs whose
+    ratio is extreme on either side). Genuinely Python-only (no SQL
+    engine exposes a compressor), so it runs as an Arrow-batched
+    pandas UDF with a FIXED zlib level — byte-deterministic, which the
+    tests pin against direct zlib calls. Scan-bound and embarrassingly
+    parallel; the UDF ships back one long per row.
+    Returns (doc_id, n_chars, z_len, ratio = n_chars / z_len)."""
+    import zlib
+
+    @pandas_udf("long")
+    def zlen(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None
+                     else len(zlib.compress(t.encode("utf-8"), 6)))
+
+    return (docs.select(F.col(id_col),
+                        F.length(text_col).cast("bigint").alias("n_chars"),
+                        zlen(F.col(text_col)).alias("z_len"))
+            .withColumn("ratio",
+                        F.round(F.col("n_chars") / F.col("z_len"), 6)))

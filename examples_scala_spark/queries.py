@@ -6172,3 +6172,14 @@ def sliding_distinct_users(spark, sf_dir):
          .select("user_id", "w_start").distinct())
     return (w.groupBy("w_start")
             .agg(F.count("*").alias("distinct_users")))
+
+
+@register("doc_compression_ratio", None, "llm", "quality")
+def doc_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (rows-only: no SQL engine
+    exposes zlib, so the oracle cannot reproduce it — the tests pin
+    the exact byte counts against direct zlib calls instead).
+    operators/inference.py:compression_ratio."""
+    from .operators.inference import compression_ratio
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs)

@@ -41,7 +41,8 @@ def duck(sf_dir):
 # — round 3 upgraded approx_distinct_users / value_quantile_sketch /
 # doc_pagerank to checkable error-bound oracles; the remaining three
 # are genuinely stateful-streaming or approximate-distance outputs
-ROWS_ONLY = {"stream_delta_alerts", "stream_early_firing", "ann_topk_pq"}
+ROWS_ONLY = {"stream_delta_alerts", "stream_early_firing", "ann_topk_pq",
+             "doc_compression_ratio"}
 
 
 def test_all_queries_have_oracles():

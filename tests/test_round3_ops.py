@@ -268,3 +268,23 @@ def test_stratified_split_exact_total_and_proportionality(spark, sf_dir):
     for s, n_i in n.items():
         share = 40 * n_i / n.sum()
         assert abs(got.get(s, 0) - share) < 1
+
+
+# ------------------------------------------------- compression ratio
+
+def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
+    import zlib
+    from examples_scala_spark.operators.inference import compression_ratio
+    docs = _docs(spark, sf_dir)
+    out = compression_ratio(docs).toPandas().set_index("doc_id")
+    rows = docs.select("doc_id", "text").collect()
+    assert len(out) == len(rows)
+    for r in rows:
+        z = len(zlib.compress(r["text"].encode("utf-8"), 6))
+        assert out.loc[r["doc_id"], "z_len"] == z
+        # Spark round() is HALF_UP; Python round() is banker's
+        assert abs(out.loc[r["doc_id"], "ratio"] - len(r["text"]) / z) < 1e-6
+    # word-soup synthetic docs mostly compress (short docs can dip
+    # under 1.0 on zlib header overhead — that's the signal working)
+    assert out["ratio"].median() > 1
+    assert (out["ratio"] > 0).all()
