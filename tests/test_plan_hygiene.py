@@ -138,6 +138,20 @@ def _shuffles(plan: str) -> int:
     ("quality_model_scores", 0),    # inference is a narrow map
     # prior sigs agg + fresh sigs agg; the changed-id join broadcasts
     ("minhash_incremental", 3),
+    # round-3 additions
+    ("corpus_shuffle_shards", 1),   # shard window; key is the hash
+    ("dataset_manifest", 1),        # map-side combined cell agg
+    ("substring_dup_stats", 2),     # hash count + join-back/doc agg
+    ("snapshot_diff_changelog", 2), # windows + join reuse user_id part.
+    ("events_gap_fill", 2),         # range agg + grid join (per key)
+    ("stratified_split_alloc", 1),  # reservoir prune keeps corpus put
+    ("ann_topk_lsh_multiprobe", 1), # probes broadcast; sig equi-join
+    ("quality_percentile_by_source", 2),  # score-count agg + dist win
+    ("token_cms_counts", 4),        # cell agg + scalar N + exact side
+    # distinct pairs + per-order self-join + pair/support aggs; all
+    # post-distinct volumes, the raw fact shuffles exactly once
+    ("part_cooccurrence_lift", 9),
+    ("sliding_distinct_users", 4),  # 2 dedupes + window agg + scalar
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
@@ -161,3 +175,18 @@ def test_range_join_plans_as_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_zorder_scan_pushes_both_range_predicates(spark, sf_dir):
+    """The point of the z-order rewrite: BOTH range predicates reach
+    the parquet scan as pushed filters (file/row-group pruning uses
+    them against per-file min/max)."""
+    # formatted mode: the simple-mode scan line truncates the filter
+    # list mid-way
+    plan = explain_str(REGISTRY["zorder_clustered_scan"].fn(spark, sf_dir),
+                       "formatted")
+    for frag in ("GreaterThanOrEqual(user_id,40)",
+                 "LessThanOrEqual(user_id,60)",
+                 "GreaterThanOrEqual(value,100.0)",
+                 "LessThanOrEqual(value,200.0)"):
+        assert frag in plan, frag
