@@ -85,7 +85,7 @@ PRIORITY = [
     "leakage_free_split", "ivf_incremental_assign",
     "part_cooccurrence_lift", "ann_topk_lsh_multiprobe",
     "stratified_split_alloc", "sliding_distinct_users",
-    "doc_compression_ratio",
+    "doc_compression_ratio", "stream_manifest_maintenance",
 ]
 
 

@@ -6183,3 +6183,86 @@ def doc_compression_ratio(spark, sf_dir):
     from .operators.inference import compression_ratio
     docs = _t(spark, sf_dir, "documents")
     return compression_ratio(docs)
+
+
+@register(
+    "stream_manifest_maintenance",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_rows,
+           SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value,
+           bit_xor(('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT)
+             AS checksum
+    FROM events GROUP BY event_type""",
+    "streaming", "llm", "quality",
+)
+def stream_manifest_maintenance(spark, sf_dir):
+    """dataset_manifest maintained INCREMENTALLY: events replay as
+    three micro-batches; each batch's partial manifest (count,
+    DECIMAL value mass, bit_xor id checksum) merges into the running
+    manifest table by count-add / decimal-add / xor — every column
+    commutative and associative, so the final manifest equals the
+    batch manifest whatever the batch split (that equivalence IS the
+    oracle check). The running table is |cells| rows at any scale;
+    per batch only the batch's rows aggregate."""
+    import os
+    import tempfile
+
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value", "ts")
+    stage = tempfile.mkdtemp(prefix="sgs_manifest_in_")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= bounds[i]) & (
+            (F.col("ts") < bounds[i + 1]) if i < 2
+            else (F.col("ts") <= bounds[3]))
+        (ev.filter(cond).drop("ts").coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(stage, f"f{i}")))
+
+    manifest_dir = tempfile.mkdtemp(prefix="sgs_manifest_state_")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+               16, 10).cast("bigint")
+
+    def merge_batch(batch_df, batch_id):
+        part = (batch_df
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(F.col("value").cast("decimal(18,6)"))
+                      .cast("decimal(28,6)").alias("total_value"),
+                     F.expr("bit_xor(h)").alias("checksum")))
+        spark_l = batch_df.sparkSession
+        prior_path = os.path.join(manifest_dir, "current")
+        try:
+            prior = spark_l.read.parquet(prior_path)
+        except Exception:
+            prior = None
+        merged = (part if prior is None else
+                  prior.unionByName(part)
+                  .groupBy("event_type")
+                  .agg(F.sum("n_rows").alias("n_rows"),
+                       F.sum("total_value").cast("decimal(28,6)")
+                        .alias("total_value"),
+                       F.expr("bit_xor(checksum)").alias("checksum")))
+        tmp = os.path.join(manifest_dir, f"tmp_{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        spark_l.read.parquet(tmp).write.mode("overwrite").parquet(prior_path)
+
+    src = (spark.readStream
+           .schema("event_id bigint, event_type string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "true").parquet(stage)
+           .withColumn("h", h))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (src.writeStream.foreachBatch(merge_batch)
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="sgs_ck_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.read.parquet(os.path.join(manifest_dir, "current"))
+            .select("event_type", "n_rows",
+                    F.col("total_value").cast("double").alias("total_value"),
+                    "checksum"))
