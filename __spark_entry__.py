@@ -86,6 +86,7 @@ PRIORITY = [
     "part_cooccurrence_lift", "ann_topk_lsh_multiprobe",
     "stratified_split_alloc", "sliding_distinct_users",
     "doc_compression_ratio", "stream_manifest_maintenance",
+    "purchase_touch_attribution",
 ]
 
 

@@ -6266,3 +6266,41 @@ def stream_manifest_maintenance(spark, sf_dir):
             .select("event_type", "n_rows",
                     F.col("total_value").cast("double").alias("total_value"),
                     "checksum"))
+
+
+@register(
+    "purchase_touch_attribution",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events)
+    SELECT coalesce(touch, 'none') AS touch_type,
+           count(*)::BIGINT AS n_purchases,
+           SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE AS total_value
+    FROM seq WHERE event_type = 'purchase' GROUP BY 1""",
+    "relational", "attribution",
+)
+def purchase_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding touch event (click/view/signup) — the LOCF
+    carry-forward idiom (one per-user ordered window, the same single
+    user_id shuffle the sessionization family rides), then a tiny
+    aggregate per touch type. Revenue sums run in DECIMAL so
+    accumulation order cannot move the hash."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view", "signup"),
+               F.col("event_type")), ignorenulls=True).over(w)
+    return (ev.withColumn("touch", touch)
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("total_value")))
