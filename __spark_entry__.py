@@ -86,7 +86,8 @@ PRIORITY = [
     "part_cooccurrence_lift", "ann_topk_lsh_multiprobe",
     "stratified_split_alloc", "sliding_distinct_users",
     "doc_compression_ratio", "stream_manifest_maintenance",
-    "purchase_touch_attribution",
+    "purchase_touch_attribution", "events_mad_anomalies",
+    "revenue_pareto_abc",
 ]
 
 

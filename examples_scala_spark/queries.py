@@ -6304,3 +6304,94 @@ def purchase_touch_attribution(spark, sf_dir):
             .agg(F.count("*").alias("n_purchases"),
                  F.sum(F.col("value").cast("decimal(18,6)"))
                   .cast("double").alias("total_value")))
+
+
+@register(
+    "events_mad_anomalies",
+    """
+    WITH stats AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, s.med,
+             abs(e.value - s.med) AS d
+      FROM events e JOIN stats s USING (event_type)),
+    mads AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           round((d.value - d.med) / m.mad, 6) AS mad_score
+    FROM dev d JOIN mads m USING (event_type)
+    WHERE d.d > 3 * m.mad""",
+    "relational", "anomaly",
+)
+def events_mad_anomalies(spark, sf_dir):
+    """Robust anomaly detection: flag events more than 3 MADs (median
+    absolute deviation) from their type's median — the outlier test
+    that, unlike z-scores (events_zscore_anomalies), outliers
+    themselves cannot corrupt. Two grouped EXACT interpolated
+    percentiles (each a single partial-aggregated shuffle over its
+    grouping key) broadcast back onto the stream; the classic 1.4826
+    normal-consistency factor is left out so the threshold stays in
+    exact integer arithmetic. At 100 TB swap the exact percentile for
+    the t-digest sketch (operators/sketches.py) — same plan shape."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("d", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("d") > 3 * F.col("mad"))
+            .select("event_id", "event_type", "value",
+                    F.round((F.col("value") - F.col("med")) / F.col("mad"), 6)
+                     .alias("mad_score")))
+
+
+@register(
+    "revenue_pareto_abc",
+    """
+    WITH u AS (
+      SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    t AS (SELECT SUM(cents)::BIGINT AS total FROM u),
+    c AS (
+      SELECT user_id, cents,
+             sum(cents) OVER (ORDER BY cents DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM u)
+    SELECT user_id, cents::BIGINT AS cents, cum::BIGINT AS cum_cents,
+           round(cum / t.total::DOUBLE, 6) AS cum_share,
+           CASE WHEN cum <= 0.5 * t.total THEN 'A'
+                WHEN cum <= 0.8 * t.total THEN 'B'
+                ELSE 'C' END AS revenue_class
+    FROM c CROSS JOIN t""",
+    "relational", "analytics",
+)
+def revenue_pareto_abc(spark, sf_dir):
+    """Pareto/ABC revenue classification with a per-user cumulative
+    share — a GLOBAL running sum, computed scalably: the distributed
+    three-step scan (operators/prefix.py — range-repartition+sort,
+    driver-side P-value offsets, one Arrow cumsum pass) instead of a
+    single-partition window. Revenue is scaled to integer cents so
+    every partial sum is exact and order-free; the share division and
+    class thresholds then operate on exact integers."""
+    from .operators.prefix import ordered_prefix_sum
+    ev = _t(spark, sf_dir, "events")
+    u = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id",
+                 F.round(F.col("value") * 100).cast("long").alias("c1"))
+         .groupBy("user_id").agg(F.sum("c1").cast("long").alias("cents")))
+    total = u.agg(F.sum("cents").cast("long").alias("total"))
+    cum = ordered_prefix_sum(
+        u, [F.col("cents").desc(), F.col("user_id").asc()], "cents",
+        out_col="cum_cents", partitions=8)
+    return (cum.crossJoin(F.broadcast(total))
+            .select("user_id", "cents",
+                    "cum_cents",
+                    F.round(F.col("cum_cents") / F.col("total"), 6)
+                     .alias("cum_share"),
+                    F.when(F.col("cum_cents") <= 0.5 * F.col("total"), "A")
+                     .when(F.col("cum_cents") <= 0.8 * F.col("total"), "B")
+                     .otherwise("C").alias("revenue_class")))

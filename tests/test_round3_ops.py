@@ -288,3 +288,23 @@ def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
     # under 1.0 on zlib header overhead — that's the signal working)
     assert out["ratio"].median() > 1
     assert (out["ratio"] > 0).all()
+
+
+# ------------------------------------------------- distributed prefix sum
+
+def test_ordered_prefix_sum_equals_naive_window(spark):
+    from examples_scala_spark.operators.prefix import ordered_prefix_sum
+    df = (spark.range(0, 1000)
+          .select(F.col("id"),
+                  F.pmod(F.col("id") * 7919, F.lit(997)).alias("w")))
+    got = ordered_prefix_sum(
+        df, [F.col("w").desc(), F.col("id").asc()], "w",
+        out_col="cum", partitions=7).toPandas()
+    naive = (df.withColumn("cum", F.sum("w").over(
+        Window.orderBy(F.col("w").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .toPandas())
+    got = got.sort_values("id").reset_index(drop=True)
+    naive = naive.sort_values("id").reset_index(drop=True)
+    assert got["cum"].tolist() == naive["cum"].tolist()
+    assert len(got) == 1000
