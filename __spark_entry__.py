@@ -87,7 +87,7 @@ PRIORITY = [
     "stratified_split_alloc", "sliding_distinct_users",
     "doc_compression_ratio", "stream_manifest_maintenance",
     "purchase_touch_attribution", "events_mad_anomalies",
-    "revenue_pareto_abc",
+    "revenue_pareto_abc", "event_type_transitions", "minhash_accuracy",
 ]
 
 

@@ -6395,3 +6395,88 @@ def revenue_pareto_abc(spark, sf_dir):
                     F.when(F.col("cum_cents") <= 0.5 * F.col("total"), "A")
                      .when(F.col("cum_cents") <= 0.8 * F.col("total"), "B")
                      .otherwise("C").alias("revenue_class")))
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT prev, event_type AS next, count(*)::BIGINT AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+    FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type""",
+    "relational", "analytics",
+)
+def event_type_transitions(spark, sf_dir):
+    """Clickstream transition matrix: per-user event sequences (lag on
+    the single user_id ordering shuffle) collapse to first-order
+    Markov transition counts and row-normalized probabilities. The
+    normalizing window runs over the |types|^2 AGGREGATE, never the
+    event stream — the same aggregate-then-window shape as the
+    percentile calibration."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.withColumn("prev", F.lag("event_type").over(w))
+           .filter(F.col("prev").isNotNull()))
+    g = (seq.groupBy("prev", F.col("event_type").alias("next"))
+         .agg(F.count("*").alias("n")))
+    wp = Window.partitionBy("prev")
+    return g.select("prev", "next", "n",
+                    F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"))
+
+
+@register(
+    "minhash_accuracy",
+    f"""
+    WITH lsh AS ({_minhash_pairs_sql()}),
+    w2 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh2 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     AS g
+            FROM w2)),
+    sz2 AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh2 GROUP BY doc_id),
+    inter2 AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS i2
+      FROM sh2 l JOIN sh2 r USING (shingle)
+      WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             round(i2 / (sa.sz + sb.sz - i2), 6) AS jaccard
+      FROM inter2 JOIN sz2 sa ON sa.doc_id = doc_a
+                  JOIN sz2 sb ON sb.doc_id = doc_b)
+    SELECT l.doc_a, l.doc_b, round(l.sig_sim, 6) AS sig_sim,
+           coalesce(j.jaccard, 0) AS jaccard,
+           round(abs(round(l.sig_sim, 6) - coalesce(j.jaccard, 0)), 6)
+             AS abs_err
+    FROM lsh l LEFT JOIN jac j USING (doc_a, doc_b)""",
+    "llm", "dedup", "diagnostics",
+)
+def minhash_accuracy(spark, sf_dir):
+    """Estimator-quality diagnostic: for every MinHash-LSH candidate
+    pair, the signature-similarity ESTIMATE next to the exact 3-gram
+    Jaccard and their absolute error — the evaluation pass that tells
+    you whether H=16 hashes suffice before scaling the dedup run
+    (E[|err|] ~ sqrt(J(1-J)/H)). The exact side reuses the sparse
+    shingle equi-join at threshold 0, restricted by the join to the
+    (already bucketed) candidate set."""
+    docs = _t(spark, sf_dir, "documents")
+    lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                  threshold=0.5)
+    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    return (lsh.join(jac, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b",
+                    F.round("sig_sim", 6).alias("sig_sim"),
+                    F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+                    F.round(F.abs(F.round("sig_sim", 6)
+                                  - F.coalesce("jaccard", F.lit(0.0))), 6)
+                     .alias("abs_err")))
