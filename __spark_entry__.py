@@ -88,6 +88,7 @@ PRIORITY = [
     "doc_compression_ratio", "stream_manifest_maintenance",
     "purchase_touch_attribution", "events_mad_anomalies",
     "revenue_pareto_abc", "event_type_transitions", "minhash_accuracy",
+    "lsh_precision_recall",
 ]
 
 

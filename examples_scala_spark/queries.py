@@ -6480,3 +6480,65 @@ def minhash_accuracy(spark, sf_dir):
                     F.round(F.abs(F.round("sig_sim", 6)
                                   - F.coalesce("jaccard", F.lit(0.0))), 6)
                      .alias("abs_err")))
+
+
+@register(
+    "lsh_precision_recall",
+    f"""
+    WITH lsh AS ({_minhash_pairs_sql()}),
+    w3 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh3 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     AS g
+            FROM w3)),
+    sz3 AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh3 GROUP BY doc_id),
+    t2 AS (
+      SELECT i.doc_a, i.doc_b FROM (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*)::BIGINT AS i3
+        FROM sh3 l JOIN sh3 r USING (shingle)
+        WHERE l.doc_id < r.doc_id GROUP BY 1, 2) i
+      JOIN sz3 sa ON sa.doc_id = i.doc_a
+      JOIN sz3 sb ON sb.doc_id = i.doc_b
+      WHERE i.i3 / (sa.sz + sb.sz - i.i3) >= 0.5),
+    hits AS (SELECT count(*)::BIGINT AS tp FROM lsh
+             JOIN t2 USING (doc_a, doc_b)),
+    np AS (SELECT count(*)::BIGINT AS n_pred FROM lsh),
+    nt AS (SELECT count(*)::BIGINT AS n_true FROM t2)
+    SELECT np.n_pred, nt.n_true, hits.tp,
+           round(hits.tp / np.n_pred::DOUBLE, 6) AS precision,
+           round(hits.tp / nt.n_true::DOUBLE, 6) AS recall
+    FROM np CROSS JOIN nt CROSS JOIN hits""",
+    "llm", "dedup", "diagnostics",
+)
+def lsh_precision_recall(spark, sf_dir):
+    """The dedup-quality scoreboard: MinHash-LSH candidate pairs
+    (16 hashes, 4 bands, sig_sim >= 0.5) scored against exact 3-gram
+    Jaccard >= 0.5 ground truth — one row: predicted pairs, true
+    pairs, hits, precision, recall. At production scale the truth side
+    is computed on a sample; here the corpus is small enough to score
+    exactly. This is the number that justifies the banding parameters
+    before a 100 TB run."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = (dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+            .select("doc_a", "doc_b"))
+    truth = (dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+             .select("doc_a", "doc_b"))
+    tp = pred.join(truth, ["doc_a", "doc_b"]).count()
+    n_pred, n_true = pred.count(), truth.count()
+    # round inside Spark (HALF_UP, same as the oracle's round()) —
+    # Python round() is banker's and can differ at .5 boundaries
+    one = spark.createDataFrame(
+        [(n_pred, n_true, tp)], "n_pred bigint, n_true bigint, tp bigint")
+    return one.select(
+        "n_pred", "n_true", "tp",
+        F.round(F.col("tp") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("tp") / F.col("n_true"), 6).alias("recall"))
