@@ -89,6 +89,10 @@ PRIORITY = [
     "purchase_touch_attribution", "events_mad_anomalies",
     "revenue_pareto_abc", "event_type_transitions", "minhash_accuracy",
     "lsh_precision_recall",
+    # (f) round-3 batch 2: quality-rule suite, drift/trend, graph
+    # diagnostics, prefix-filtered similarity join, skyline
+    "gopher_quality_flags", "events_cusum_drift", "events_trend_ols",
+    "neardup_triangle_stats", "setsim_jaccard_prefix", "part_skyline",
 ]
 
 

@@ -410,3 +410,77 @@ def substring_dup_stats(docs: DataFrame, L: int = 30,
         F.col("n_dup").cast("bigint"),
         F.round(F.col("n_dup") / F.col("n_positions"), 6)
          .alias("dup_frac"))
+
+def setsim_prefix_join(docs: DataFrame, n: int = 3,
+                       t_num: int = 1, t_den: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram-set Jaccard join via PPJoin-style PREFIX FILTERING
+    — same result set as ngram_jaccard_pairs(threshold = t_num/t_den),
+    different (and at high thresholds far cheaper) candidate
+    generation.
+
+    Why a second algorithm for the same join: the sparse equi-join
+    explodes EVERY shingle into the self-join, so its cost is
+    sum_s df(s)^2 over all shingles — dominated by common shingles
+    regardless of threshold. Prefix filtering exploits the threshold:
+    order the token universe by ascending document frequency (rarest
+    first); a doc with sz tokens only indexes its first
+    sz - ceil(t*sz) + 1 tokens. Two docs with Jaccard >= t MUST share
+    a prefix token under any common global order (|A∩B| >= ceil(t*|A|)
+    pigeonholes the prefix), so the join stays lossless while hot
+    stop-shingles never enter the index. Verification then runs per
+    CANDIDATE pair on sorted hash arrays (array_intersect), O(|doc|)
+    each — no quadratic stage anywhere.
+
+    Determinism: tokens are 60-bit md5 hashes; ceil(t*sz) is exact
+    integer arithmetic ((t_num*sz + t_den - 1) DIV t_den) — no float
+    threshold on the filtering path. Jaccard output is the same
+    integer-ratio rounding as ngram_jaccard_pairs, so the two
+    operators (and the shared oracle) hash-match bit-for-bit.
+
+    Scale: df ranking is one map-combined groupBy(token); prefix index
+    shuffles ~ (1-t) of the token mass; candidate dedup and the two
+    array joins shuffle candidate pairs + per-doc arrays (bounded by
+    doc length). Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    from pyspark.sql.window import Window
+
+    tok = (word_shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                         distinct=False)
+           .select(F.col(id_col), base_hash(F.col("shingle")).alias("tok"))
+           .distinct())
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (tok.join(dfreq, "tok")
+              .withColumn("pos", F.row_number().over(
+                  Window.partitionBy(id_col).orderBy("df", "tok")))
+              .withColumn("sz", F.count("*").over(
+                  Window.partitionBy(id_col))))
+    # lossless prefix: keep pos <= sz - ceil(t*sz) + 1, exact integers
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den - 1}) DIV {t_den}") + 1)
+    cand = (prefix.alias("l").join(prefix.alias("r"), "tok")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("doc_a"),
+                    F.col(f"r.{id_col}").alias("doc_b"))
+            .distinct())
+    sets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count("*").alias("sz"))
+    joined = (cand
+              .join(sets.select(F.col(id_col).alias("doc_a"),
+                                F.col("toks").alias("ta"),
+                                F.col("sz").alias("sz_a")), "doc_a")
+              .join(sets.select(F.col(id_col).alias("doc_b"),
+                                F.col("toks").alias("tb"),
+                                F.col("sz").alias("sz_b")), "doc_b"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (joined
+            .withColumn("inter", inter)
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
+            .select("doc_a", "doc_b",
+                    F.round(F.col("jaccard"), 6).alias("jaccard")))

@@ -139,3 +139,57 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
             .localCheckpoint(eager=True)
         )
     return ranks
+
+def triangle_stats(nodes: DataFrame, edges: DataFrame,
+                   id_col: str = "id",
+                   src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle count, degree, and local clustering
+    coefficient on an undirected graph — the standard graph-quality
+    diagnostic for a near-dup pair graph (a duplicate CLUSTER shows up
+    as a dense triangle-rich blob; a chain of borderline matches has
+    none, and merging it is usually a mistake).
+
+    Algorithm: canonical-orientation wedge join. Edges are normalized
+    to a < b; wedges (a<b<c sharing the low endpoint a) come from one
+    self-join of the oriented edge list; a second equi-join against
+    the oriented edges closes each wedge into a triangle (a,b,c)
+    exactly once. Each triangle then credits all three corners via an
+    explode + groupBy.
+
+    Scale: two shuffles on edge endpoints plus the final per-node
+    aggregate; no row ever carries text or payload. Worst case is a
+    high-degree hub h: oriented wedge counts are sum_a C(d+(a), 2)
+    where d+ is the OUT-degree under the a<b orientation — bounded for
+    any single node by its id rank, and further reducible by the
+    classic degree-ordering refinement (orient low-degree -> high-
+    degree), which this keeps out of the hash-checked path so the
+    oracle stays pure SQL. Returns (id, degree, triangles, lcc) with
+    lcc = 2T / (d(d-1)) rounded to 6 dp (0.0 when d < 2).
+    """
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    # wedges b < c around low endpoint a, closed by edge (b, c)
+    e1 = e.select(F.col("a"), F.col("b").alias("x"))
+    e2 = e.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (e1.join(e2, "a").filter(F.col("x") < F.col("y")))
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"])
+    credits = (tri.select(F.explode(F.array("a", "x", "y")).alias("id"))
+               .groupBy("id").agg(F.count("*").alias("triangles")))
+    deg = (e.select(F.explode(F.array("a", "b")).alias("id"))
+           .groupBy("id").agg(F.count("*").alias("degree")))
+    return (nodes.select(F.col(id_col).alias("id"))
+            .join(deg, "id", "left").join(credits, "id", "left")
+            .select(
+                "id",
+                F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+                F.coalesce("triangles", F.lit(0)).cast("bigint")
+                 .alias("triangles"),
+                F.when(F.coalesce("degree", F.lit(0)) >= 2,
+                       F.round(2.0 * F.coalesce("triangles", F.lit(0))
+                               / (F.col("degree")
+                                  * (F.col("degree") - 1)), 6))
+                 .otherwise(F.lit(0.0)).alias("lcc")))

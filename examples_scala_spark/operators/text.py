@@ -281,3 +281,60 @@ def bm25_topk(docs: DataFrame, terms: list[str], k1: float = 1.2,
         F.round(F.sum(contrib), 6).alias("bm25"))
     return (per_doc.orderBy(F.col("bm25").desc(), F.col(id_col))
             .limit(topk))
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style per-rule quality filter suite (Rae et al. 2021,
+    §A1.1), as per-rule boolean FLAGS rather than the composite score
+    of quality_score — the diagnostic view a curation pipeline needs
+    to tune each rule before a 100 TB run. Six rules, thresholds
+    calibrated to this corpus' synthetic distributions:
+
+      word_count    30 <= n_words <= 100000
+      mean_word_len 3 <= mean <= 10 characters
+      stopwords     >= 2 occurrences of the English stopword set
+      alpha_words   >= 80% of words contain an alphabetic character
+      dominance     most frequent word <= 10% of all words
+      ttr           type-token ratio (distinct/total) >= 0.4
+
+    Every threshold compares exact integers (counts cross-multiplied
+    against rational bounds — e.g. ttr >= 2/5 tests 5*distinct >=
+    2*total), so no float ever decides a flag and the booleans hash
+    identically on any engine.
+
+    Plan shape: one explode + a two-level aggregate — (doc, word)
+    counts first (map-side combined), then per-doc moments — so the
+    only shuffles are keyed on doc_id and word frequencies never
+    leave their partition unaggregated. Text itself is dropped at the
+    explode. Returns one row per doc with the flags, n_failed, and
+    keep = (n_failed == 0).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+    cnts = (tok.groupBy(id_col, "w")
+            .agg(F.count("*").alias("cnt")))
+    per = cnts.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+        F.sum(F.length("w") * F.col("cnt")).cast("bigint").alias("n_chars"),
+        F.sum(F.when(F.col("w").isin(*STOPWORDS), F.col("cnt"))
+              .otherwise(F.lit(0))).cast("bigint").alias("stop_cnt"),
+        F.sum(F.when(F.col("w").rlike("[a-zA-Z]"), F.col("cnt"))
+              .otherwise(F.lit(0))).cast("bigint").alias("alpha_cnt"))
+    flags = {
+        "flag_word_count": (F.col("n_words") >= 30)
+                           & (F.col("n_words") <= 100000),
+        "flag_mean_word_len": (F.col("n_chars") >= 3 * F.col("n_words"))
+                              & (F.col("n_chars") <= 10 * F.col("n_words")),
+        "flag_stopwords": F.col("stop_cnt") >= 2,
+        "flag_alpha_words": 5 * F.col("alpha_cnt") >= 4 * F.col("n_words"),
+        "flag_dominance": 10 * F.col("top_cnt") <= F.col("n_words"),
+        "flag_ttr": 5 * F.col("n_distinct") >= 2 * F.col("n_words"),
+    }
+    out = per.select(F.col(id_col), F.col("n_words"),
+                     *[v.alias(k) for k, v in flags.items()])
+    n_failed = sum(F.when(~F.col(k), 1).otherwise(0) for k in flags)
+    return (out.withColumn("n_failed", n_failed.cast("int"))
+            .withColumn("keep", F.col("n_failed") == 0))

@@ -6542,3 +6542,265 @@ def lsh_precision_recall(spark, sf_dir):
         "n_pred", "n_true", "tp",
         F.round(F.col("tp") / F.col("n_pred"), 6).alias("precision"),
         F.round(F.col("tp") / F.col("n_true"), 6).alias("recall"))
+
+
+@register(
+    "gopher_quality_flags",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnts AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS top_cnt,
+             sum(len(w) * cnt)::BIGINT AS n_chars,
+             sum(CASE WHEN w IN ('the', 'and', 'of', 'to', 'a')
+                      THEN cnt ELSE 0 END)::BIGINT AS stop_cnt,
+             sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                      THEN cnt ELSE 0 END)::BIGINT AS alpha_cnt
+      FROM cnts GROUP BY doc_id),
+    f AS (
+      SELECT doc_id, n_words,
+             (n_words >= 30 AND n_words <= 100000) AS flag_word_count,
+             (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+               AS flag_mean_word_len,
+             (stop_cnt >= 2) AS flag_stopwords,
+             (5 * alpha_cnt >= 4 * n_words) AS flag_alpha_words,
+             (10 * top_cnt <= n_words) AS flag_dominance,
+             (5 * n_distinct >= 2 * n_words) AS flag_ttr
+      FROM per)
+    SELECT *,
+           ((NOT flag_word_count)::INT + (NOT flag_mean_word_len)::INT
+            + (NOT flag_stopwords)::INT + (NOT flag_alpha_words)::INT
+            + (NOT flag_dominance)::INT + (NOT flag_ttr)::INT)::INT
+             AS n_failed,
+           ((NOT flag_word_count)::INT + (NOT flag_mean_word_len)::INT
+            + (NOT flag_stopwords)::INT + (NOT flag_alpha_words)::INT
+            + (NOT flag_dominance)::INT + (NOT flag_ttr)::INT) = 0 AS keep
+    FROM f""",
+    "llm", "text", "quality",
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule quality filter suite as per-rule diagnostics
+    (operators/text.py:gopher_quality_flags): six boolean flags per
+    document, every threshold an exact integer cross-multiplication.
+    Complements the composite quality_score with the per-rule view a
+    curation run tunes against."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs)
+
+
+@register(
+    "events_cusum_drift",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT event_type, sum(cents) // count(*) AS target
+          FROM c GROUP BY event_type),
+    p AS (
+      SELECT c.event_id, c.event_type, c.ts,
+             sum(c.cents - m.target) OVER (
+               PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM c JOIN m USING (event_type))
+    SELECT event_id, event_type,
+           (pre - least(0, min(pre) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+             AS cusum_cents,
+           (pre - least(0, min(pre) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > 20000
+             AS drift
+    FROM p""",
+    "relational", "timeseries", "anomaly",
+)
+def events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detection per event type
+    (operators/timeseries.py:cusum_flags): the sequential recursion
+    S_i = max(0, S_{i-1} + x_i - k) rewritten as prefix-sum minus
+    running-min, so one per-key ordered window computes it
+    distributed. Target is the per-type integer mean (exact DIV);
+    everything runs in integer cents; drift fires at 200.00 above
+    the in-control baseline."""
+    from .operators.timeseries import cusum_flags
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type", "ts",
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    tgt = (ev.groupBy("event_type")
+           .agg(F.expr("sum(cents) DIV count(*)").alias("target")))
+    d = ev.join(F.broadcast(tgt), "event_type")
+    out = cusum_flags(d, "event_type", [F.col("ts"), F.col("event_id")],
+                      F.col("cents"), F.col("target"),
+                      slack_units=0, h_units=20000)
+    return out.select("event_id", "event_type",
+                      F.col("cusum_units").alias("cusum_cents"), "drift")
+
+
+@register(
+    "events_trend_ols",
+    """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    mn AS (SELECT min(sec) AS mn FROM c),
+    d AS (SELECT event_type, (sec - mn)::HUGEINT AS x, cents::HUGEINT AS y
+          FROM c CROSS JOIN mn),
+    g AS (SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM d GROUP BY event_type)
+    SELECT event_type, n::BIGINT AS n,
+           round(CASE WHEN n * sxx - sx * sx <> 0 THEN
+             (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+             END, 9) AS slope,
+           round(CASE WHEN n * sxx - sx * sx <> 0 THEN
+             (sy * sxx - sx * sxy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+             END, 6) AS intercept
+    FROM g""",
+    "relational", "timeseries",
+)
+def events_trend_ols(spark, sf_dir):
+    """Per-type least-squares value trend
+    (operators/timeseries.py:ols_trend): slope/intercept from the five
+    classical sums accumulated as exact DECIMAL(38,0) integers — one
+    map-combined groupBy, no second pass, order-free. x is seconds
+    since the corpus' first event (broadcast scalar), y integer cents;
+    magnitudes stay within decimal38 up to ~1e9 rows x 1e8 s spans."""
+    from .operators.timeseries import ols_trend
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("unix_micros(ts) div 1000000").alias("sec"),
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    mn = ev.agg(F.min("sec").alias("mn"))
+    d = (ev.crossJoin(F.broadcast(mn))
+         .select("event_type", (F.col("sec") - F.col("mn")).alias("x"),
+                 F.col("cents")))
+    return ols_trend(d, "event_type", F.col("x"), F.col("cents"))
+
+
+@register(
+    "neardup_triangle_stats",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT doc_a AS a, doc_b AS b
+      FROM ({_minhash_pairs_sql()})),
+    tri AS (
+      SELECT w.a, w.x, w.y FROM (
+        SELECT e1.a, e1.b AS x, e2.b AS y
+        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b) w
+      JOIN e ON e.a = w.x AND e.b = w.y),
+    cr AS (SELECT unnest([a, x, y]) AS id FROM tri),
+    tc AS (SELECT id, count(*)::BIGINT AS triangles FROM cr GROUP BY id),
+    dg AS (SELECT id, count(*)::BIGINT AS degree
+           FROM (SELECT unnest([a, b]) AS id FROM e) GROUP BY id)
+    SELECT d.doc_id AS id,
+           coalesce(dg.degree, 0)::BIGINT AS degree,
+           coalesce(tc.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN coalesce(dg.degree, 0) >= 2
+                THEN round(2.0 * coalesce(tc.triangles, 0)
+                           / (dg.degree * (dg.degree - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM documents d
+    LEFT JOIN dg ON dg.id = d.doc_id
+    LEFT JOIN tc ON tc.id = d.doc_id""",
+    "llm", "dedup", "graph", "diagnostics",
+)
+def neardup_triangle_stats(spark, sf_dir):
+    """Triangle count + local clustering coefficient over the
+    MinHash-LSH near-dup graph (operators/graph.py:triangle_stats) —
+    the density diagnostic that separates genuine duplicate clusters
+    (triangle-rich) from chains of borderline matches before
+    connected-components merges them."""
+    from .operators.graph import triangle_stats
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    return triangle_stats(docs.select("doc_id"), edges, id_col="doc_id",
+                          src_col="doc_a", dst_col="doc_b")
+
+
+@register(
+    "setsim_jaccard_prefix",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh_str AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+               AS shingle_str
+      FROM w),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(shingle_str), 1, 15))::BIGINT AS shingle
+      FROM sh_str),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS inter
+      FROM sh l JOIN sh r USING (shingle)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a
+               JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""",
+    "llm", "dedup",
+)
+def setsim_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard join
+    (operators/dedup.py:setsim_prefix_join): same result set as
+    ngram_jaccard_pairs at threshold 1/2 — the oracle is literally the
+    same SQL — but candidates come from rarest-first PREFIX tokens
+    (hot shingles never enter the index) and verification runs per
+    candidate on sorted hash arrays. The high-threshold scale path for
+    exact similarity joins."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.setsim_prefix_join(docs, n=3, t_num=1, t_den=2)
+
+
+@register(
+    "part_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT)
+               AS price_cents, p_size
+      FROM part)
+    SELECT s.p_partkey, s.price_cents, s.p_size
+    FROM p s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.price_cents <= s.price_cents AND q.p_size >= s.p_size
+        AND (q.price_cents < s.price_cents OR q.p_size > s.p_size))""",
+    "relational", "analytics",
+)
+def part_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) over parts: cheapest-for-their-size
+    parts no other part dominates (<= price AND >= size, strict in
+    one). The oracle states dominance as NOT EXISTS (quadratic); the
+    Spark plan is the 2-D scan form — aggregate max size per price
+    (map-combined, O(distinct prices) rows), a running max over that
+    SMALL aggregate ordered by price, then one broadcast-sized join
+    back. A part survives iff it tops its own price group and beats
+    every strictly-cheaper group's best size — no self-join over the
+    fact table at any scale."""
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey",
+                 F.round(F.col("p_retailprice") * 100).cast("long")
+                  .alias("price_cents"),
+                 "p_size"))
+    grp = p.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
+    w = (Window.orderBy("price_cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    grp2 = grp.withColumn("cheaper_max", F.max("gmax").over(w))
+    return (p.join(F.broadcast(grp2), "price_cents")
+            .filter((F.col("p_size") == F.col("gmax"))
+                    & (F.col("cheaper_max").isNull()
+                       | (F.col("cheaper_max") < F.col("p_size"))))
+            .select("p_partkey", "price_cents", "p_size"))

@@ -152,6 +152,13 @@ def _shuffles(plan: str) -> int:
     # post-distinct volumes, the raw fact shuffles exactly once
     ("part_cooccurrence_lift", 9),
     ("sliding_distinct_users", 4),  # 2 dedupes + window agg + scalar
+    # round-3 batch 2
+    ("gopher_quality_flags", 2),    # (doc,word) agg + per-doc agg
+    ("events_cusum_drift", 2),      # per-type target agg + key window
+    ("events_trend_ols", 2),        # moment agg + scalar min
+    ("neardup_triangle_stats", 7),  # LSH pairs + wedge/close + credits
+    ("setsim_jaccard_prefix", 12),  # df-rank + prefix join + verify
+    ("part_skyline", 2),            # price-group agg + tiny window
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
