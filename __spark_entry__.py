@@ -93,6 +93,8 @@ PRIORITY = [
     # diagnostics, prefix-filtered similarity join, skyline
     "gopher_quality_flags", "events_cusum_drift", "events_trend_ols",
     "neardup_triangle_stats", "setsim_jaccard_prefix", "part_skyline",
+    "user_lifecycle_states", "ab_test_zscores", "inverted_index_postings",
+    "mutual_information_bands", "doc_containment_pairs",
 ]
 
 

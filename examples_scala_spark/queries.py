@@ -6804,3 +6804,327 @@ def part_skyline(spark, sf_dir):
                     & (F.col("cheaper_max").isNull()
                        | (F.col("cheaper_max") < F.col("p_size"))))
             .select("p_partkey", "price_cents", "p_size"))
+
+
+@register(
+    "user_lifecycle_states",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    mx AS (SELECT max(day) AS max_day FROM act),
+    cls AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      FROM act),
+    a AS (
+      SELECT day,
+             count(*) FILTER (prev IS NULL)::BIGINT AS n_new,
+             count(*) FILTER (prev = day - 1)::BIGINT AS n_retained,
+             count(*) FILTER (prev IS NOT NULL AND prev < day - 1)::BIGINT
+               AS n_resurrected
+      FROM cls GROUP BY day),
+    c AS (
+      SELECT day + 1 AS day, count(*)::BIGINT AS n_churned
+      FROM cls CROSS JOIN mx
+      WHERE (nxt IS NULL AND day < max_day) OR nxt > day + 1
+      GROUP BY day + 1)
+    SELECT coalesce(a.day, c.day)::BIGINT AS day,
+           coalesce(n_new, 0)::BIGINT AS n_new,
+           coalesce(n_retained, 0)::BIGINT AS n_retained,
+           coalesce(n_resurrected, 0)::BIGINT AS n_resurrected,
+           coalesce(n_churned, 0)::BIGINT AS n_churned
+    FROM a FULL OUTER JOIN c USING (day)""",
+    "relational", "analytics",
+)
+def user_lifecycle_states(spark, sf_dir):
+    """Growth accounting: classify every active user-day as
+    new / retained (active yesterday) / resurrected (returned after a
+    gap), and count churn on the first inactive day after an active
+    one — the standard DAU decomposition whose identity
+    DAU(t) = new + retained + resurrected and
+    retained(t) = DAU(t-1) - churned(t) audits itself.
+
+    Plan: distinct (user, day) — the only corpus-sized shuffle — then
+    lag/lead on the per-user ordering, a per-day aggregate, and a
+    full-outer merge of the churn-day counts (day-keyed, tiny). The
+    global max day rides as a broadcast scalar so end-of-horizon
+    non-activity is not miscounted as churn."""
+    ev = _t(spark, sf_dir, "events")
+    act = (ev.select("user_id",
+                     F.expr("unix_micros(ts) div 86400000000").alias("day"))
+           .distinct())
+    mx = act.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    cls = (act.withColumn("prev", F.lag("day").over(w))
+           .withColumn("nxt", F.lead("day").over(w)))
+    a = cls.groupBy("day").agg(
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+         .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("prev") == F.col("day") - 1, 1).otherwise(0))
+         .cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("prev") < F.col("day") - 1, 1).otherwise(0))
+         .cast("bigint").alias("n_resurrected"))
+    c = (cls.crossJoin(F.broadcast(mx))
+         .filter((F.col("nxt").isNull() & (F.col("day") < F.col("max_day")))
+                 | (F.col("nxt") > F.col("day") + 1))
+         .select((F.col("day") + 1).alias("day"))
+         .groupBy("day").agg(F.count("*").cast("bigint").alias("n_churned")))
+    return (a.join(c, "day", "full_outer")
+            .select(F.col("day").cast("bigint"),
+                    F.coalesce("n_new", F.lit(0)).cast("bigint")
+                     .alias("n_new"),
+                    F.coalesce("n_retained", F.lit(0)).cast("bigint")
+                     .alias("n_retained"),
+                    F.coalesce("n_resurrected", F.lit(0)).cast("bigint")
+                     .alias("n_resurrected"),
+                    F.coalesce("n_churned", F.lit(0)).cast("bigint")
+                     .alias("n_churned")))
+
+
+@register(
+    "ab_test_zscores",
+    """
+    WITH e AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (bucket = 0)::HUGEINT AS na,
+             count(*) FILTER (bucket = 1)::HUGEINT AS nb,
+             coalesce(sum(cents) FILTER (bucket = 0), 0)::HUGEINT AS sa,
+             coalesce(sum(cents) FILTER (bucket = 1), 0)::HUGEINT AS sb,
+             coalesce(sum(cents * cents) FILTER (bucket = 0), 0)::HUGEINT
+               AS qa,
+             coalesce(sum(cents * cents) FILTER (bucket = 1), 0)::HUGEINT
+               AS qb
+      FROM e GROUP BY event_type)
+    SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(sa::DOUBLE / na::DOUBLE / 100, 6) AS mean_a,
+           round(sb::DOUBLE / nb::DOUBLE / 100, 6) AS mean_b,
+           round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+                 / sqrt((na * qa - sa * sa)::DOUBLE
+                        / (na * (na - 1))::DOUBLE / na::DOUBLE
+                        + (nb * qb - sb * sb)::DOUBLE
+                        / (nb * (nb - 1))::DOUBLE / nb::DOUBLE), 6) AS z
+    FROM g""",
+    "relational", "analytics",
+)
+def ab_test_zscores(spark, sf_dir):
+    """Two-sample Welch z-statistic per event type under a
+    deterministic 50/50 user split (md5 of user_id — the same
+    replayable hash-split idiom as hash_split_sample, so assignment
+    never changes between runs). All moments (n, sum, sum of squares)
+    accumulate as exact integers in ONE map-combined aggregate; the
+    variance n*q - s*s is exact integer arithmetic and only the final
+    mean/z divisions run in double. This is the guardrail query an
+    experimentation pipeline runs at 100 TB — and the null split here
+    doubles as an A/A sanity check (|z| should stay small)."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    e = ev.select(
+        "event_type",
+        (dedup.base_hash(F.col("user_id").cast("string")) % 2).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    a0 = F.col("bucket") == 0
+    g = e.groupBy("event_type").agg(
+        F.sum(F.when(a0, 1).otherwise(0)).cast(d38).alias("na"),
+        F.sum(F.when(~a0, 1).otherwise(0)).cast(d38).alias("nb"),
+        F.coalesce(F.sum(F.when(a0, F.col("cents"))), F.lit(0))
+         .cast(d38).alias("sa"),
+        F.coalesce(F.sum(F.when(~a0, F.col("cents"))), F.lit(0))
+         .cast(d38).alias("sb"),
+        F.coalesce(F.sum(F.when(a0, F.col("cents") * F.col("cents"))),
+                   F.lit(0)).cast(d38).alias("qa"),
+        F.coalesce(F.sum(F.when(~a0, F.col("cents") * F.col("cents"))),
+                   F.lit(0)).cast(d38).alias("qb"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    va = ((F.col("na") * F.col("qa") - F.col("sa") * F.col("sa"))
+          .cast("double") / (F.col("na") * (F.col("na") - 1)).cast("double"))
+    vb = ((F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb"))
+          .cast("double") / (F.col("nb") * (F.col("nb") - 1)).cast("double"))
+    return g.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(sa / na / 100, 6).alias("mean_a"),
+        F.round(sb / nb / 100, 6).alias("mean_b"),
+        F.round((sa / na - sb / nb) / F.sqrt(va / na + vb / nb), 6)
+         .alias("z"))
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    tf AS (SELECT w, doc_id, count(*)::BIGINT AS tf
+           FROM tok GROUP BY w, doc_id)
+    SELECT w AS term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+             AS postings
+    FROM tf GROUP BY w""",
+    "llm", "text", "retrieval",
+)
+def inverted_index_postings(spark, sf_dir):
+    """Materialized inverted index: per term, document frequency,
+    total term frequency, and the doc-ordered posting list
+    ("doc:tf,doc:tf,...") — the artifact BM25 consumes implicitly,
+    made explicit as a table a retrieval service can range-scan.
+
+    Plan: explode → (term, doc) count (map-combined) → per-term
+    aggregate whose collect_list is bounded by df; the posting string
+    is built inside the aggregate (array_sort on (doc_id, tf) structs
+    gives the canonical doc order on any engine). At 100 TB, hot
+    stop-terms make df skew — shard those posting lists by
+    (term, doc_id range) upstream; everything else is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    tf = tok.groupBy("w", "doc_id").agg(F.count("*").alias("tf"))
+    return (tf.groupBy(F.col("w").alias("term"))
+            .agg(F.count("*").cast("bigint").alias("df"),
+                 F.sum("tf").cast("bigint").alias("total_tf"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("doc_id", "tf"))),
+                     lambda s: F.concat(s.doc_id.cast("string"), F.lit(":"),
+                                        s.tf.cast("string"))))
+                  .alias("postings")))
+
+
+@register(
+    "mutual_information_bands",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    qs AS (
+      SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.5)
+               AS q2, quantile_cont(cents, 0.75) AS q3
+      FROM c),
+    b AS (
+      SELECT event_type,
+             CASE WHEN cents <= q1 THEN 0 WHEN cents <= q2 THEN 1
+                  WHEN cents <= q3 THEN 2 ELSE 3 END AS band
+      FROM c CROSS JOIN qs),
+    xy AS (SELECT event_type, band, count(*)::BIGINT AS n
+           FROM b GROUP BY 1, 2),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM xy),
+    mx AS (SELECT event_type, sum(n)::BIGINT AS nx FROM xy GROUP BY 1),
+    my AS (SELECT band, sum(n)::BIGINT AS ny FROM xy GROUP BY 1)
+    SELECT xy.event_type, xy.band::INT AS band, xy.n,
+           round(xy.n / total::DOUBLE, 6) AS p_xy,
+           round(ln((xy.n::DOUBLE * total::DOUBLE)
+                    / (nx::DOUBLE * ny::DOUBLE)), 6) AS pmi,
+           round(xy.n / total::DOUBLE
+                 * ln((xy.n::DOUBLE * total::DOUBLE)
+                      / (nx::DOUBLE * ny::DOUBLE)), 6) AS mi_term
+    FROM xy CROSS JOIN tot
+    JOIN mx USING (event_type) JOIN my USING (band)""",
+    "relational", "analytics",
+)
+def mutual_information_bands(spark, sf_dir):
+    """Mutual information between event type and value quartile —
+    the cheap feature-relevance screen (sum of mi_term = MI; pmi
+    shows WHICH cells carry the association). Quartiles are exact
+    interpolated percentiles broadcast as one scalar row; the joint
+    table is a |types| x 4 aggregate, so every post-aggregate join is
+    broadcast-sized. Counts stay exact integers; only the final
+    log/ratio runs in double (rounded at 6 dp)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("cents"))
+    qs = c.agg(F.expr("percentile(cents, 0.25)").alias("q1"),
+               F.expr("percentile(cents, 0.5)").alias("q2"),
+               F.expr("percentile(cents, 0.75)").alias("q3"))
+    b = (c.crossJoin(F.broadcast(qs))
+         .select("event_type",
+                 F.when(F.col("cents") <= F.col("q1"), 0)
+                  .when(F.col("cents") <= F.col("q2"), 1)
+                  .when(F.col("cents") <= F.col("q3"), 2)
+                  .otherwise(3).alias("band")))
+    xy = b.groupBy("event_type", "band").agg(
+        F.count("*").cast("bigint").alias("n"))
+    # marginals as windows over the |types| x 4 AGGREGATE (a handful
+    # of rows) — one events scan total, instead of re-deriving xy for
+    # each marginal join
+    j = xy.select(
+        "event_type", "band", "n",
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
+        F.sum("n").over(Window.partitionBy("event_type")).cast("bigint")
+         .alias("nx"),
+        F.sum("n").over(Window.partitionBy("band")).cast("bigint")
+         .alias("ny"))
+    ratio = ((F.col("n").cast("double") * F.col("total").cast("double"))
+             / (F.col("nx").cast("double") * F.col("ny").cast("double")))
+    return j.select("event_type", F.col("band").cast("int").alias("band"),
+                    "n",
+                    F.round(F.col("n") / F.col("total"), 6).alias("p_xy"),
+                    F.round(F.log(ratio), 6).alias("pmi"),
+                    F.round(F.col("n") / F.col("total") * F.log(ratio), 6)
+                     .alias("mi_term"))
+
+
+@register(
+    "doc_containment_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT
+               AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     AS g
+            FROM w)),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS i
+      FROM sh l JOIN sh r USING (shingle)
+      WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i / sa.sz, 6) AS cont_a_in_b,
+           round(i / sb.sz, 6) AS cont_b_in_a
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a
+               JOIN sz sb ON sb.doc_id = doc_b
+    WHERE i / sa.sz >= 0.8 OR i / sb.sz >= 0.8""",
+    "llm", "dedup",
+)
+def doc_containment_pairs(spark, sf_dir):
+    """Asymmetric containment similarity |A∩B| / |A| on 3-gram
+    shingle sets — the measure that catches a short document embedded
+    verbatim inside a longer one (quotes, boilerplate wrappers),
+    which symmetric Jaccard dilutes below any usable threshold. Same
+    sparse equi-join shape (and cost) as ngram_jaccard_pairs; only
+    the final predicate differs."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+    sh = (dedup.word_shingles(docs, n=3, distinct=False)
+          .select("doc_id", dedup.base_hash(F.col("shingle")).alias("shingle"))
+          .distinct()
+          .withColumn("sz", F.count("*").over(W.partitionBy("doc_id"))))
+    inter = (sh.alias("l").join(sh.alias("r"), "shingle")
+             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+             .groupBy(F.col("l.doc_id").alias("doc_a"),
+                      F.col("r.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("i"),
+                  F.max("l.sz").alias("sz_a"), F.max("r.sz").alias("sz_b")))
+    return (inter
+            .filter((F.col("i") / F.col("sz_a") >= 0.8)
+                    | (F.col("i") / F.col("sz_b") >= 0.8))
+            .select("doc_a", "doc_b",
+                    F.round(F.col("i") / F.col("sz_a"), 6)
+                     .alias("cont_a_in_b"),
+                    F.round(F.col("i") / F.col("sz_b"), 6)
+                     .alias("cont_b_in_a")))

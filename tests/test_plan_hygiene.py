@@ -159,6 +159,11 @@ def _shuffles(plan: str) -> int:
     ("neardup_triangle_stats", 7),  # LSH pairs + wedge/close + credits
     ("setsim_jaccard_prefix", 12),  # df-rank + prefix join + verify
     ("part_skyline", 2),            # price-group agg + tiny window
+    ("user_lifecycle_states", 7),   # distinct + user windows + day aggs
+    ("ab_test_zscores", 1),         # one map-combined moment agg
+    ("inverted_index_postings", 2), # (term,doc) tf agg + term agg
+    ("mutual_information_bands", 7),  # quartiles + joint agg + windows
+    ("doc_containment_pairs", 4),   # shingle distinct + sz + pair agg
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
