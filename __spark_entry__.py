@@ -95,6 +95,7 @@ PRIORITY = [
     "neardup_triangle_stats", "setsim_jaccard_prefix", "part_skyline",
     "user_lifecycle_states", "ab_test_zscores", "inverted_index_postings",
     "mutual_information_bands", "doc_containment_pairs",
+    "doc_bigram_logppl", "segment_overlap_hll", "stream_cusum_drift",
 ]
 
 

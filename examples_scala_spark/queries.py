@@ -7128,3 +7128,252 @@ def doc_containment_pairs(spark, sf_dir):
                      .alias("cont_a_in_b"),
                     F.round(F.col("i") / F.col("sz_b"), 6)
                      .alias("cont_b_in_a")))
+
+
+@register(
+    "doc_bigram_logppl",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(words) - 1, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + 1), ' ')))
+               AS bigram
+      FROM w),
+    dbc AS (SELECT doc_id, bigram, count(*)::BIGINT AS cnt
+            FROM bg GROUP BY 1, 2),
+    lm AS (SELECT bigram, sum(cnt)::BIGINT AS c12 FROM dbc GROUP BY 1),
+    lm2 AS (
+      SELECT bigram, c12,
+             sum(c12) OVER (PARTITION BY string_split(bigram, ' ')[1])
+               AS c1
+      FROM lm),
+    lp AS (
+      SELECT bigram,
+             CAST(round(ln(c12::DOUBLE / c1::DOUBLE) * 1000000000)
+                  AS BIGINT) AS lp_units
+      FROM lm2),
+    sc AS (
+      SELECT d.doc_id, sum(d.cnt)::BIGINT AS n_bigrams,
+             sum(d.cnt * lp.lp_units)::BIGINT AS units
+      FROM dbc d JOIN lp USING (bigram) GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+           round(-sc.units / sc.n_bigrams::DOUBLE / 1000000000, 6)
+             AS avg_neg_logprob
+    FROM documents doc LEFT JOIN sc USING (doc_id)""",
+    "llm", "text", "quality",
+)
+def doc_bigram_logppl(spark, sf_dir):
+    """CCNet-style language-model perplexity scoring: every document's
+    mean negative log-probability under the corpus' own bigram LM —
+    the model-based quality filter (high score = improbable word
+    sequences = likely junk) that complements the rule-based Gopher
+    flags. The classic curation recipe thresholds this score per
+    language before training.
+
+    Determinism trick: each bigram's ln p(w2|w1) is rounded ONCE to
+    integer nano-units (round(ln*1e9)), so the per-doc accumulation is
+    an EXACT integer sum — float addition order (Spark partial aggs vs
+    DuckDB's) can never move the hash; only the final per-doc division
+    runs in double. Plan shape: one (doc, bigram) aggregate, the LM is
+    a vocab²-sized aggregate with its w1 normalizer as a window over
+    that small table, and scoring is an equi-join on the bigram key —
+    corpus text shuffles once (the bigram explode), the LM broadcasts.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__w"))
+    bg = words.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(__w) >= 2 THEN transform("
+        "sequence(1, size(__w) - 1), i -> array_join(slice(__w, i, 2), ' ')) "
+        "ELSE CAST(array() AS array<string>) END")).alias("bigram"))
+    dbc = bg.groupBy("doc_id", "bigram").agg(
+        F.count("*").cast("long").alias("cnt"))
+    lm = dbc.groupBy("bigram").agg(F.sum("cnt").cast("long").alias("c12"))
+    w1 = Window.partitionBy(F.split(F.col("bigram"), " ")[0])
+    lp = lm.select(
+        "bigram",
+        F.round(F.log(F.col("c12").cast("double")
+                      / F.sum("c12").over(w1).cast("double"))
+                * F.lit(1_000_000_000)).cast("long").alias("lp_units"))
+    sc = (dbc.join(F.broadcast(lp), "bigram")
+          .groupBy("doc_id")
+          .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+               F.sum(F.col("cnt") * F.col("lp_units")).cast("long")
+                .alias("units")))
+    return (docs.select("doc_id").join(sc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                     .alias("n_bigrams"),
+                    F.round(-F.col("units")
+                            / F.col("n_bigrams").cast("double")
+                            / 1_000_000_000, 6).alias("avg_neg_logprob")))
+
+
+@register(
+    "segment_overlap_hll",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    ex AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT l.event_type AS type_a, r.event_type AS type_b,
+             count(*)::BIGINT AS n_inter_exact
+      FROM ut l JOIN ut r ON l.user_id = r.user_id
+                         AND l.event_type < r.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b,
+           ea.n AS n_a_exact, eb.n AS n_b_exact, p.n_inter_exact,
+           TRUE AS within_bound
+    FROM pairs p JOIN ex ea ON ea.event_type = p.type_a
+                 JOIN ex eb ON eb.event_type = p.type_b""",
+    "llm", "sketch",
+)
+def segment_overlap_hll(spark, sf_dir):
+    """Audience-overlap via HLL sketch SET OPERATIONS: pairwise
+    distinct-user intersections between event types estimated by
+    inclusion-exclusion — |A∩B| = |A| + |B| − |A∪B| — over MERGEABLE
+    per-type sketches. The union sketch is a lossless merge of the
+    stored per-type partials (operators/sketches.py:hll_partials), so
+    all O(T²) pair estimates come from T stored sketches WITHOUT
+    rescanning the fact table — the whole point of sketch algebra at
+    100 TB (intersection has no native sketch; inclusion-exclusion is
+    the standard estimator, with error scaling on the UNION size).
+    The gate row hashes exact counts plus a CHECKABLE bound:
+    within_bound asserts the estimate lands within 5 % of |A|+|B|
+    (generous vs lgk=14's 0.8 % rsd compounded across three
+    estimates). Exact intersections ride along from the same distinct
+    (user, type) projection the oracle uses."""
+    from .operators.sketches import hll_partials, hll_rollup
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    ex = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    inter = (ut.alias("l").join(ut.alias("r"),
+                                (F.col("l.user_id") == F.col("r.user_id"))
+                                & (F.col("l.event_type")
+                                   < F.col("r.event_type")))
+             .groupBy(F.col("l.event_type").alias("type_a"),
+                      F.col("r.event_type").alias("type_b"))
+             .agg(F.count("*").cast("long").alias("n_inter_exact")))
+    parts = hll_partials(ev, ["event_type"], F.lit(0).alias("b"),
+                         "user_id", lgk=14)
+    est = hll_rollup(parts, ["event_type"])
+    pair_parts = (parts.alias("p").join(
+        inter.select("type_a", "type_b").alias("pr"),
+        (F.col("p.event_type") == F.col("pr.type_a"))
+        | (F.col("p.event_type") == F.col("pr.type_b")))
+        .select("type_a", "type_b", "sk"))
+    est_union = hll_rollup(pair_parts, ["type_a", "type_b"]) \
+        .withColumnRenamed("est_distinct", "est_ab")
+    j = (inter
+         .join(F.broadcast(ex.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("n_a_exact"))),
+               "type_a")
+         .join(F.broadcast(ex.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("n_b_exact"))),
+               "type_b")
+         .join(F.broadcast(est.select(F.col("event_type").alias("type_a"),
+                                      F.col("est_distinct").alias("est_a"))),
+               "type_a")
+         .join(F.broadcast(est.select(F.col("event_type").alias("type_b"),
+                                      F.col("est_distinct").alias("est_b"))),
+               "type_b")
+         .join(F.broadcast(est_union), ["type_a", "type_b"]))
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_ab")
+    return j.select(
+        "type_a", "type_b", "n_a_exact", "n_b_exact", "n_inter_exact",
+        (F.abs(est_inter - F.col("n_inter_exact"))
+         <= F.greatest(F.lit(2.0),
+                       0.05 * (F.col("n_a_exact") + F.col("n_b_exact"))))
+        .alias("within_bound"))
+
+
+def _staged_events_stream_ordered(spark, sf_dir, n_files: int = 4):
+    """Stage events as n_files RANGE-PARTITIONED parquet files (file k
+    holds the k-th (ts, event_id) range) and stream them one per
+    micro-batch in order — an event-time-ORDERED multi-batch replay.
+    FileStreamSource picks up pre-existing files oldest-first (path
+    order breaks mtime ties), so both the part-file numbering and the
+    explicitly ascending mtimes pin batch k to time-range k. This is
+    what lets sequential-state streaming twins (CUSUM) hash-match
+    their batch oracle exactly, where the unordered `repartition`
+    staging can only support order-insensitive aggregates."""
+    import glob
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sgs_ordstaged_")
+    (load_table(spark, sf_dir, "events")
+     .withColumn("ts", F.expr("unix_micros(ts)"))
+     .repartitionByRange(n_files, "ts", "event_id")
+     .sortWithinPartitions("ts", "event_id")
+     .write.mode("overwrite").parquet(d))
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*")))):
+        os.utime(f, (base + i, base + i))
+    src = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    return src.withColumn("ts", F.timestamp_micros("ts"))
+
+
+@register(
+    "stream_cusum_drift",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT event_type, sum(cents) // count(*) AS target
+          FROM c GROUP BY event_type),
+    p AS (
+      SELECT c.event_id, c.event_type, c.ts,
+             sum(c.cents - m.target) OVER (
+               PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM c JOIN m USING (event_type))
+    SELECT event_id, event_type,
+           (pre - least(0, min(pre) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+             AS cusum_cents,
+           (pre - least(0, min(pre) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > 20000
+             AS drift
+    FROM p""",
+    "streaming", "anomaly",
+)
+def stream_cusum_drift(spark, sf_dir):
+    """The CUSUM drift statistic as REAL keyed streaming state
+    (streaming/stateful.py:cusum_trace_state): a 4-micro-batch
+    event-time-ORDERED replay through applyInPandasWithState, each key
+    holding (prefix sum, running min) and emitting the per-event
+    (cusum, drift) trace in append mode. Because the replay is ordered
+    (range-partitioned staging) and the state pair is the batch
+    operator's closed form, the streamed trace hash-matches the SAME
+    DuckDB oracle as the batch query events_cusum_drift — streaming
+    state and the batch window provably compute one thing. The
+    in-control target is the per-type integer mean, computed batch-
+    side and broadcast (a model parameter, not stream state)."""
+    from .streaming.stateful import cusum_trace_state
+    tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    tgt = (ev.select("event_type",
+                     F.round(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+           .groupBy("event_type")
+           .agg(F.expr("sum(cents) DIV count(*)").alias("target")))
+    src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
+    d = (src.select("event_id", "event_type", "ts",
+                    F.round(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+         .join(F.broadcast(tgt), "event_type"))
+    out = cusum_trace_state(d, h_units=20000, slack_units=0)
+    return _run_to_memory(spark, out, "stream_cusum_drift_result")

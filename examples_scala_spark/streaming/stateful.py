@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 ALERT_SCHEMA = StructType([
@@ -274,4 +274,69 @@ def high_temp_counter(readings: DataFrame, threshold: float = 100.0) -> DataFram
     return readings.groupBy("id").applyInPandasWithState(
         fn, outputStructType=COUNT_SCHEMA, stateStructType=_COUNT_STATE,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("cusum_cents", LongType()),
+    StructField("drift", BooleanType()),
+])
+
+_CUSUM_STATE = StructType([
+    StructField("p_sum", LongType()),   # prefix sum of excesses
+    StructField("p_min", LongType()),   # min prefix sum incl. P_0 = 0
+])
+
+
+def cusum_trace_state(events: DataFrame, h_units: int,
+                      slack_units: int = 0) -> DataFrame:
+    """Streaming twin of operators/timeseries.py:cusum_flags — the
+    per-key CUSUM recursion S = max(0, S + x − target − slack) held as
+    real keyed streaming state across micro-batches, emitting the full
+    per-event (cusum, drift) trace in append mode.
+
+    State is the pair (prefix sum P, running min of P including the
+    empty prefix) — the same closed form the batch window uses, so
+    under an event-time-ordered replay the trace is BIT-IDENTICAL to
+    the batch operator (that equality is this operator's oracle; the
+    delta-alert family can't claim it because its replay is
+    unordered). Input must carry integer `cents` and a per-key integer
+    `target` column; within each micro-batch rows are processed in
+    (ts, event_id) order, and cross-batch order is the staging
+    harness' contract (range-partitioned, mtime-ordered files).
+
+    Scale: identical to any keyed stateful op — state is 16 bytes per
+    key in the state store, Arrow-batched per micro-batch, partitioned
+    by the groupBy hash. Matches the reference's keyed-process-
+    function state pattern (chapter7/KeyedStateFunction.scala:73-100)
+    with a drift statistic instead of a last-value delta."""
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        p, m = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ids, cus, drf = [], [], []
+            for eid, cents, target in zip(
+                    pdf["event_id"], pdf["cents"], pdf["target"]):
+                p += int(cents) - int(target) - slack_units
+                m = min(m, p)
+                s = p - m
+                ids.append(int(eid))
+                cus.append(s)
+                drf.append(bool(s > h_units))
+            if ids:
+                yield pd.DataFrame({
+                    "event_id": ids,
+                    "event_type": [etype] * len(ids),
+                    "cusum_cents": cus,
+                    "drift": drf,
+                })
+        state.update((p, m))
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn, outputStructType=CUSUM_SCHEMA, stateStructType=_CUSUM_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -164,6 +164,8 @@ def _shuffles(plan: str) -> int:
     ("inverted_index_postings", 2), # (term,doc) tf agg + term agg
     ("mutual_information_bands", 7),  # quartiles + joint agg + windows
     ("doc_containment_pairs", 4),   # shingle distinct + sz + pair agg
+    ("doc_bigram_logppl", 5),       # doc-bigram agg + LM agg/window
+    ("segment_overlap_hll", 13),    # (user,type) distinct + pair joins
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

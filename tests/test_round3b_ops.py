@@ -355,3 +355,68 @@ def test_containment_pairs_asymmetric_on_crafted_subset(spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["cont_b_in_a"] == 1.0      # short fully inside long
     assert r["cont_a_in_b"] < 0.3       # but not vice versa
+
+
+# ------------------------------------------------------------- stream cusum
+
+def test_stream_cusum_trace_equals_batch_operator(spark, sf_dir):
+    """The ordered replay contract: the streamed stateful CUSUM trace
+    must be row-identical to the batch window closed form."""
+    from examples_scala_spark.queries import REGISTRY
+    batch = sorted(map(tuple,
+                       REGISTRY["events_cusum_drift"].fn(spark, sf_dir)
+                       .collect()))
+    stream = sorted(map(tuple,
+                        REGISTRY["stream_cusum_drift"].fn(spark, sf_dir)
+                        .collect()))
+    assert batch == stream
+
+
+# ---------------------------------------------------------------- logppl
+
+def test_bigram_logppl_hand_computed(spark):
+    import math
+    import tempfile, os
+    # corpus: "a b" x3 docs and one "a c" doc
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "solo")],
+        "doc_id long, text string")
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["doc_id"]: r.asDict()
+           for r in REGISTRY["doc_bigram_logppl"].fn(spark, d).collect()}
+    # p(b|a) = 3/4, p(c|a) = 1/4
+    lp_ab = round(math.log(3 / 4) * 1e9)
+    lp_ac = round(math.log(1 / 4) * 1e9)
+    assert out[1]["avg_neg_logprob"] == round(-lp_ab / 1e9, 6)
+    assert out[4]["avg_neg_logprob"] == round(-lp_ac / 1e9, 6)
+    assert out[5]["n_bigrams"] == 0 and out[5]["avg_neg_logprob"] is None
+
+
+def test_bigram_logppl_flags_improbable_docs(spark, sf_dir):
+    # docs scoring worst under the corpus LM should exist and be finite
+    from examples_scala_spark.queries import REGISTRY
+    out = [r for r in REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir)
+           .collect() if r["n_bigrams"] > 0]
+    scores = [r["avg_neg_logprob"] for r in out]
+    assert all(s >= 0 for s in scores)
+    assert max(scores) > min(scores)  # the score separates documents
+
+
+# ------------------------------------------------------------ hll overlap
+
+def test_segment_overlap_exact_and_bounds(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.sources.tables import load_table
+    out = REGISTRY["segment_overlap_hll"].fn(spark, sf_dir).collect()
+    assert all(r["within_bound"] for r in out)
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type").distinct().collect()
+    users = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    for r in out:
+        exact = len(users[r["type_a"]] & users[r["type_b"]])
+        assert r["n_inter_exact"] == exact
+        assert r["n_a_exact"] == len(users[r["type_a"]])
