@@ -2109,27 +2109,36 @@ def approx_distinct_users(spark, sf_dir):
 
 @register(
     "stream_delta_alerts",
-    None,  # genuine stateful streaming (applyInPandasWithState) — rows-only
+    SENSORS_CTE + """
+    SELECT event_id, id, temperature, diff FROM (
+      SELECT event_id, id, temperature,
+             temperature - lag(temperature) OVER
+               (PARTITION BY id ORDER BY event_id) AS diff
+      FROM sensors) WHERE abs(diff) > 17""",
     "streaming", "F2",
 )
 def stream_delta_alerts(spark, sf_dir):
-    """F2 as REAL Structured Streaming: the events table replayed as a
-    bounded stream through applyInPandasWithState (keyed ValueState),
-    availableNow trigger, memory sink — returns the materialized result.
-    Streaming-vs-batch equivalence is asserted in tests; the driver
-    records a rows-only check here."""
-    import tempfile
-
+    """F2 as REAL Structured Streaming: sensor readings replayed as 4
+    event_id-ORDERED micro-batches through applyInPandasWithState
+    (keyed last_temp ValueState), availableNow trigger, memory sink.
+    Because the replay is ordered (range-partitioned staging,
+    streaming/stateful.py:temperature_delta_alerts_traced sorts each
+    Arrow batch by event_id), the streamed alert set hash-matches the
+    batch lag() twin's oracle — keyed streaming state and the batch
+    window provably agree, upgrading this gate row from rows-only to
+    value-checked."""
     tune(spark)
-    from .streaming.stateful import temperature_delta_alerts
+    from .streaming.stateful import temperature_delta_alerts_traced
 
-    src = _events_stream(spark, sf_dir)
+    src = _staged_events_stream_ordered(spark, sf_dir, n_files=4,
+                                        order_cols=("event_id",))
     readings = src.select(
-        F.concat(F.lit("sensor_"), ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
-        F.expr("unix_micros(ts) div 1000").alias("timestamp"),
+        "event_id",
+        F.concat(F.lit("sensor_"),
+                 ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
         F.col("value").alias("temperature"),
     )
-    out = temperature_delta_alerts(readings, threshold=17.0)
+    out = temperature_delta_alerts_traced(readings, threshold=17.0)
     return _run_to_memory(spark, out, "stream_delta_alerts_result")
 
 
@@ -7291,16 +7300,18 @@ def segment_overlap_hll(spark, sf_dir):
         .alias("within_bound"))
 
 
-def _staged_events_stream_ordered(spark, sf_dir, n_files: int = 4):
+def _staged_events_stream_ordered(spark, sf_dir, n_files: int = 4,
+                                  order_cols: tuple = ("ts", "event_id")):
     """Stage events as n_files RANGE-PARTITIONED parquet files (file k
-    holds the k-th (ts, event_id) range) and stream them one per
+    holds the k-th `order_cols` range) and stream them one per
     micro-batch in order — an event-time-ORDERED multi-batch replay.
     FileStreamSource picks up pre-existing files oldest-first (path
     order breaks mtime ties), so both the part-file numbering and the
-    explicitly ascending mtimes pin batch k to time-range k. This is
-    what lets sequential-state streaming twins (CUSUM) hash-match
-    their batch oracle exactly, where the unordered `repartition`
-    staging can only support order-insensitive aggregates."""
+    explicitly ascending mtimes pin batch k to range k. This is what
+    lets sequential-state streaming twins (CUSUM, the delta-alert
+    trace) hash-match their batch oracle exactly, where the unordered
+    `repartition` staging can only support order-insensitive
+    aggregates."""
     import glob
     import os
     import tempfile
@@ -7308,8 +7319,8 @@ def _staged_events_stream_ordered(spark, sf_dir, n_files: int = 4):
     d = tempfile.mkdtemp(prefix="sgs_ordstaged_")
     (load_table(spark, sf_dir, "events")
      .withColumn("ts", F.expr("unix_micros(ts)"))
-     .repartitionByRange(n_files, "ts", "event_id")
-     .sortWithinPartitions("ts", "event_id")
+     .repartitionByRange(n_files, *order_cols)
+     .sortWithinPartitions(*order_cols)
      .write.mode("overwrite").parquet(d))
     base = 1_700_000_000
     for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*")))):

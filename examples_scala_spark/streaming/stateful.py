@@ -340,3 +340,48 @@ def cusum_trace_state(events: DataFrame, h_units: int,
         fn, outputStructType=CUSUM_SCHEMA, stateStructType=_CUSUM_STATE,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRACED_ALERT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("id", StringType()),
+    StructField("temperature", DoubleType()),
+    StructField("diff", DoubleType()),
+])
+
+
+def temperature_delta_alerts_traced(readings: DataFrame,
+                                    threshold: float = 17.0) -> DataFrame:
+    """F2's TemperatureAlertFunction with the emitted rows carrying
+    event_id and the per-batch scan ordered by it — the hash-checkable
+    form of temperature_delta_alerts: under an event_id-ordered replay
+    (range-partitioned staging) the alert set is IDENTICAL to the
+    batch lag() twin, so the gate can value-hash this stream against
+    the same DuckDB oracle instead of recording rows-only. State and
+    semantics are unchanged: one last_temp double per key."""
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sensor_id,) = key
+        last = state.get[0] if state.exists else None
+        ids, temps, diffs = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for eid, t in zip(pdf["event_id"], pdf["temperature"]):
+                if last is not None and abs(t - last) > threshold:
+                    ids.append(int(eid))
+                    temps.append(float(t))
+                    diffs.append(float(t - last))
+                last = float(t)
+        state.update((last,))
+        if ids:
+            yield pd.DataFrame({
+                "event_id": ids,
+                "id": [sensor_id] * len(ids),
+                "temperature": temps,
+                "diff": diffs,
+            })
+
+    return readings.groupBy("id").applyInPandasWithState(
+        fn, outputStructType=TRACED_ALERT_SCHEMA, stateStructType=_DELTA_STATE,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )

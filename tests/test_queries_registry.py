@@ -39,10 +39,11 @@ def duck(sf_dir):
 
 # declared rows-only (non-SQL-expressible / algorithm-specific) queries
 # — round 3 upgraded approx_distinct_users / value_quantile_sketch /
-# doc_pagerank to checkable error-bound oracles; the remaining three
-# are genuinely stateful-streaming or approximate-distance outputs
-ROWS_ONLY = {"stream_delta_alerts", "stream_early_firing", "ann_topk_pq",
-             "doc_compression_ratio"}
+# doc_pagerank to checkable error-bound oracles, then
+# stream_delta_alerts to a value-checked oracle via the event_id-
+# ordered replay; the remainder are genuinely timer-driven or
+# compressor-backed outputs
+ROWS_ONLY = {"stream_early_firing", "ann_topk_pq", "doc_compression_ratio"}
 
 
 def test_all_queries_have_oracles():
