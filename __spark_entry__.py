@@ -96,6 +96,7 @@ PRIORITY = [
     "user_lifecycle_states", "ab_test_zscores", "inverted_index_postings",
     "mutual_information_bands", "doc_containment_pairs",
     "doc_bigram_logppl", "segment_overlap_hll", "stream_cusum_drift",
+    "part_neighbors_cosine", "source_token_entropy",
 ]
 
 

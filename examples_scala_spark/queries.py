@@ -7388,3 +7388,130 @@ def stream_cusum_drift(spark, sf_dir):
          .join(F.broadcast(tgt), "event_type"))
     out = cusum_trace_state(d, h_units=20000, slack_units=0)
     return _run_to_memory(spark, out, "stream_cusum_drift_result")
+
+
+@register(
+    "part_neighbors_cosine",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    supp AS (SELECT p, count(*)::BIGINT AS s FROM li GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS c
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (
+      SELECT pa AS item, pb AS neighbor, c FROM pairs
+      UNION ALL
+      SELECT pb AS item, pa AS neighbor, c FROM pairs),
+    cos AS (
+      SELECT item, neighbor, c,
+             round(c / sqrt(si.s * sn.s), 6) AS cosine
+      FROM sym JOIN supp si ON si.p = item
+               JOIN supp sn ON sn.p = neighbor),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY item ORDER BY cosine DESC, neighbor) AS rn
+      FROM cos)
+    SELECT item, neighbor, c AS pair_cnt, cosine
+    FROM rk WHERE rn <= 5""",
+    "relational", "recommender",
+)
+def part_neighbors_cosine(spark, sf_dir):
+    """Item-item collaborative filtering: each part's top-5 nearest
+    neighbors by co-occurrence cosine c_ij / sqrt(c_i * c_j) — the
+    classic memory-based recommender precompute. Pair generation is
+    per-basket quadratic on the order key (never corpus-quadratic,
+    same blocking as part_cooccurrence_lift), min-support prunes
+    before the broadcast support joins, and the per-item top-5 ranks
+    the PAIR AGGREGATE (bounded by surviving pairs, not baskets).
+    Integer counts in, one sqrt/divide per surviving pair out."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    supp = li.groupBy("p").agg(F.count("*").cast("long").alias("s"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+             .agg(F.count("*").cast("long").alias("c"))
+             .filter(F.col("c") >= 2))
+    sym = (pairs.select(F.col("pa").alias("item"),
+                        F.col("pb").alias("neighbor"), "c")
+           .unionByName(pairs.select(F.col("pb").alias("item"),
+                                     F.col("pa").alias("neighbor"), "c")))
+    si = supp.select(F.col("p").alias("item"), F.col("s").alias("si"))
+    sn = supp.select(F.col("p").alias("neighbor"), F.col("s").alias("sn"))
+    cos = (sym.join(F.broadcast(si), "item")
+           .join(F.broadcast(sn), "neighbor")
+           .select("item", "neighbor", "c",
+                   F.round(F.col("c")
+                           / F.sqrt(F.col("si") * F.col("sn")), 6)
+                    .alias("cosine")))
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor"))
+    return (cos.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("item", "neighbor", F.col("c").alias("pair_cnt"),
+                    "cosine"))
+
+
+@register(
+    "source_token_entropy",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (SELECT source, w, count(*)::BIGINT AS c
+            FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab
+            FROM cnt GROUP BY source),
+    lp AS (
+      SELECT c.source, c.c,
+             CAST(round(ln(c.c::DOUBLE / t.n::DOUBLE) * 1000000000)
+                  AS BIGINT) AS lp_units
+      FROM cnt c JOIN tot t USING (source)),
+    s AS (SELECT source, sum(c * lp_units)::BIGINT AS units
+          FROM lp GROUP BY source)
+    SELECT t.source, t.n AS n_tokens, t.vocab,
+           round(-s.units / t.n::DOUBLE / 1000000000, 6) AS entropy,
+           CASE WHEN t.vocab > 1
+                THEN round((-s.units / t.n::DOUBLE / 1000000000)
+                           / ln(t.vocab::DOUBLE), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM s JOIN tot t USING (source)""",
+    "llm", "text", "quality",
+)
+def source_token_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the word distribution — the
+    source-level diversity signal (a low-entropy source is template
+    spam or boilerplate; mixture weighting and dedup effort both key
+    off it). Same integer-nano-unit log determinism as
+    doc_bigram_logppl: each ln p is rounded once, the per-source
+    accumulation is an exact integer sum, so the hash is safe from
+    float addition order. Two map-combined aggregates keyed by
+    (source, word) then source; norm_entropy = H / ln(vocab) gives the
+    0-1 evenness score."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    cnt = tok.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("c"))
+    ws = Window.partitionBy("source")
+    lp = cnt.select(
+        "source", "c",
+        F.round(F.log(F.col("c").cast("double")
+                      / F.sum("c").over(ws).cast("double"))
+                * F.lit(1_000_000_000)).cast("long").alias("lp_units"),
+        F.sum("c").over(ws).cast("long").alias("n"),
+        F.count("*").over(ws).cast("long").alias("vocab"))
+    s = lp.groupBy("source", "n", "vocab").agg(
+        F.sum(F.col("c") * F.col("lp_units")).cast("long").alias("units"))
+    ent = -F.col("units") / F.col("n").cast("double") / 1_000_000_000
+    return s.select(
+        "source", F.col("n").alias("n_tokens"), "vocab",
+        F.round(ent, 6).alias("entropy"),
+        F.when(F.col("vocab") > 1,
+               F.round(ent / F.log(F.col("vocab").cast("double")), 6))
+         .otherwise(F.lit(0.0)).alias("norm_entropy"))

@@ -166,6 +166,8 @@ def _shuffles(plan: str) -> int:
     ("doc_containment_pairs", 4),   # shingle distinct + sz + pair agg
     ("doc_bigram_logppl", 5),       # doc-bigram agg + LM agg/window
     ("segment_overlap_hll", 13),    # (user,type) distinct + pair joins
+    ("part_neighbors_cosine", 11),  # basket pairs + union + rank
+    ("source_token_entropy", 2),    # (source,word) agg + source agg
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -420,3 +420,68 @@ def test_segment_overlap_exact_and_bounds(spark, sf_dir):
         exact = len(users[r["type_a"]] & users[r["type_b"]])
         assert r["n_inter_exact"] == exact
         assert r["n_a_exact"] == len(users[r["type_a"]])
+
+
+# ------------------------------------------------------------- recommender
+
+def test_item_cosine_hand_computed(spark):
+    import math
+    import tempfile, os
+    # orders: {1,2} x3, {1,3} x1 -> c12=3, c13=1; c1=4, c2=3, c3=1
+    rows = []
+    for o, parts in [(10, (1, 2)), (11, (1, 2)), (12, (1, 2)),
+                     (13, (1, 3))]:
+        for i, p in enumerate(parts):
+            rows.append((o, p, 1000 + p, i + 1, 1.0, 10.0, 0.0, 0.0,
+                         "N", "O"))
+    import datetime
+    li = spark.createDataFrame(
+        [r + (datetime.datetime(2024, 1, 1),) for r in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    d = tempfile.mkdtemp()
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {(r["item"], r["neighbor"]): r["cosine"]
+           for r in REGISTRY["part_neighbors_cosine"].fn(spark, d).collect()}
+    # pair (1,3) has c=1 < min-support 2 -> dropped; (1,2) survives
+    assert set(out) == {(1, 2), (2, 1)}
+    assert out[(1, 2)] == round(3 / math.sqrt(4 * 3), 6)
+    assert out[(1, 2)] == out[(2, 1)]
+
+
+def test_item_cosine_topk_bounded_and_ranked(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["part_neighbors_cosine"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["item"], []).append((r["cosine"], r["neighbor"]))
+    for item, ns in per.items():
+        assert len(ns) <= 5
+        ranked = sorted(ns, key=lambda t: (-t[0], t[1]))
+        assert ns == ranked or sorted(ns) == sorted(ranked)
+
+
+# ----------------------------------------------------------------- entropy
+
+def test_source_entropy_uniform_and_degenerate(spark):
+    import math
+    import tempfile, os
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "uniform", 7),
+         (2, "x x x x", "en", "constant", 7),
+         (3, "p p q", "en", "skewed", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["source"]: r.asDict()
+           for r in REGISTRY["source_token_entropy"].fn(spark, d).collect()}
+    assert out["uniform"]["entropy"] == round(math.log(4), 6)
+    assert out["uniform"]["norm_entropy"] == 1.0
+    assert out["constant"]["entropy"] == 0.0
+    assert out["constant"]["norm_entropy"] == 0.0
+    h = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(out["skewed"]["entropy"] - h) < 1e-5
