@@ -7515,3 +7515,190 @@ def source_token_entropy(spark, sf_dir):
         F.when(F.col("vocab") > 1,
                F.round(ent / F.log(F.col("vocab").cast("double")), 6))
          .otherwise(F.lit(0.0)).alias("norm_entropy"))
+
+
+@register(
+    "events_decayed_counts",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+    u AS (
+      SELECT event_type,
+             CAST(round(exp(-ln(2) * (t_end - epoch_us(ts))
+                            / 86400000000.0) * 1000000000) AS BIGINT)
+               AS units
+      FROM events CROSS JOIN mx)
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           round(sum(units) / 1000000000.0, 6) AS decayed_count
+    FROM u GROUP BY event_type""",
+    "relational", "timeseries",
+)
+def events_decayed_counts(spark, sf_dir):
+    """Exponentially-decayed activity counters (1-day half-life) per
+    event type, evaluated at the corpus' last timestamp — the
+    freshness-weighted popularity signal trending systems keep. The
+    sequential recursion c = c·2^(−Δt/τ) + 1 has the order-free closed
+    form Σ 2^(−(T−tᵢ)/τ), so it's ONE map-combined aggregate — and
+    each term is rounded once to integer nano-units, making the sum
+    exact and the hash order-proof. A streaming deployment holds
+    (count, last_ts) per key and applies the same decay
+    incrementally; the batch form here is its replay oracle."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.expr("unix_micros(ts)")).alias("t_end"))
+    u = (ev.crossJoin(F.broadcast(mx))
+         .select("event_type",
+                 F.round(F.exp(-F.lit(float(__import__("math").log(2)))
+                               * (F.col("t_end")
+                                  - F.expr("unix_micros(ts)"))
+                               / 86400000000.0)
+                         * F.lit(1_000_000_000)).cast("long")
+                  .alias("units")))
+    return (u.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("units") / 1_000_000_000.0, 6)
+                  .alias("decayed_count")))
+
+
+@register(
+    "events_psi_drift",
+    """
+    WITH mx AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                FROM events),
+    c AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) * 2 < lo + hi THEN 0 ELSE 1 END
+               AS half,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN mx),
+    qs AS (SELECT quantile_cont(cents, 0.25) AS q1,
+                  quantile_cont(cents, 0.5) AS q2,
+                  quantile_cont(cents, 0.75) AS q3 FROM c),
+    b AS (
+      SELECT event_type, half,
+             CASE WHEN cents <= q1 THEN 0 WHEN cents <= q2 THEN 1
+                  WHEN cents <= q3 THEN 2 ELSE 3 END AS band
+      FROM c CROSS JOIN qs),
+    cell AS (
+      SELECT event_type, band,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+      FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, band, n0, n1,
+             sum(n0) OVER (PARTITION BY event_type) AS nt0,
+             sum(n1) OVER (PARTITION BY event_type) AS nt1
+      FROM cell),
+    terms AS (
+      SELECT event_type,
+             CAST(round(((n0 + 0.5) / (nt0 + 2.0)
+                         - (n1 + 0.5) / (nt1 + 2.0))
+                        * ln(((n0 + 0.5) / (nt0 + 2.0))
+                             / ((n1 + 0.5) / (nt1 + 2.0)))
+                        * 1000000000) AS BIGINT) AS psi_units,
+             abs(n0 * nt1 - n1 * nt0) AS ks_num, nt0 * nt1 AS ks_den
+      FROM w)
+    SELECT event_type,
+           round(sum(psi_units) / 1000000000.0, 6) AS psi,
+           round(max(ks_num)::DOUBLE / max(ks_den), 6) AS max_band_gap
+    FROM terms GROUP BY event_type""",
+    "relational", "analytics", "anomaly",
+)
+def events_psi_drift(spark, sf_dir):
+    """Population stability index per event type between the first and
+    second half of the time range — THE standard drift monitor for a
+    feature/serving pipeline (PSI > 0.2 = investigate). Bands are
+    global exact quartiles (broadcast scalar); shares are
+    Laplace-smoothed (n+½)/(nt+2) so a band empty in one half (the
+    zero-cell case that breaks naive PSI) contributes a finite term;
+    each PSI term (p0−p1)·ln(p0/p1) is rounded once to nano-units so
+    the per-type sum is exact-integer; max_band_gap reports the
+    largest per-band share difference (the discrete KS statistic)
+    from pure integer cross-products. Everything after the two scans
+    is a |types|x4-sized aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.min(F.expr("unix_micros(ts)")).alias("lo"),
+                F.max(F.expr("unix_micros(ts)")).alias("hi"))
+    c = (ev.crossJoin(F.broadcast(mx))
+         .select("event_type",
+                 F.when(F.expr("unix_micros(ts)") * 2
+                        < F.col("lo") + F.col("hi"), 0).otherwise(1)
+                  .alias("half"),
+                 F.round(F.col("value") * 100).cast("long").alias("cents")))
+    qs = c.agg(F.expr("percentile(cents, 0.25)").alias("q1"),
+               F.expr("percentile(cents, 0.5)").alias("q2"),
+               F.expr("percentile(cents, 0.75)").alias("q3"))
+    b = (c.crossJoin(F.broadcast(qs))
+         .select("event_type", "half",
+                 F.when(F.col("cents") <= F.col("q1"), 0)
+                  .when(F.col("cents") <= F.col("q2"), 1)
+                  .when(F.col("cents") <= F.col("q3"), 2)
+                  .otherwise(3).alias("band")))
+    cell = b.groupBy("event_type", "band").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long")
+         .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long")
+         .alias("n1"))
+    wt = Window.partitionBy("event_type")
+    w = (cell.withColumn("nt0", F.sum("n0").over(wt).cast("long"))
+         .withColumn("nt1", F.sum("n1").over(wt).cast("long")))
+    # Laplace-smoothed shares (n + 1/2) / (nt + 2): a band empty in one
+    # half (the PSI zero-cell case) contributes a finite term instead
+    # of dropping out or dividing by zero — deterministic rationals,
+    # no epsilon tuning
+    p0 = (F.col("n0") + 0.5) / (F.col("nt0") + 2.0)
+    p1 = (F.col("n1") + 0.5) / (F.col("nt1") + 2.0)
+    terms = w.select(
+        "event_type",
+        F.round((p0 - p1) * F.log(p0 / p1)
+                * F.lit(1_000_000_000)).cast("long").alias("psi_units"),
+        F.abs(F.col("n0") * F.col("nt1") - F.col("n1") * F.col("nt0"))
+         .alias("ks_num"),
+        (F.col("nt0") * F.col("nt1")).alias("ks_den"))
+    return (terms.groupBy("event_type")
+            .agg(F.round(F.sum("psi_units") / 1_000_000_000.0, 6)
+                  .alias("psi"),
+                 F.round(F.max("ks_num").cast("double") / F.max("ks_den"),
+                         6).alias("max_band_gap")))
+
+
+@register(
+    "benford_price_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT digit, n,
+           round(n / total::DOUBLE, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+           round(abs(n / total::DOUBLE
+                     - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
+    FROM c CROSS JOIN t""",
+    "relational", "quality",
+)
+def benford_price_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of line-item prices — the
+    classic forensic data-quality check (fabricated or truncated
+    numeric columns drift from the log distribution). First digit is
+    string arithmetic on exact integer cents (no float log10 on the
+    data path); expected shares are the closed-form log₁₀(1 + 1/d).
+    One map-combined digit aggregate + a broadcast scalar."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_extendedprice") > 0)
+          .select(F.substring(F.round(F.col("l_extendedprice") * 100)
+                              .cast("long").cast("string"), 1, 1)
+                  .cast("int").alias("digit")))
+    c = li.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.round(F.log(1.0 + 1.0 / F.col("digit"))
+                      / F.log(F.lit(10.0)), 6)
+    return (c.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("total"), 6)
+                     .alias("observed"),
+                    benford.alias("benford"),
+                    F.round(F.abs(F.col("n") / F.col("total")
+                                  - F.log(1.0 + 1.0 / F.col("digit"))
+                                  / F.log(F.lit(10.0))), 6)
+                     .alias("abs_dev")))

@@ -168,6 +168,9 @@ def _shuffles(plan: str) -> int:
     ("segment_overlap_hll", 13),    # (user,type) distinct + pair joins
     ("part_neighbors_cosine", 11),  # basket pairs + union + rank
     ("source_token_entropy", 2),    # (source,word) agg + source agg
+    ("events_decayed_counts", 2),   # scalar max + one aggregate
+    ("events_psi_drift", 5),        # scalars + cell agg + type window
+    ("benford_price_audit", 3),     # digit agg + scalar total
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -485,3 +485,77 @@ def test_source_entropy_uniform_and_degenerate(spark):
     assert out["constant"]["norm_entropy"] == 0.0
     h = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
     assert abs(out["skewed"]["entropy"] - h) < 1e-5
+
+
+# ---------------------------------------------------------- decayed counts
+
+def test_decayed_counts_closed_form_equals_recursion(spark):
+    import math
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+    offsets = [0, 3600, 7200, 50000, 86400, 172800]  # seconds
+    rows = [(i, base + datetime.timedelta(seconds=s), i % 3, "t", 1.0, "{}")
+            for i, s in enumerate(offsets)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["events_decayed_counts"].fn(spark, d).collect()[0]
+    # sequential recursion evaluated at each arrival, decayed to T
+    lam = math.log(2) / 86400
+    c = 0.0
+    prev = None
+    for s in offsets:
+        if prev is not None:
+            c *= math.exp(-lam * (s - prev))
+        c += 1.0
+        prev = s
+    assert abs(out["decayed_count"] - c) < 1e-5
+    assert out["n_events"] == len(offsets)
+
+
+# -------------------------------------------------------------------- psi
+
+def test_psi_zero_for_identical_halves_and_positive_for_shift(spark):
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 'stable': same value cycle in both halves -> PSI 0
+    # 'shifted': low values first half, high second -> PSI >> 0
+    for i in range(400):
+        half = i >= 200
+        ts = base + datetime.timedelta(minutes=i)
+        rows.append((2 * i, ts, i % 7, "stable", float(10 + (i % 4)), "{}"))
+        rows.append((2 * i + 1, ts, i % 7, "shifted",
+                     float(200 if half else 10) + (i % 4), "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["event_type"]: r.asDict()
+           for r in REGISTRY["events_psi_drift"].fn(spark, d).collect()}
+    assert out["stable"]["psi"] == 0.0
+    assert out["stable"]["max_band_gap"] == 0.0
+    assert out["shifted"]["psi"] > 1.0
+    assert out["shifted"]["max_band_gap"] > 0.4
+
+
+# ----------------------------------------------------------------- benford
+
+def test_benford_audit_shares_and_expectation(spark, sf_dir):
+    import math
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["benford_price_audit"].fn(spark, sf_dir).collect()
+    digits = {r["digit"] for r in out}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["observed"] for r in out) - 1.0) < 1e-3
+    one = [r for r in out if r["digit"] == 1][0]
+    assert one["benford"] == round(math.log10(2), 6)
+    for r in out:
+        # abs_dev is rounded from the UNROUNDED shares, so it can sit
+        # one ulp-of-rounding away from recomputing on rounded columns
+        assert abs(r["abs_dev"] - round(abs(r["observed"] - r["benford"]), 6)) <= 2e-6
