@@ -100,6 +100,8 @@ PRIORITY = [
     "doc_bigram_logppl", "segment_overlap_hll", "stream_cusum_drift",
     "part_neighbors_cosine", "source_token_entropy",
     "events_decayed_counts", "events_psi_drift", "benford_price_audit",
+    "clickstream_top_paths", "source_zipf_slope", "order_cohort_ltv",
+    "part_demand_abc_xyz",
 ]
 
 

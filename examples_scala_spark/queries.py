@@ -7702,3 +7702,239 @@ def benford_price_audit(spark, sf_dir):
                                   - F.log(1.0 + 1.0 / F.col("digit"))
                                   / F.log(F.lit(10.0))), 6)
                      .alias("abs_dev")))
+
+
+@register(
+    "clickstream_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path,
+             count(*)::BIGINT AS n
+      FROM seq WHERE p2 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 20""",
+    "relational", "analytics",
+)
+def clickstream_top_paths(spark, sf_dir):
+    """Path mining: the 20 most common 3-step event sequences across
+    all user journeys — the navigation-pattern summary funnels are
+    built from. Two lags on the single per-user ordering shuffle
+    (shared with the whole sessionization family), a path aggregate
+    over short strings, top-k as TakeOrderedAndProject with a
+    deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("event_type",
+                     F.lag("event_type", 1).over(w).alias("p1"),
+                     F.lag("event_type", 2).over(w).alias("p2"))
+           .filter(F.col("p2").isNotNull()))
+    return (seq.groupBy(F.concat_ws(">", "p2", "p1", "event_type")
+                        .alias("path"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "path").limit(20))
+
+
+@register(
+    "source_zipf_slope",
+    """
+    WITH cnt AS (
+      SELECT source, w, count(*)::BIGINT AS c FROM (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents) GROUP BY 1, 2),
+    rk AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS rank
+      FROM cnt),
+    u AS (
+      SELECT source,
+             CAST(round(ln(rank::DOUBLE) * 1000000000) AS HUGEINT) AS x,
+             CAST(round(ln(c::DOUBLE) * 1000000000) AS HUGEINT) AS y
+      FROM rk),
+    g AS (SELECT source, count(*)::HUGEINT AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM u GROUP BY source)
+    SELECT source, n::BIGINT AS vocab,
+           round(CASE WHEN n * sxx - sx * sx <> 0 THEN
+             (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+             END, 9) AS zipf_slope
+    FROM g""",
+    "llm", "text", "diagnostics",
+)
+def source_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per source: the OLS slope of ln(frequency) vs
+    ln(rank) over the source's word distribution (natural text sits
+    near −1; templated/boilerplate sources flatten toward 0 — a
+    corpus-shape diagnostic next to entropy). Composes the ranked
+    count aggregate with the decimal-exact five-sum OLS
+    (operators/timeseries.py:ols_trend): both ln coordinates are
+    rounded once to integer nano-units, so all five sums are exact and
+    the slope is one double division. The rank window runs over the
+    per-source VOCABULARY aggregate, never the token stream."""
+    from .operators.timeseries import ols_trend
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (docs.select("source",
+                       F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                        .alias("w"))
+           .groupBy("source", "w").agg(F.count("*").cast("long").alias("c")))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    rk = cnt.withColumn("rank", F.row_number().over(w))
+    u = rk.select(
+        "source",
+        F.round(F.log(F.col("rank").cast("double"))
+                * F.lit(1_000_000_000)).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double"))
+                * F.lit(1_000_000_000)).cast("long").alias("y"))
+    fit = ols_trend(u, "source", F.col("x"), F.col("y"))
+    return fit.select("source", F.col("n").alias("vocab"),
+                      F.col("slope").alias("zipf_slope"))
+
+
+@register(
+    "order_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey AS c,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    w AS (SELECT c, m, cents, min(m) OVER (PARTITION BY c) AS cohort
+          FROM o),
+    cell AS (
+      SELECT (cohort // 12) * 100 + (cohort % 12) + 1 AS cohort_month,
+             m - cohort AS month_offset,
+             count(DISTINCT c)::BIGINT AS n_active,
+             sum(cents)::BIGINT AS revenue_cents
+      FROM w GROUP BY 1, 2)
+    SELECT cohort_month::BIGINT AS cohort_month, month_offset::BIGINT
+             AS month_offset, n_active, revenue_cents,
+           sum(revenue_cents) OVER (
+             PARTITION BY cohort_month ORDER BY month_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_revenue_cents
+    FROM cell""",
+    "relational", "analytics",
+)
+def order_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue and active count per month offset, plus the
+    cumulative LTV curve per cohort — the standard retention-economics
+    view. One orders scan: the cohort label is a min-window on the
+    per-customer partitioning, the triangle a (cohort, offset)
+    aggregate, and the LTV cumsum a window over that SMALL aggregate.
+    Revenue stays integer cents end to end."""
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("c"),
+                 (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+                  .alias("m"),
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                  .alias("cents")))
+    wc = Window.partitionBy("c")
+    w = o.withColumn("cohort", F.min("m").over(wc))
+    cell = (w.groupBy(
+        ((F.col("cohort") / 12).cast("long") * 100
+         + F.col("cohort") % 12 + 1).alias("cohort_month"),
+        (F.col("m") - F.col("cohort")).alias("month_offset"))
+        .agg(F.count_distinct("c").cast("long").alias("n_active"),
+             F.sum("cents").cast("long").alias("revenue_cents")))
+    wl = (Window.partitionBy("cohort_month").orderBy("month_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return cell.select(
+        F.col("cohort_month").cast("long"),
+        F.col("month_offset").cast("long"),
+        "n_active", "revenue_cents",
+        F.sum("revenue_cents").over(wl).cast("long")
+         .alias("cum_revenue_cents"))
+
+
+@register(
+    "part_demand_abc_xyz",
+    """
+    WITH wk AS (
+      SELECT l_partkey AS part,
+             date_diff('day', DATE '1970-01-01', l_shipdate::DATE) // 7
+               AS week,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS wq,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    st AS (
+      SELECT part, count(*)::HUGEINT AS n, sum(wq)::HUGEINT AS s,
+             sum(wq * wq)::HUGEINT AS q,
+             sum(rev)::BIGINT AS revenue_cents
+      FROM wk GROUP BY part),
+    abc AS (
+      SELECT part, n, s, q, revenue_cents,
+             sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(revenue_cents) OVER () AS total
+      FROM st)
+    SELECT part, n::BIGINT AS n_weeks, revenue_cents,
+           CASE WHEN (cum - revenue_cents) * 10 < total * 8 THEN 'A'
+                WHEN (cum - revenue_cents) * 100 < total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * (n * q - s * s) <= s * s THEN 'X'
+                WHEN (n * q - s * s) <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           round((n * q - s * s)::DOUBLE / (s * s)::DOUBLE, 6) AS cv2
+    FROM abc""",
+    "relational", "analytics",
+)
+def part_demand_abc_xyz(spark, sf_dir):
+    """Inventory ABC/XYZ matrix: every part classified by revenue
+    contribution (A = first 80% of the cumulative revenue ranking,
+    B to 95%, C rest) and by demand variability (squared coefficient
+    of variation over weekly demand: X ≤ 0.25, Y ≤ 1, Z beyond) —
+    the planner's 9-cell stocking-policy grid. CV² classes compare
+    EXACT integers (n·Σq² − S² cross-multiplied against rational
+    thresholds); the ABC ranking is a global cumsum computed by the
+    distributed three-step scan (operators/prefix.py) over the PART
+    aggregate, integer cents so partial order is irrelevant."""
+    from .operators.prefix import ordered_prefix_sum
+    d38 = "decimal(38,0)"
+    wk = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("part"),
+                  # datediv-by-7 week index: l_shipdate arrives as
+                  # TIMESTAMP_NTZ under a vanilla session, so date
+                  # arithmetic (not unix_micros) is the portable path
+                  F.expr("datediff(cast(l_shipdate as date), "
+                         "date'1970-01-01') div 7").alias("week"),
+                  F.round(F.col("l_quantity") * 100).cast("long")
+                   .alias("qc"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                   .alias("rc"))
+          .groupBy("part", "week")
+          .agg(F.sum("qc").cast("long").alias("wq"),
+               F.sum("rc").cast("long").alias("rev")))
+    st = wk.groupBy("part").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("wq").cast(d38).alias("s"),
+        F.sum(F.col("wq").cast(d38) * F.col("wq").cast(d38)).alias("q"),
+        F.sum("rev").cast("long").alias("revenue_cents"))
+    cum = ordered_prefix_sum(
+        st, [F.col("revenue_cents").desc(), F.col("part").asc()],
+        "revenue_cents", out_col="cum", partitions=8)
+    total = st.agg(F.sum("revenue_cents").cast("long").alias("total"))
+    var = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (cum.crossJoin(F.broadcast(total))
+            .select("part", F.col("n").cast("long").alias("n_weeks"),
+                    "revenue_cents",
+                    # classify on the cumulative share BEFORE the part
+                    # ("take parts until 80% is covered") — the literal
+                    # cum<=80% rule would misclass a single dominant
+                    # part as C, the classic ABC fencepost
+                    F.when((F.col("cum") - F.col("revenue_cents")) * 10
+                           < F.col("total") * 8, "A")
+                     .when((F.col("cum") - F.col("revenue_cents")) * 100
+                           < F.col("total") * 95, "B")
+                     .otherwise("C").alias("abc_class"),
+                    F.when(4 * var <= F.col("s") * F.col("s"), "X")
+                     .when(var <= F.col("s") * F.col("s"), "Y")
+                     .otherwise("Z").alias("xyz_class"),
+                    F.round(var.cast("double")
+                            / (F.col("s") * F.col("s")).cast("double"), 6)
+                     .alias("cv2")))

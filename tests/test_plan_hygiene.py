@@ -171,6 +171,10 @@ def _shuffles(plan: str) -> int:
     ("events_decayed_counts", 2),   # scalar max + one aggregate
     ("events_psi_drift", 5),        # scalars + cell agg + type window
     ("benford_price_audit", 3),     # digit agg + scalar total
+    ("clickstream_top_paths", 2),   # user window + path agg (+ top-k)
+    ("source_zipf_slope", 2),       # vocab agg + rank window + OLS agg
+    ("order_cohort_ltv", 3),        # cust window + cell agg + cumsum
+    ("part_demand_abc_xyz", 3),     # weekly agg + part agg + scan cum
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -559,3 +559,123 @@ def test_benford_audit_shares_and_expectation(spark, sf_dir):
         # abs_dev is rounded from the UNROUNDED shares, so it can sit
         # one ulp-of-rounding away from recomputing on rounded columns
         assert abs(r["abs_dev"] - round(abs(r["observed"] - r["benford"]), 6)) <= 2e-6
+
+
+# ------------------------------------------------------------------- paths
+
+def test_top_paths_hand_case(spark):
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+    seqs = {1: ["view", "click", "purchase", "view"],
+            2: ["view", "click", "purchase"],
+            3: ["click", "view", "click"]}
+    rows = []
+    eid = 0
+    for u, types in seqs.items():
+        for i, t in enumerate(types):
+            rows.append((eid, base + datetime.timedelta(minutes=i), u, t,
+                         1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["path"]: r["n"]
+           for r in REGISTRY["clickstream_top_paths"].fn(spark, d).collect()}
+    assert out["view>click>purchase"] == 2
+    assert out["click>purchase>view"] == 1
+    assert out["click>view>click"] == 1
+
+
+# -------------------------------------------------------------------- zipf
+
+def test_zipf_slope_exact_power_law(spark):
+    import tempfile, os
+    # construct a source whose word frequencies are exactly c/rank
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * (2 ** (20 - rank))  # freq = 2^(20-r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "pow", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["source_zipf_slope"].fn(spark, d).collect()[0]
+    # ln f = const - r ln2 against ln r is NOT linear; use 2 points?
+    # instead assert the fit is strongly negative and vocab correct
+    assert out["vocab"] == 20
+    assert out["zipf_slope"] < -1.0
+
+
+def test_zipf_slope_flat_for_uniform_frequencies(spark):
+    import tempfile, os
+    words = [f"w{i}" for i in range(30)] * 4  # all freq 4
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "flat", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["source_zipf_slope"].fn(spark, d).collect()[0]
+    assert out["zipf_slope"] == 0.0  # ln f constant -> zero slope
+
+
+# -------------------------------------------------------------------- ltv
+
+def test_cohort_ltv_identities(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.sources.tables import load_table
+    out = REGISTRY["order_cohort_ltv"].fn(spark, sf_dir).collect()
+    total = sum(r["revenue_cents"] for r in out)
+    direct = (load_table(spark, sf_dir, "orders")
+              .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                         .cast("long"))).collect()[0][0])
+    assert total == direct
+    # cumulative curve is per-cohort monotone and ends at the sum
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for rows in by_cohort.values():
+        rows.sort(key=lambda r: r["month_offset"])
+        running = 0
+        for r in rows:
+            running += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == running
+        assert rows[0]["month_offset"] == 0  # cohort starts at itself
+
+
+# ---------------------------------------------------------------- abc/xyz
+
+def test_abc_xyz_classes_and_cv(spark):
+    import datetime, tempfile, os
+    rows = []
+    ln = 0
+    # part 1: constant 10/week for 8 weeks, high revenue -> A, X
+    # part 2: alternating 1 and 19 -> CV^2 = 81/100 -> Y, low revenue
+    # part 3: one massive week out of 8 -> Z
+    for wk in range(8):
+        ship = datetime.datetime(2024, 1, 1) + datetime.timedelta(weeks=wk)
+        rows.append((100 + wk, 1, 1, 1, 10.0, 5000.0, 0.0, 0.0, "N", "O", ship))
+        rows.append((200 + wk, 2, 1, 2, 1.0 if wk % 2 == 0 else 19.0,
+                     10.0, 0.0, 0.0, "N", "O", ship))
+        rows.append((300 + wk, 3, 1, 3, 100.0 if wk == 3 else 1.0,
+                     20.0, 0.0, 0.0, "N", "O", ship))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    d = tempfile.mkdtemp()
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["part"]: r.asDict()
+           for r in REGISTRY["part_demand_abc_xyz"].fn(spark, d).collect()}
+    assert out[1]["xyz_class"] == "X" and out[1]["cv2"] == 0.0
+    assert out[2]["xyz_class"] == "Y"
+    assert abs(out[2]["cv2"] - 0.81) < 1e-6
+    assert out[3]["xyz_class"] == "Z"
+    assert out[1]["abc_class"] == "A"      # 40000 of 40400 cents total
+    assert out[3]["abc_class"] in ("B", "C")
