@@ -166,7 +166,11 @@ def main() -> None:
                  "doc_sequence_packing", "stratified_reservoir",
                  "quality_model_scores", "minhash_incremental",
                  "embedding_semantic_dedup", "pipeline_curation_v2",
-                 "bm25_topk", "substring_dup_stats"]:
+                 "bm25_topk", "substring_dup_stats",
+                 # round-3 session-2 additions
+                 "gopher_quality_flags", "doc_bigram_logppl",
+                 "events_psi_drift", "events_cusum_drift",
+                 "pipeline_curation_v3"]:
         t0 = time.time()
         n = len(REGISTRY[name].fn(spark, sf_dir).collect())
         extra[name] = round(time.time() - t0, 3)

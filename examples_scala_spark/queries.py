@@ -7938,3 +7938,73 @@ def part_demand_abc_xyz(spark, sf_dir):
                     F.round(var.cast("double")
                             / (F.col("s") * F.col("s")).cast("double"), 6)
                      .alias("cv2")))
+
+
+def _curation_v3_sql() -> str:
+    gopher = REGISTRY["gopher_quality_flags"].oracle
+    ppl = REGISTRY["doc_bigram_logppl"].oracle
+    return f"""
+    WITH RECURSIVE gk AS (
+      SELECT doc_id, n_words FROM ({gopher}) WHERE keep),
+    ppl AS (SELECT * FROM ({ppl})),
+    med AS (
+      SELECT quantile_cont(avg_neg_logprob, 0.5) AS m
+      FROM ppl WHERE n_bigrams > 0),
+    surv AS (
+      SELECT d.doc_id, d.lang, gk.n_words, ppl.avg_neg_logprob
+      FROM documents d
+      JOIN gk USING (doc_id) JOIN ppl USING (doc_id) CROSS JOIN med
+      WHERE ppl.avg_neg_logprob <= med.m),
+    pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+      WHERE doc_a IN (SELECT doc_id FROM surv)
+        AND doc_b IN (SELECT doc_id FROM surv)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    clusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT s.doc_id, s.lang, s.n_words, s.avg_neg_logprob
+    FROM surv s JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id = s.doc_id"""
+
+
+@register("pipeline_curation_v3", _curation_v3_sql(), "llm", "pipeline")
+def pipeline_curation_v3(spark, sf_dir):
+    """The round-3 quality signals composed into one curation job:
+    Gopher rule suite (all six flags pass) AND bigram-LM perplexity at
+    or below the corpus median (drop the improbable half) -> MinHash
+    near-dup clustering over the SURVIVORS with only cluster canonicals
+    kept. Each stage is the standalone oracle-checked operator; the
+    oracle here is their literal SQL composition (recursive-CTE
+    components over the survivor-induced pair graph — valid because
+    LSH signatures and pair similarity are per-doc/pairwise, so
+    survivor pairs equal full-corpus pairs restricted to survivors).
+    Scale shape: the rule/LM filters are narrow doc-keyed aggregates
+    that shrink the corpus BEFORE the shingle/cluster machinery runs —
+    the cheap-stages-first ordering every production curation chain
+    uses."""
+    from .operators.graph import dedup_clusters as clusters
+    docs = _t(spark, sf_dir, "documents")
+    gk = (text.gopher_quality_flags(docs).filter(F.col("keep"))
+          .select("doc_id", "n_words"))
+    ppl = REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir)
+    med = (ppl.filter(F.col("n_bigrams") > 0)
+           .agg(F.expr("percentile(avg_neg_logprob, 0.5)").alias("m")))
+    surv = (docs.join(gk, "doc_id")
+            .join(ppl.select("doc_id", "avg_neg_logprob"), "doc_id")
+            .crossJoin(F.broadcast(med))
+            .filter(F.col("avg_neg_logprob") <= F.col("m")))
+    surv_docs = surv.select("doc_id", "text", "lang", "n_words",
+                            "avg_neg_logprob").localCheckpoint(eager=False)
+    pairs = dedup.minhash_lsh_pairs(surv_docs, num_hashes=16, bands=4,
+                                    n=3, threshold=0.5)
+    cl = clusters(surv_docs.select("doc_id"), pairs)
+    return (surv_docs.join(cl, "doc_id")
+            .filter(F.col("cluster_id") == F.col("doc_id"))
+            .select("doc_id", "lang", "n_words", "avg_neg_logprob"))

@@ -679,3 +679,33 @@ def test_abc_xyz_classes_and_cv(spark):
     assert out[3]["xyz_class"] == "Z"
     assert out[1]["abc_class"] == "A"      # 40000 of 40400 cents total
     assert out[3]["abc_class"] in ("B", "C")
+
+
+# ------------------------------------------------------------ curation v3
+
+def test_curation_v3_composition_invariants(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.operators.text import gopher_quality_flags
+    from examples_scala_spark.sources.tables import load_table
+    kept = REGISTRY["pipeline_curation_v3"].fn(spark, sf_dir).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert kept_ids  # non-degenerate
+    docs = load_table(spark, sf_dir, "documents")
+    gk = {r["doc_id"] for r in
+          gopher_quality_flags(docs).filter("keep").collect()}
+    ppl = {r["doc_id"]: r["avg_neg_logprob"] for r in
+           REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir).collect()
+           if r["n_bigrams"] > 0}
+    import statistics
+    med = statistics.median(ppl.values())
+    # every kept doc passed both filters
+    for r in kept:
+        assert r["doc_id"] in gk
+        assert ppl[r["doc_id"]] <= med + 1e-9
+    # no two kept docs are near-dups of each other
+    from examples_scala_spark.operators.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                              threshold=0.5).collect()
+    for p in pairs:
+        assert not (p["doc_a"] in kept_ids and p["doc_b"] in kept_ids
+                    and p["doc_a"] != p["doc_b"])
