@@ -101,7 +101,8 @@ PRIORITY = [
     "part_neighbors_cosine", "source_token_entropy",
     "events_decayed_counts", "events_psi_drift", "benford_price_audit",
     "clickstream_top_paths", "source_zipf_slope", "order_cohort_ltv",
-    "part_demand_abc_xyz", "pipeline_curation_v3",
+    "part_demand_abc_xyz", "pipeline_curation_v3", "ann_topk_ivfpq",
+    "supplier_return_wilson",
 ]
 
 

@@ -549,3 +549,97 @@ def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos", 6).alias("cos"))
     )
+
+
+def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
+               centroid_mod: int = 23, nprobe: int = 2,
+               m: int = 8, codes: int = 16, dim: int = 64,
+               sample_mod: int = 23, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               max_queries: int = 256) -> DataFrame:
+    """IVF-PQ: the production trillion-scale ANN recipe — coarse
+    inverted-file cells prune WHICH vectors are scored, product-
+    quantization codes prune WHAT is read per vector. Composes the two
+    oracle-checked halves (assign_cells' argmax-cosine quantizer,
+    pq_encode's m-byte codes) exactly as FAISS's IndexIVFPQ does:
+
+    1. every vector -> its best cell (broadcast centroids, rank-1);
+    2. each query probes its nprobe best cells;
+    3. candidates = equi-join of the CODE table against the probed
+       (query, cell) pairs — at scale this is a partition-pruned read
+       of m-byte rows, never the float vectors;
+    4. ADC scoring: per-query subspace distance tables (broadcast),
+       one gather+add per subspace, map-side top-k per partition, tiny
+       final shuffle.
+
+    Query set is hard-capped at max_queries via ordered-limit (same
+    bounded-collect contract as pq_adc_topk). Output:
+    (query_id, neighbor_id, rank, adist) — approximate distances,
+    rows-only; recall vs brute force is bounded in tests."""
+    import numpy as np
+    import pandas as pd
+
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), F.col("v"), F.col("norm"))
+    cents = sampled_centroids(base, centroid_mod, id_col)
+    affinity = cell_affinity(base, cents, id_col)
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assign = (affinity.withColumn("r", F.row_number().over(w_assign))
+              .filter(F.col("r") == 1)
+              .select(F.col(id_col), F.col("cent_id").alias("cell")))
+
+    books = pq_codebooks(emb, m, codes, dim, sample_mod, id_col, vec_col)
+    dsub = dim // m
+    encoded = pq_encode(emb, books, id_col, vec_col)
+    data = encoded.join(assign, id_col)
+
+    qrows = (emb.filter((F.col(id_col) % query_mod) == 0)
+             .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+             .orderBy(id_col).limit(int(max_queries)).collect())
+    qids = np.asarray([r[id_col] for r in qrows])
+    qvecs = np.asarray([r.v for r in qrows])
+    tables = np.stack([
+        ((qvecs[:, s * dsub:(s + 1) * dsub][:, None, :] - books[s][None]) ** 2)
+        .sum(2) for s in range(m)], axis=1)             # (Q, m, codes)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    bcast = emb.sparkSession.sparkContext.broadcast((qpos, tables))
+
+    probes = (affinity.filter(F.col(id_col).isin([int(q) for q in qids]))
+              .withColumn("r", F.row_number().over(w_assign))
+              .filter(F.col("r") <= nprobe)
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("cent_id").alias("cell")))
+    cand = data.join(F.broadcast(probes), "cell") \
+               .select("query_id", id_col, "pq_codes")
+
+    def local_topk(batches):
+        qpos, tables = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                ids = grp[id_col].to_numpy()
+                cds = np.asarray(list(grp["pq_codes"]))
+                qi = qpos[int(qid)]
+                adist = np.zeros(len(ids))
+                for s in range(m):
+                    adist += tables[qi, s, cds[:, s]]
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], adist[mask]
+                take = min(k, len(cand_ids))
+                if not take:
+                    continue
+                part = np.lexsort((cand_ids, cand_d))[:take]
+                yield pd.DataFrame({
+                    "query_id": int(qid), "neighbor_id": cand_ids[part],
+                    "adist": cand_d[part]})
+
+    local = cand.mapInPandas(
+        local_topk, "query_id bigint, neighbor_id bigint, adist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("neighbor_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("adist", 6).alias("adist")))

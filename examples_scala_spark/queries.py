@@ -8008,3 +8008,65 @@ def pipeline_curation_v3(spark, sf_dir):
     return (surv_docs.join(cl, "doc_id")
             .filter(F.col("cluster_id") == F.col("doc_id"))
             .select("doc_id", "lang", "n_words", "avg_neg_logprob"))
+
+
+@register(
+    "ann_topk_ivfpq",
+    None,  # approximate ADC distances under IVF pruning — rows-only
+    "llm", "ann",
+)
+def ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ top-k (operators/similarity.py:ivfpq_topk): the FAISS
+    IndexIVFPQ recipe — inverted-file cells prune WHICH vectors are
+    scored, PQ codes prune WHAT is read — composed from the repo's
+    oracle-checked quantizer and code halves. Rows-only (approximate
+    distances); recall vs brute force is bounded in tests."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, k=5, query_mod=50, nprobe=2)
+
+
+@register(
+    "supplier_return_wilson",
+    """
+    WITH s AS (
+      SELECT l_suppkey AS supplier, count(*)::BIGINT AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+               AS returns
+      FROM lineitem GROUP BY l_suppkey),
+    wb AS (
+      SELECT supplier, n, returns,
+             returns / n::DOUBLE AS rate,
+             (returns / n::DOUBLE + 1.9208 / n
+              - 1.96 * sqrt((returns / n::DOUBLE)
+                            * (1 - returns / n::DOUBLE) / n
+                            + 0.9604 / (n * n::DOUBLE)))
+             / (1 + 3.8416 / n) AS lb
+      FROM s WHERE n > 0)
+    SELECT supplier, n, returns, round(rate, 6) AS return_rate,
+           round(lb, 6) AS wilson_lb
+    FROM wb""",
+    "relational", "analytics",
+)
+def supplier_return_wilson(spark, sf_dir):
+    """Return-rate ranking under uncertainty: each supplier's return
+    rate with its Wilson-score 95% lower bound — the ranking statistic
+    that stops a 1-of-2 supplier outranking a 40-of-100 one (raw rates
+    can't be compared across sample sizes; the Wilson bound is the
+    standard fix). One map-combined aggregate; the bound is pure
+    column arithmetic over exact integer counts with the z=1.96
+    constants pre-squared (1.9208 = z²/2, 3.8416 = z², 0.9604 =
+    z²/4), identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("supplier")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+         .cast("long").alias("returns"))
+    rate = F.col("returns") / F.col("n")
+    lb = ((rate + 1.9208 / F.col("n")
+           - 1.96 * F.sqrt(rate * (1 - rate) / F.col("n")
+                           + 0.9604 / (F.col("n") * F.col("n"))))
+          / (1 + 3.8416 / F.col("n")))
+    return s.select("supplier", "n", "returns",
+                    F.round(rate, 6).alias("return_rate"),
+                    F.round(lb, 6).alias("wilson_lb"))

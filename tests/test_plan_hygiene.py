@@ -175,6 +175,7 @@ def _shuffles(plan: str) -> int:
     ("source_zipf_slope", 2),       # vocab agg + rank window + OLS agg
     ("order_cohort_ltv", 3),        # cust window + cell agg + cumsum
     ("part_demand_abc_xyz", 3),     # weekly agg + part agg + scan cum
+    ("supplier_return_wilson", 1),  # one map-combined aggregate
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -43,7 +43,8 @@ def duck(sf_dir):
 # stream_delta_alerts to a value-checked oracle via the event_id-
 # ordered replay; the remainder are genuinely timer-driven or
 # compressor-backed outputs
-ROWS_ONLY = {"stream_early_firing", "ann_topk_pq", "doc_compression_ratio"}
+ROWS_ONLY = {"stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
+             "doc_compression_ratio"}
 
 
 def test_all_queries_have_oracles():

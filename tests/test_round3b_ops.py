@@ -709,3 +709,88 @@ def test_curation_v3_composition_invariants(spark, sf_dir):
     for p in pairs:
         assert not (p["doc_a"] in kept_ids and p["doc_b"] in kept_ids
                     and p["doc_a"] != p["doc_b"])
+
+
+# ------------------------------------------------------------------ ivfpq
+
+def test_ivfpq_candidates_come_from_probed_cells_and_recall(spark, sf_dir):
+    from examples_scala_spark.operators import similarity as sim
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    ivfpq = sim.ivfpq_topk(emb, k=5, query_mod=10, nprobe=2)
+    got = ivfpq.collect()
+    assert got, "ivfpq returned nothing"
+    # per query at most k neighbors, ranked by adist with id tie-break
+    per = {}
+    for r in got:
+        per.setdefault(r["query_id"], []).append((r["rank"], r["adist"],
+                                                  r["neighbor_id"]))
+    for q, rows in per.items():
+        rows.sort()
+        assert len(rows) <= 5
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        ds = [r[1] for r in rows]
+        assert ds == sorted(ds)
+    # IVF pruning: every neighbor shares a probed cell with its query
+    base = sim.with_norm(emb)
+    cents = sim.sampled_centroids(base)
+    aff = sim.cell_affinity(base, cents)
+    from pyspark.sql.window import Window
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assign = {r["vec_id"]: r["cent_id"] for r in
+              aff.withColumn("r", F.row_number().over(wa))
+              .filter("r = 1").collect()}
+    probed = {}
+    for r in (aff.withColumn("r", F.row_number().over(wa))
+              .filter("r <= 2").collect()):
+        probed.setdefault(r["vec_id"], set()).add(r["cent_id"])
+    for r in got:
+        assert assign[r["neighbor_id"]] in probed[r["query_id"]], r
+    # recall against brute force is meaningfully nonzero
+    exact = pairs(sim.brute_force_topk(emb, k=5, query_mod=10))
+    rec = len(pairs(ivfpq) & exact) / len(exact)
+    # coarse 8x16 codebooks + nprobe=2 on 500 vectors: recall is low
+    # by construction (the compression trade-off); the floor just
+    # guards against a broken index returning noise
+    assert rec >= 0.1
+
+
+# ------------------------------------------------------------------ wilson
+
+def test_wilson_bound_ranks_small_samples_below(spark):
+    import tempfile, os, datetime
+    rows = []
+    # supplier 1: 1 return of 2;  supplier 2: 40 returns of 100
+    specs = {1: (2, 1), 2: (100, 40)}
+    oid = 0
+    for supp, (n, r) in specs.items():
+        for i in range(n):
+            rows.append((oid, 1, supp, 1, 1.0, 10.0, 0.0, 0.0,
+                         "R" if i < r else "N", "O",
+                         datetime.datetime(2024, 1, 1)))
+            oid += 1
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+    d = tempfile.mkdtemp()
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["supplier"]: r.asDict()
+           for r in REGISTRY["supplier_return_wilson"].fn(spark, d).collect()}
+    # raw rates say supplier 1 (50%) is worse than 2 (40%) — the
+    # Wilson lower bound reverses that (2 observations prove nothing)
+    assert out[1]["return_rate"] > out[2]["return_rate"]
+    assert out[1]["wilson_lb"] < out[2]["wilson_lb"]
+    # hand-check the formula for supplier 2
+    import math
+    p, n = 0.4, 100
+    lb = (p + 1.9208 / n - 1.96 * math.sqrt(p * (1 - p) / n
+                                            + 0.9604 / n ** 2)) \
+        / (1 + 3.8416 / n)
+    assert abs(out[2]["wilson_lb"] - lb) < 1e-6
