@@ -37,14 +37,25 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    args = sys.argv[1:]
+    # --vanilla: build the DEFAULT SparkSession the driver uses (no
+    # repo tuning at session level — each query still calls tune()
+    # internally, which is the contract being verified)
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or list(REGISTRY)
 
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("verify-local")
+    if vanilla:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("verify-local")
     failures = []
     for name in names:
         spec = REGISTRY[name]
