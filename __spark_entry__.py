@@ -102,7 +102,7 @@ PRIORITY = [
     "events_decayed_counts", "events_psi_drift", "benford_price_audit",
     "clickstream_top_paths", "source_zipf_slope", "order_cohort_ltv",
     "part_demand_abc_xyz", "pipeline_curation_v3", "ann_topk_ivfpq",
-    "supplier_return_wilson",
+    "supplier_return_wilson", "events_burst_minutes",
 ]
 
 

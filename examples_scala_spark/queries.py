@@ -8070,3 +8070,56 @@ def supplier_return_wilson(spark, sf_dir):
     return s.select("supplier", "n", "returns",
                     F.round(rate, 6).alias("return_rate"),
                     F.round(lb, 6).alias("wilson_lb"))
+
+
+@register(
+    "events_burst_minutes",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+             count(*)::HUGEINT AS c
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(c)::HUGEINT AS s,
+             sum(c * c)::HUGEINT AS q
+      FROM b GROUP BY event_type)
+    SELECT b.event_type, b.minute::BIGINT AS minute, b.c::BIGINT AS cnt,
+           round((st.n * b.c - st.s)::DOUBLE
+                 / sqrt((st.n * st.q - st.s * st.s)::DOUBLE), 6)
+             AS sigma_score
+    FROM b JOIN st USING (event_type)
+    WHERE st.n * b.c > st.s
+      AND (st.n * b.c - st.s) * (st.n * b.c - st.s)
+          > 9 * (st.n * st.q - st.s * st.s)""",
+    "relational", "timeseries", "anomaly",
+)
+def events_burst_minutes(spark, sf_dir):
+    """Burst detection on per-minute arrival COUNTS: minutes whose
+    event volume exceeds the type's mean by 3 standard deviations —
+    rate anomalies, which the per-event value monitors (z-score, MAD,
+    CUSUM) can't see. The 3-sigma test is EXACT integer arithmetic:
+    c > mu + 3*sigma becomes n*c - S > 0 AND (n*c - S)^2 > 9(nQ - S^2)
+    (cross-multiplied through by n^2), so no float ever decides a
+    flag; sigma_score is reported in double for ranking only. One
+    map-combined minute aggregate + a per-type moment aggregate
+    broadcast back onto it — the minute table is |types| x minutes,
+    never the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    b = (ev.select("event_type",
+                   F.expr("unix_micros(ts) div 60000000").alias("minute"))
+         .groupBy("event_type", "minute")
+         .agg(F.count("*").cast(d38).alias("c")))
+    st = b.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"))
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (b.join(F.broadcast(st), "event_type")
+            .filter((dev > 0) & (dev * dev > 9 * var))
+            .select("event_type", F.col("minute").cast("long"),
+                    F.col("c").cast("long").alias("cnt"),
+                    F.round(dev.cast("double")
+                            / F.sqrt(var.cast("double")), 6)
+                     .alias("sigma_score")))

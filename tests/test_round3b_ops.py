@@ -794,3 +794,34 @@ def test_wilson_bound_ranks_small_samples_below(spark):
                                             + 0.9604 / n ** 2)) \
         / (1 + 3.8416 / n)
     assert abs(out[2]["wilson_lb"] - lb) < 1e-6
+
+
+# ------------------------------------------------------------------ bursts
+
+def test_burst_minutes_exact_threshold(spark):
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 60 quiet minutes with 2 events, one minute with 40
+    for mi in range(61):
+        per = 40 if mi == 30 else 2
+        for j in range(per):
+            rows.append((eid, base + datetime.timedelta(minutes=mi,
+                                                        seconds=j),
+                         1, "t", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["events_burst_minutes"].fn(spark, d).collect()
+    assert len(out) == 1 and out[0]["cnt"] == 40
+    # numpy parity of the threshold on this series
+    import numpy as np
+    cs = np.array([40 if mi == 30 else 2 for mi in range(61)], float)
+    z = (40 - cs.mean()) / cs.std()  # population std, as the operator
+    assert z > 3
+    assert abs(out[0]["sigma_score"] - z) < 1e-6
