@@ -643,3 +643,107 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("adist", 6).alias("adist")))
+
+
+def top_principal_component(emb: DataFrame, dim: int = 64,
+                            iterations: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Top principal component of the mean-centered embedding matrix
+    by DISTRIBUTED power iteration — the building block of embedding
+    whitening / SemDeDup-style PCA preprocessing, done Spark-first:
+
+    each iteration computes w = Xᶜᵀ(Xᶜ v) as ONE narrow scan — the
+    per-row projection t = (x−μ)·v stays inside codegen, and the 64
+    per-dimension sums Σ t·(x_d−μ_d) are a single map-combined
+    aggregate (a 64-column row, not a shuffle of vectors). Only the
+    64-float v crosses to the driver per round (the same driver-
+    coordination-not-data-collection contract as pagerank). Sign is
+    fixed by making the largest-|loading| coordinate positive;
+    eigenvalue and explained-variance ratio come from the final
+    projection pass.
+
+    Output: (dim_idx, loading, eigenvalue, explained_ratio) — 64 rows.
+    Rows-only at the gate (iterated float linear algebra has no SQL
+    twin). Convergence: the reported eigenvalue is the Rayleigh
+    quotient, accurate to second order in the residual angle even on
+    near-degenerate spectra where the DIRECTION converges slowly
+    (rate lambda2/lambda1 per round) — tests assert the quotient
+    reaches >= 98% of numpy's top eigenvalue.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    # one materialization serves every iteration's scan (the parquet
+    # read + array cast would otherwise re-run per round); the
+    # per-iteration work is an Arrow-batched numpy partial per
+    # partition (t = Xc v; w += t Xc) — a 64-wide codegen aggregate
+    # would pay a fresh wholestage COMPILE each round because v enters
+    # as literals, which dominated wall time; BLAS-backed partials are
+    # both faster and plan-stable. Each partition emits ONE 64-float
+    # partial row, so the driver only ever merges P rows.
+    x = (emb.select(F.col(vec_col).cast("array<double>").alias("x"))
+         .localCheckpoint(eager=True))
+    sc = emb.sparkSession.sparkContext
+
+    def pass_fn(payload):
+        def run(batches):
+            mu, v, want = payload.value
+            acc = np.zeros(dim)
+            ss = 0.0
+            tt = 0.0
+            cnt = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.asarray(list(pdf["x"]), dtype=float)
+                cnt += len(M)
+                if mu is not None:
+                    M = M - mu
+                if v is None:
+                    acc += M.sum(0)
+                else:
+                    t = M @ v
+                    acc += t @ M
+                    tt += float(t @ t)
+                if want:
+                    ss += float((M * M).sum())
+            yield pd.DataFrame({"w": [acc.tolist()], "tt": [tt],
+                                "ss": [ss], "n": [cnt]})
+        return run
+
+    def one_pass(mu, v, want=False):
+        payload = sc.broadcast((None if mu is None else np.asarray(mu),
+                                None if v is None else np.asarray(v),
+                                want))
+        parts = x.mapInPandas(
+            pass_fn(payload),
+            "w array<double>, tt double, ss double, n bigint").collect()
+        w = np.sum([np.asarray(r["w"]) for r in parts], axis=0)
+        return (w, sum(r["tt"] for r in parts),
+                sum(r["ss"] for r in parts), sum(r["n"] for r in parts))
+
+    msum, _, _, n = one_pass(None, None)
+    mu = (msum / max(n, 1)).tolist()
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iterations):
+        w, _, _, _ = one_pass(mu, v)
+        norm = math.sqrt(float(w @ w)) or 1.0
+        v = (w / norm).tolist()
+    # deterministic sign: largest-|loading| coordinate positive
+    pivot = max(range(dim), key=lambda d: abs(v[d]))
+    if v[pivot] < 0:
+        v = [-c for c in v]
+
+    _, tt, ss, _ = one_pass(mu, v, want=True)
+    eig = tt / max(n - 1, 1)
+    total = ss / max(n - 1, 1)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(d, round(v[d], 6), round(eig, 6),
+          round(eig / total if total else 0.0, 6)) for d in range(dim)],
+        "dim_idx int, loading double, eigenvalue double, "
+        "explained_ratio double")

@@ -8123,3 +8123,21 @@ def events_burst_minutes(spark, sf_dir):
                     F.round(dev.cast("double")
                             / F.sqrt(var.cast("double")), 6)
                      .alias("sigma_score")))
+
+
+@register(
+    "embedding_top_pc",
+    None,  # iterated float linear algebra — rows-only (numpy-tested)
+    "llm", "ann", "embeddings",
+)
+def embedding_top_pc(spark, sf_dir):
+    """Top principal component of the embedding matrix by distributed
+    power iteration (operators/similarity.py:top_principal_component)
+    — the whitening/PCA preprocessing step embedding pipelines (e.g.
+    SemDeDup) run before clustering. Each iteration is one narrow
+    codegen scan producing a 64-float row; only that row reaches the
+    driver. Rows-only at the gate; loadings/eigenvalue are
+    numpy-parity-tested."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.top_principal_component(emb, dim=64, iterations=6)

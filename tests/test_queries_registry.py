@@ -44,7 +44,7 @@ def duck(sf_dir):
 # ordered replay; the remainder are genuinely timer-driven or
 # compressor-backed outputs
 ROWS_ONLY = {"stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
-             "doc_compression_ratio"}
+             "doc_compression_ratio", "embedding_top_pc"}
 
 
 def test_all_queries_have_oracles():

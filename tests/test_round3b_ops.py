@@ -825,3 +825,34 @@ def test_burst_minutes_exact_threshold(spark):
     z = (40 - cs.mean()) / cs.std()  # population std, as the operator
     assert z > 3
     assert abs(out[0]["sigma_score"] - z) < 1e-6
+
+
+# --------------------------------------------------------------------- pca
+
+def test_top_pc_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from examples_scala_spark.operators.similarity import (
+        top_principal_component)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = top_principal_component(emb, dim=64, iterations=30).collect()
+    v = np.array([r["loading"] for r in sorted(out,
+                                               key=lambda r: r["dim_idx"])])
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=float)
+    Xc = X - X.mean(0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    # the test corpus' spectrum is near-degenerate (lambda2/lambda1
+    # ~ 0.93), so power iteration converges slowly in DIRECTION; the
+    # honest convergence criterion is the Rayleigh quotient, which is
+    # second-order-insensitive to the remaining angle
+    assert abs(float(np.dot(v, top))) > 0.9
+    rayleigh = float(v @ cov @ v)
+    assert rayleigh >= 0.98 * evals[-1]
+    assert out[0]["eigenvalue"] <= evals[-1] * (1 + 1e-6)
+    assert abs(out[0]["eigenvalue"] - rayleigh) / rayleigh < 1e-3
+    r = out[0]["explained_ratio"]
+    assert abs(r - rayleigh / evals.sum()) < 1e-3
+    assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-4)
