@@ -104,6 +104,7 @@ PRIORITY = [
     "clickstream_top_paths", "source_zipf_slope", "order_cohort_ltv",
     "part_demand_abc_xyz", "pipeline_curation_v3", "ann_topk_ivfpq",
     "supplier_return_wilson", "events_burst_minutes", "embedding_top_pc",
+    "lineitem_quantity_equidepth",
 ]
 
 

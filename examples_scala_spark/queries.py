@@ -8141,3 +8141,52 @@ def embedding_top_pc(spark, sf_dir):
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.top_principal_component(emb, dim=64, iterations=6)
+
+
+@register(
+    "lineitem_quantity_equidepth",
+    """
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q FROM lineitem),
+    b AS (
+      SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      FROM c),
+    t AS (
+      SELECT q,
+             (CASE WHEN q <= bs[1] THEN 0 WHEN q <= bs[2] THEN 1
+                   WHEN q <= bs[3] THEN 2 WHEN q <= bs[4] THEN 3
+                   WHEN q <= bs[5] THEN 4 WHEN q <= bs[6] THEN 5
+                   WHEN q <= bs[7] THEN 6 WHEN q <= bs[8] THEN 7
+                   WHEN q <= bs[9] THEN 8 ELSE 9 END) AS bucket
+      FROM c CROSS JOIN b)
+    SELECT bucket::INT AS bucket, count(*)::BIGINT AS n,
+           min(q)::BIGINT AS lo_centi, max(q)::BIGINT AS hi_centi,
+           sum(q)::BIGINT AS sum_centi
+    FROM t GROUP BY bucket""",
+    "relational", "layout",
+)
+def lineitem_quantity_equidepth(spark, sf_dir):
+    """Equi-depth histogram construction over l_quantity — the
+    statistics primitive a cost-based optimizer (and any range-
+    partitioner) builds: decile boundaries from ONE exact interpolated
+    percentile pass (a broadcast scalar row), then a bucket-classify +
+    aggregate second pass. Depth balance is inherent to the quantile
+    boundaries; per-bucket min/max/sum ride along in integer
+    centi-units. At 100 TB the exact percentile swaps for the t-digest
+    sketch (operators/sketches.py) with the same two-pass shape."""
+    c = (_t(spark, sf_dir, "lineitem")
+         .select(F.round(F.col("l_quantity") * 100).cast("long")
+                 .alias("q")))
+    qs = c.agg(F.expr(
+        "percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .alias("bs"))
+    t = c.crossJoin(F.broadcast(qs))
+    bucket = F.lit(9)
+    for i in range(8, -1, -1):
+        bucket = F.when(F.col("q") <= F.col("bs")[i], i).otherwise(bucket)
+    return (t.select("q", bucket.alias("bucket"))
+            .groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("q").cast("long").alias("lo_centi"),
+                 F.max("q").cast("long").alias("hi_centi"),
+                 F.sum("q").cast("long").alias("sum_centi")))

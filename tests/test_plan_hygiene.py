@@ -177,6 +177,7 @@ def _shuffles(plan: str) -> int:
     ("part_demand_abc_xyz", 3),     # weekly agg + part agg + scan cum
     ("supplier_return_wilson", 1),  # one map-combined aggregate
     ("events_burst_minutes", 3),    # minute agg x2 sides + moments
+    ("lineitem_quantity_equidepth", 2),  # percentile scalar + bucket agg
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -856,3 +856,22 @@ def test_top_pc_matches_numpy(spark, sf_dir):
     r = out[0]["explained_ratio"]
     assert abs(r - rayleigh / evals.sum()) < 1e-3
     assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-4)
+
+
+# ------------------------------------------------------------ equi-depth
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    out = sorted((r.asDict() for r in
+                  REGISTRY["lineitem_quantity_equidepth"].fn(spark, sf_dir)
+                  .collect()), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in out] == list(range(len(out)))
+    total = sum(r["n"] for r in out)
+    # depth balance: no bucket more than 3x the ideal share (quantity
+    # has only ~50 distinct values, so ties make buckets lumpy)
+    for r in out:
+        assert r["n"] <= 3 * total / len(out)
+    # ranges are ordered and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a["hi_centi"] <= b["lo_centi"]
+        assert a["lo_centi"] <= a["hi_centi"]
