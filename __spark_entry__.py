@@ -104,7 +104,8 @@ PRIORITY = [
     "clickstream_top_paths", "source_zipf_slope", "order_cohort_ltv",
     "part_demand_abc_xyz", "pipeline_curation_v3", "ann_topk_ivfpq",
     "supplier_return_wilson", "events_burst_minutes", "embedding_top_pc",
-    "lineitem_quantity_equidepth",
+    "lineitem_quantity_equidepth", "stream_ab_guardrail",
+    "funnel_time_percentiles", "lsh_band_sweep",
 ]
 
 

@@ -140,8 +140,20 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     linear in true collisions — the property that makes this the 100 TB
     dedup strategy.
     """
-    rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    return lsh_pairs_from_sigs(sig, num_hashes=num_hashes, bands=bands,
+                               threshold=threshold, id_col=id_col)
+
+
+def lsh_pairs_from_sigs(sig: DataFrame, num_hashes: int = 16,
+                        bands: int = 4, threshold: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Banding + bucket join + in-aggregate verification over an
+    ALREADY-COMPUTED signature table — the re-banding entry point: a
+    parameter sweep (or an incremental run against stored signatures)
+    shingles the corpus once and tries several (bands, rows) splits
+    against the same `sig`."""
+    rows = num_hashes // bands
 
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}").cast("string")

@@ -8190,3 +8190,225 @@ def lineitem_quantity_equidepth(spark, sf_dir):
                  F.min("q").cast("long").alias("lo_centi"),
                  F.max("q").cast("long").alias("hi_centi"),
                  F.sum("q").cast("long").alias("sum_centi")))
+
+
+@register(
+    "stream_ab_guardrail",
+    """
+    WITH e AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2
+               AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (bucket = 0)::HUGEINT AS na,
+             count(*) FILTER (bucket = 1)::HUGEINT AS nb,
+             coalesce(sum(cents) FILTER (bucket = 0), 0)::HUGEINT AS sa,
+             coalesce(sum(cents) FILTER (bucket = 1), 0)::HUGEINT AS sb,
+             coalesce(sum(cents * cents) FILTER (bucket = 0), 0)::HUGEINT
+               AS qa,
+             coalesce(sum(cents * cents) FILTER (bucket = 1), 0)::HUGEINT
+               AS qb
+      FROM e GROUP BY event_type)
+    SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(sa::DOUBLE / na::DOUBLE / 100, 6) AS mean_a,
+           round(sb::DOUBLE / nb::DOUBLE / 100, 6) AS mean_b,
+           round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+                 / sqrt((na * qa - sa * sa)::DOUBLE
+                        / (na * (na - 1))::DOUBLE / na::DOUBLE
+                        + (nb * qb - sb * sb)::DOUBLE
+                        / (nb * (nb - 1))::DOUBLE / nb::DOUBLE), 6) AS z
+    FROM g""",
+    "streaming", "analytics",
+)
+def stream_ab_guardrail(spark, sf_dir):
+    """The A/B guardrail as a LIVE streaming metric: the events replay
+    (4 micro-batches) maintains per-(type, bucket) moment state —
+    count, Σcents, Σcents² as exact integers — in a complete-mode
+    streaming aggregation; the Welch z is computed from the final
+    state. Because every moment is a commutative integer sum, batch
+    order CANNOT matter, so the streamed guardrail hash-matches the
+    one-shot ab_test_zscores oracle with the plain (unordered) staged
+    replay — the experimentation dashboard an online system keeps,
+    with the batch query as its audit."""
+    tune(spark)
+    d38 = "decimal(38,0)"
+    src = _staged_events_stream(spark, sf_dir, n_files=4)
+    e = src.select(
+        "event_type",
+        (dedup.base_hash(F.col("user_id").cast("string")) % 2)
+         .alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    agg = (e.groupBy("event_type", "bucket")
+           .agg(F.count("*").cast(d38).alias("n"),
+                F.sum("cents").cast(d38).alias("s"),
+                F.sum(F.col("cents") * F.col("cents")).cast(d38)
+                 .alias("q")))
+    state = _run_to_memory(spark, agg, "stream_ab_guardrail_state",
+                           mode="complete")
+    a0 = F.col("bucket") == 0
+    g = state.groupBy("event_type").agg(
+        F.sum(F.when(a0, F.col("n")).otherwise(0)).cast(d38).alias("na"),
+        F.sum(F.when(~a0, F.col("n")).otherwise(0)).cast(d38).alias("nb"),
+        F.sum(F.when(a0, F.col("s")).otherwise(0)).cast(d38).alias("sa"),
+        F.sum(F.when(~a0, F.col("s")).otherwise(0)).cast(d38).alias("sb"),
+        F.sum(F.when(a0, F.col("q")).otherwise(0)).cast(d38).alias("qa"),
+        F.sum(F.when(~a0, F.col("q")).otherwise(0)).cast(d38).alias("qb"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    va = ((F.col("na") * F.col("qa") - F.col("sa") * F.col("sa"))
+          .cast("double") / (F.col("na") * (F.col("na") - 1)).cast("double"))
+    vb = ((F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb"))
+          .cast("double") / (F.col("nb") * (F.col("nb") - 1)).cast("double"))
+    return g.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(sa / na / 100, 6).alias("mean_a"),
+        F.round(sb / nb / 100, 6).alias("mean_b"),
+        F.round((sa / na - sb / nb) / F.sqrt(va / na + vb / nb), 6)
+         .alias("z"))
+
+
+@register(
+    "funnel_time_percentiles",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT p.user_id, p.p_us - v.v_us AS us
+      FROM p JOIN v USING (user_id))
+    SELECT count(*)::BIGINT AS n_converted,
+           round(quantile_cont(us, 0.5) / 1000000.0, 6) AS p50_s,
+           round(quantile_cont(us, 0.9) / 1000000.0, 6) AS p90_s,
+           round(max(us) / 1000000.0, 6) AS max_s
+    FROM lat""",
+    "relational", "analytics",
+)
+def funnel_time_percentiles(spark, sf_dir):
+    """Conversion LATENCY distribution: per user, the time from first
+    'view' to the first subsequent 'purchase', summarized as exact
+    interpolated p50/p90/max — the metric funnel_conversion's step
+    counts don't expose (HOW LONG the funnel takes, not just how
+    often it completes). Two per-user min-aggregates joined on
+    user_id (the second predicate-pushed to 'purchase' rows only),
+    then one scalar percentile pass over the |converters|-sized
+    latency table. Latencies stay integer microseconds until the
+    final seconds division."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("v_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", us.alias("e_us"))
+         .join(v, "user_id")
+         .filter(F.col("e_us") >= F.col("v_us"))
+         .groupBy("user_id").agg(F.min("e_us").alias("p_us")))
+    lat = (p.join(v, "user_id")
+           .select((F.col("p_us") - F.col("v_us")).alias("us")))
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(us, 0.5)") / 1_000_000.0, 6)
+         .alias("p50_s"),
+        F.round(F.expr("percentile(us, 0.9)") / 1_000_000.0, 6)
+         .alias("p90_s"),
+        F.round(F.max("us") / 1_000_000.0, 6).alias("max_s"))
+
+
+def _lsh_band_sweep_sql() -> str:
+    truth = """
+    w4 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    sh4 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     AS g
+            FROM w4)),
+    sz4 AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh4 GROUP BY doc_id),
+    truth AS (
+      SELECT i.doc_a, i.doc_b FROM (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*)::BIGINT AS i4
+        FROM sh4 l JOIN sh4 r USING (shingle)
+        WHERE l.doc_id < r.doc_id GROUP BY 1, 2) i
+      JOIN sz4 sa ON sa.doc_id = i.doc_a
+      JOIN sz4 sb ON sb.doc_id = i.doc_b
+      WHERE i.i4 / (sa.sz + sb.sz - i.i4) >= 0.5)"""
+    per = []
+    sel = []
+    for b in (2, 4, 8):
+        r = 16 // b
+        per.append(f"lsh_{b} AS (SELECT DISTINCT doc_a, doc_b FROM "
+                   f"({_minhash_pairs_sql(bands=b, rows=r, threshold=0.0)}))")
+        sel.append(f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           (SELECT count(*) FROM lsh_{b})::BIGINT AS n_pred,
+           (SELECT count(*) FROM truth)::BIGINT AS n_true,
+           (SELECT count(*) FROM lsh_{b} JOIN truth USING (doc_a, doc_b))
+             ::BIGINT AS tp,
+           round((SELECT count(*) FROM lsh_{b} JOIN truth
+                  USING (doc_a, doc_b))
+                 / greatest((SELECT count(*) FROM lsh_{b}), 1)::DOUBLE, 6)
+             AS precision,
+           round((SELECT count(*) FROM lsh_{b} JOIN truth
+                  USING (doc_a, doc_b))
+                 / greatest((SELECT count(*) FROM truth), 1)::DOUBLE, 6)
+             AS recall""")
+    return ("WITH " + truth.lstrip()[0:] + ",\n    "
+            + ",\n    ".join(per) + "\n" + "\n    UNION ALL".join(sel))
+
+
+@register("lsh_band_sweep", _lsh_band_sweep_sql(), "llm", "dedup",
+          "diagnostics")
+def lsh_band_sweep(spark, sf_dir):
+    """The banding-parameter tuning table: candidate precision/recall
+    for three (bands, rows) splits of the same 16-hash signature —
+    2x8 (high precision), 4x4, 8x2 (high recall) — against exact
+    3-gram Jaccard >= 0.5 truth. The S-curve trade-off
+    P(candidate) = 1 - (1 - J^rows)^bands made measurable: THE table
+    you consult before committing banding at 100 TB. Signatures are
+    computed once per config from the shared shingle machinery; truth
+    once."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = (dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+             .select("doc_a", "doc_b").localCheckpoint(eager=False))
+    # shingle + hash ONCE; each config only re-bands the stored
+    # signature table (dedup.lsh_pairs_from_sigs)
+    sigs = dedup.minhash_signatures(docs, num_hashes=16, n=3)         .localCheckpoint(eager=True)
+    n_true = truth.count()
+    out = None
+    for b in (2, 4, 8):
+        pred = (dedup.lsh_pairs_from_sigs(sigs, num_hashes=16, bands=b,
+                                          threshold=0.0)
+                .select("doc_a", "doc_b").distinct())
+        # ONE action per config: n_pred and tp from the same left join
+        stats = (pred.join(truth.withColumn("__t", F.lit(1)),
+                           ["doc_a", "doc_b"], "left")
+                 .agg(F.count("*").alias("n_pred"),
+                      F.count("__t").alias("tp")).collect()[0])
+        n_pred, tp = stats["n_pred"], stats["tp"]
+        row = spark.createDataFrame(
+            [(b, 16 // b, n_pred, n_true, tp)],
+            "bands int, rows_per_band int, n_pred bigint, n_true bigint, "
+            "tp bigint")
+        row = row.select(
+            "*",
+            F.round(F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1)), 6)
+             .alias("precision"),
+            F.round(F.col("tp") / F.greatest(F.col("n_true"), F.lit(1)), 6)
+             .alias("recall"))
+        out = row if out is None else out.unionByName(row)
+    return out

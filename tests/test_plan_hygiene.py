@@ -178,6 +178,7 @@ def _shuffles(plan: str) -> int:
     ("supplier_return_wilson", 1),  # one map-combined aggregate
     ("events_burst_minutes", 3),    # minute agg x2 sides + moments
     ("lineitem_quantity_equidepth", 2),  # percentile scalar + bucket agg
+    ("funnel_time_percentiles", 4),  # 2 per-user mins + join + scalar
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -875,3 +875,62 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
     for a, b in zip(out, out[1:]):
         assert a["hi_centi"] <= b["lo_centi"]
         assert a["lo_centi"] <= a["hi_centi"]
+
+
+# ---------------------------------------------------------- ab guardrail
+
+def test_stream_ab_guardrail_equals_batch(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    batch = sorted(map(tuple, REGISTRY["ab_test_zscores"]
+                       .fn(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, REGISTRY["stream_ab_guardrail"]
+                        .fn(spark, sf_dir).collect()))
+    assert batch == stream  # commutative moments: replay order is moot
+
+
+# ------------------------------------------------------- funnel latency
+
+def test_funnel_latency_hand_case(spark):
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # u1: view at t0, purchase at +10s -> converts in 10s
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + datetime.timedelta(seconds=10), 1, "purchase", 1.0, "{}"),
+        # u2: purchase BEFORE any view, view later, no purchase after
+        (2, base, 2, "purchase", 1.0, "{}"),
+        (3, base + datetime.timedelta(seconds=5), 2, "view", 1.0, "{}"),
+        # u3: view only
+        (4, base, 3, "view", 1.0, "{}"),
+        # u4: view at t0, purchases at +30s and +50s -> first wins
+        (5, base, 4, "view", 1.0, "{}"),
+        (6, base + datetime.timedelta(seconds=30), 4, "purchase", 1.0, "{}"),
+        (7, base + datetime.timedelta(seconds=50), 4, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["funnel_time_percentiles"].fn(spark, d).collect()[0]
+    assert out["n_converted"] == 2          # u1 and u4 only
+    assert out["p50_s"] == 20.0             # median of {10, 30}
+    assert out["max_s"] == 30.0
+
+
+# ---------------------------------------------------------- band sweep
+
+def test_band_sweep_monotone_in_bands(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    out = sorted((r.asDict() for r in
+                  REGISTRY["lsh_band_sweep"].fn(spark, sf_dir).collect()),
+                 key=lambda r: r["bands"])
+    assert [r["bands"] for r in out] == [2, 4, 8]
+    # with a fixed signature, a b-band match implies a 2b-band match:
+    # candidates (and hence recall) are monotone in bands
+    assert out[0]["n_pred"] <= out[1]["n_pred"] <= out[2]["n_pred"]
+    assert out[0]["recall"] <= out[1]["recall"] <= out[2]["recall"]
+    assert all(r["n_true"] == out[0]["n_true"] for r in out)
+    assert all(r["tp"] <= r["n_pred"] and r["tp"] <= r["n_true"]
+               for r in out)
