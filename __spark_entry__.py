@@ -106,6 +106,8 @@ PRIORITY = [
     "supplier_return_wilson", "events_burst_minutes", "embedding_top_pc",
     "lineitem_quantity_equidepth", "stream_ab_guardrail",
     "funnel_time_percentiles", "lsh_band_sweep",
+    "events_chi2_independence", "vocab_coverage_curve",
+    "gopher_rule_overlap",
 ]
 
 

@@ -8412,3 +8412,165 @@ def lsh_band_sweep(spark, sf_dir):
              .alias("recall"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "events_chi2_independence",
+    """
+    WITH c AS (
+      SELECT event_type, hour(ts) AS hr, count(*)::HUGEINT AS n
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT event_type, sum(n) AS nx FROM c GROUP BY 1),
+    my AS (SELECT hr, sum(n) AS ny FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c),
+    cells AS (
+      SELECT c.event_type, c.hr, c.n, mx.nx, my.ny, t.total,
+             (c.n * t.total - mx.nx * my.ny) AS dev
+      FROM c JOIN mx USING (event_type) JOIN my USING (hr)
+      CROSS JOIN t)
+    SELECT event_type,
+           round(sum((dev::DOUBLE / total::DOUBLE)
+                     * (dev::DOUBLE / total::DOUBLE)
+                     / (nx::DOUBLE * ny::DOUBLE / total::DOUBLE)), 6)
+             AS chi2_contrib,
+           count(*)::BIGINT AS n_cells
+    FROM cells GROUP BY event_type""",
+    "relational", "analytics", "anomaly",
+)
+def events_chi2_independence(spark, sf_dir):
+    """Chi-square independence screen between event type and
+    hour-of-day: per-type contribution to the global X² statistic —
+    the categorical complement of mutual_information_bands (MI
+    measures association in nats; X² is the classical test statistic
+    with a known null distribution). Deviations n·N − nx·ny are EXACT
+    integer cross-products; only the final normalized square runs in
+    double. One (type, hour) aggregate; marginals broadcast back onto
+    the |types|x24 cell table."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    c = (ev.select("event_type", F.hour("ts").alias("hr"))
+         .groupBy("event_type", "hr")
+         .agg(F.count("*").cast(d38).alias("n")))
+    mx = c.groupBy("event_type").agg(F.sum("n").alias("nx"))
+    my = c.groupBy("hr").agg(F.sum("n").alias("ny"))
+    t = c.agg(F.sum("n").alias("total"))
+    cells = (c.join(F.broadcast(mx), "event_type")
+             .join(F.broadcast(my), "hr").crossJoin(F.broadcast(t)))
+    dev = (F.col("n") * F.col("total")
+           - F.col("nx") * F.col("ny")).cast("double")
+    expected = (F.col("nx").cast("double") * F.col("ny").cast("double")
+                / F.col("total").cast("double"))
+    contrib = ((dev / F.col("total").cast("double"))
+               * (dev / F.col("total").cast("double")) / expected)
+    return (cells.groupBy("event_type")
+            .agg(F.round(F.sum(contrib), 6).alias("chi2_contrib"),
+                 F.count("*").cast("long").alias("n_cells")))
+
+
+@register(
+    "vocab_coverage_curve",
+    """
+    WITH cnt AS (
+      SELECT w, count(*)::BIGINT AS c FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents) GROUP BY w),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank,
+             sum(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt),
+    t AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS vocab
+          FROM cnt),
+    ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS k)
+    SELECT k::INT AS k,
+           coalesce((SELECT max(cum) FROM rk WHERE rank <= k), 0)::BIGINT
+             AS covered,
+           t.total AS total_tokens,
+           round(coalesce((SELECT max(cum) FROM rk WHERE rank <= k), 0)
+                 / t.total::DOUBLE, 6) AS coverage
+    FROM ks CROSS JOIN t""",
+    "llm", "text", "diagnostics",
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: the fraction of corpus token mass
+    covered by the top-k most frequent words at doubling cutoffs —
+    the sizing curve a tokenizer/vocabulary decision reads (where the
+    curve saturates is where additional vocab stops paying). One
+    frequency aggregate; the rank/cumsum window runs over the
+    VOCABULARY (not the token stream); cutoff lookups are a broadcast
+    of the tiny ranked table."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                       .alias("w"))
+           .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    w = Window.orderBy(F.col("c").desc(), "w")
+    rk = (cnt.withColumn("rank", F.row_number().over(w))
+          .withColumn("cum", F.sum("c").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    t = cnt.agg(F.sum("c").cast("long").alias("total_tokens"))
+    ks = spark.range(7).select(
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS INT)").alias("k"))
+    cov = (ks.join(F.broadcast(rk), F.col("rank") <= F.col("k"), "left")
+           .groupBy("k")
+           .agg(F.coalesce(F.max("cum"), F.lit(0)).cast("long")
+                .alias("covered")))
+    return (cov.crossJoin(F.broadcast(t))
+            .select("k", "covered", "total_tokens",
+                    F.round(F.col("covered") / F.col("total_tokens"), 6)
+                     .alias("coverage")))
+
+
+@register(
+    "gopher_rule_overlap",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnts AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS top_cnt,
+             sum(len(w) * cnt)::BIGINT AS n_chars,
+             sum(CASE WHEN w IN ('the', 'and', 'of', 'to', 'a')
+                      THEN cnt ELSE 0 END)::BIGINT AS stop_cnt,
+             sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                      THEN cnt ELSE 0 END)::BIGINT AS alpha_cnt
+      FROM cnts GROUP BY doc_id),
+    fails AS (
+      SELECT doc_id, unnest(list_filter([
+        CASE WHEN NOT (n_words >= 30 AND n_words <= 100000)
+             THEN 'word_count' END,
+        CASE WHEN NOT (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+             THEN 'mean_word_len' END,
+        CASE WHEN NOT (stop_cnt >= 2) THEN 'stopwords' END,
+        CASE WHEN NOT (5 * alpha_cnt >= 4 * n_words) THEN 'alpha_words' END,
+        CASE WHEN NOT (10 * top_cnt <= n_words) THEN 'dominance' END,
+        CASE WHEN NOT (5 * n_distinct >= 2 * n_words) THEN 'ttr' END],
+        x -> x IS NOT NULL)) AS rule
+      FROM per)
+    SELECT l.rule AS rule_a, r.rule AS rule_b, count(*)::BIGINT AS n_docs
+    FROM fails l JOIN fails r USING (doc_id)
+    WHERE l.rule <= r.rule
+    GROUP BY 1, 2""",
+    "llm", "text", "quality", "diagnostics",
+)
+def gopher_rule_overlap(spark, sf_dir):
+    """Rule-overlap matrix for the Gopher filter suite: how many
+    documents fail each rule (diagonal) and each PAIR of rules
+    jointly (off-diagonal) — the redundancy analysis that tells you
+    which rule would drop nothing new if removed (its row ≈ its
+    diagonal) before tuning thresholds at corpus scale. Failed-rule
+    names explode per doc (≤ 6 rows each), and the pair join is
+    per-doc-quadratic over those ≤ 6 rows — never corpus-quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = text.gopher_quality_flags(docs)
+    rules = ["word_count", "mean_word_len", "stopwords", "alpha_words",
+             "dominance", "ttr"]
+    arr = F.array(*[F.when(~F.col(f"flag_{r}"), F.lit(r)) for r in rules])
+    fails = (flags.select("doc_id", F.explode(arr).alias("rule"))
+             .filter(F.col("rule").isNotNull()))
+    return (fails.alias("l").join(fails.alias("r"), "doc_id")
+            .filter(F.col("l.rule") <= F.col("r.rule"))
+            .groupBy(F.col("l.rule").alias("rule_a"),
+                     F.col("r.rule").alias("rule_b"))
+            .agg(F.count("*").cast("long").alias("n_docs")))

@@ -179,6 +179,9 @@ def _shuffles(plan: str) -> int:
     ("events_burst_minutes", 3),    # minute agg x2 sides + moments
     ("lineitem_quantity_equidepth", 2),  # percentile scalar + bucket agg
     ("funnel_time_percentiles", 4),  # 2 per-user mins + join + scalar
+    ("events_chi2_independence", 8),  # cell agg reused by 3 marginals
+    ("vocab_coverage_curve", 5),    # vocab agg + rank window + cutoffs
+    ("gopher_rule_overlap", 5),     # gopher aggs + per-doc pair join
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -934,3 +934,92 @@ def test_band_sweep_monotone_in_bands(spark, sf_dir):
     assert all(r["n_true"] == out[0]["n_true"] for r in out)
     assert all(r["tp"] <= r["n_pred"] and r["tp"] <= r["n_true"]
                for r in out)
+
+
+# -------------------------------------------------------------------- chi2
+
+def test_chi2_near_zero_when_independent(spark):
+    import datetime, tempfile, os
+    rows = []
+    # type = i%3, hour = (i//3)%24 — exactly balanced => chi2 = 0
+    for i in range(3 * 24 * 5):
+        ts = datetime.datetime(2024, 1, 1, (i // 3) % 24, 0, 0)
+        rows.append((i, ts, i % 7, f"t{i % 3}", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = REGISTRY["events_chi2_independence"].fn(spark, d).collect()
+    assert all(r["chi2_contrib"] == 0.0 for r in out)
+    assert all(r["n_cells"] == 24 for r in out)
+
+
+def test_chi2_matches_scipy_free_formula(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.sources.tables import load_table
+    out = {r["event_type"]: r["chi2_contrib"] for r in
+           REGISTRY["events_chi2_independence"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", F.hour("ts").alias("h")).collect()
+    from collections import Counter
+    cells = Counter((r["event_type"], r["h"]) for r in ev)
+    nx = Counter(r["event_type"] for r in ev)
+    ny = Counter(r["h"] for r in ev)
+    N = len(ev)
+    for t in nx:
+        chi = sum((cells[(t, h)] - nx[t] * ny[h] / N) ** 2
+                  / (nx[t] * ny[h] / N)
+                  for h in ny if (t, h) in cells)
+        assert abs(out[t] - chi) < 1e-4, t
+
+
+# ---------------------------------------------------------- coverage curve
+
+def test_coverage_curve_hand_case_and_monotone(spark, sf_dir):
+    import tempfile, os
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d", "en", "s", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["k"]: r["coverage"]
+           for r in REGISTRY["vocab_coverage_curve"].fn(spark, d).collect()}
+    assert out[1] == 0.5          # 'a' = 4 of 8
+    assert out[2] == 0.75         # + 'b'
+    assert out[4] == 1.0 and out[64] == 1.0
+    # corpus: monotone non-decreasing in k
+    big = sorted((r["k"], r["coverage"]) for r in
+                 REGISTRY["vocab_coverage_curve"].fn(spark, sf_dir)
+                 .collect())
+    cov = [c for _, c in big]
+    assert cov == sorted(cov) and cov[-1] == 1.0  # vocab is 31 < 64
+
+
+# ------------------------------------------------------------ rule overlap
+
+def test_rule_overlap_consistent_with_flags(spark, sf_dir):
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.operators.text import gopher_quality_flags
+    from examples_scala_spark.sources.tables import load_table
+    out = {(r["rule_a"], r["rule_b"]): r["n_docs"] for r in
+           REGISTRY["gopher_rule_overlap"].fn(spark, sf_dir).collect()}
+    flags = gopher_quality_flags(load_table(spark, sf_dir, "documents")) \
+        .collect()
+    rules = ["word_count", "mean_word_len", "stopwords", "alpha_words",
+             "dominance", "ttr"]
+    from collections import Counter
+    direct = Counter()
+    for r in flags:
+        failed = [ru for ru in rules if not r[f"flag_{ru}"]]
+        for a in failed:
+            for b in failed:
+                if a <= b:
+                    direct[(a, b)] += 1
+    assert out == dict(direct)
+    # diagonal dominates any off-diagonal involving the rule
+    for (a, b), n in out.items():
+        if a != b:
+            assert n <= out.get((a, a), 0) and n <= out.get((b, b), 0)
