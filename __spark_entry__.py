@@ -107,7 +107,8 @@ PRIORITY = [
     "lineitem_quantity_equidepth", "stream_ab_guardrail",
     "funnel_time_percentiles", "lsh_band_sweep",
     "events_chi2_independence", "vocab_coverage_curve",
-    "gopher_rule_overlap",
+    "gopher_rule_overlap", "quality_signal_correlation",
+    "events_value_autocorr",
 ]
 
 

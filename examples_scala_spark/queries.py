@@ -8574,3 +8574,117 @@ def gopher_rule_overlap(spark, sf_dir):
             .groupBy(F.col("l.rule").alias("rule_a"),
                      F.col("r.rule").alias("rule_b"))
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def _quality_corr_sql() -> str:
+    qs = REGISTRY["quality_score"].oracle
+    ppl = REGISTRY["doc_bigram_logppl"].oracle
+    return f"""
+    WITH qs AS (SELECT doc_id, quality_score FROM ({qs})),
+    ppl AS (SELECT doc_id, n_bigrams, avg_neg_logprob FROM ({ppl})),
+    j AS (
+      SELECT CAST(round(qs.quality_score * 100) AS HUGEINT) AS x,
+             CAST(round(ppl.avg_neg_logprob * 1000000) AS HUGEINT) AS y
+      FROM qs JOIN ppl USING (doc_id) WHERE ppl.n_bigrams > 0),
+    m AS (
+      SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j)
+    SELECT n::BIGINT AS n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE)
+                 / sqrt((n * syy - sy * sy)::DOUBLE), 6) AS pearson_r
+    FROM m"""
+
+
+@register("quality_signal_correlation", _quality_corr_sql(),
+          "llm", "quality", "diagnostics")
+def quality_signal_correlation(spark, sf_dir):
+    """Pearson correlation between two independent quality signals —
+    the rule-based composite quality_score and the model-based LM
+    perplexity — the agreement check run before trusting either as a
+    standalone filter (a strongly negative r says the cheap rules
+    already capture most of what the LM sees; r near 0 says they are
+    complementary). Both signals are already 2-/6-dp rounded, so
+    scaling to integer units makes every moment sum EXACT; the final
+    r is two square roots and a division. One join + one moment
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    qs = docs.select("doc_id",
+                     text.quality_score_col(F.col("text"))
+                      .alias("quality_score"))
+    ppl = REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir)
+    j = (qs.join(ppl.filter(F.col("n_bigrams") > 0), "doc_id")
+         .select(F.round(F.col("quality_score") * 100).cast(d38).alias("x"),
+                 F.round(F.col("avg_neg_logprob") * 1_000_000).cast(d38)
+                  .alias("y")))
+    m = j.agg(F.count("*").cast(d38).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx")
+                 - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy")
+                 - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(F.col("n").cast("bigint").alias("n"),
+                    F.round(num / dx / dy, 6).alias("pearson_r"))
+
+
+@register(
+    "events_value_autocorr",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS HUGEINT) AS x,
+             CAST(round(lead(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) * 100)
+               AS HUGEINT) AS y
+      FROM events),
+    p AS (SELECT event_type, x, y FROM s WHERE y IS NOT NULL),
+    m AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+             sum(y * y) AS syy
+      FROM p GROUP BY event_type)
+    SELECT event_type, n::BIGINT AS n_pairs,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE)
+                 / sqrt((n * syy - sy * sy)::DOUBLE), 6) AS lag1_autocorr
+    FROM m""",
+    "relational", "timeseries", "diagnostics",
+)
+def events_value_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of event values per type — the
+    memory-vs-noise diagnostic (near 0 = independent draws, so
+    sequence models add nothing; high = temporal structure worth a
+    forecaster). Consecutive pairs come from ONE lead() on the shared
+    per-type ordering shuffle; Pearson moments accumulate as exact
+    integer cents so the hash is order-proof; only the final
+    normalization runs in double."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (ev.select("event_type",
+                   F.round(F.col("value") * 100).cast(d38).alias("x"),
+                   F.round(F.lead("value").over(w) * 100).cast(d38)
+                    .alias("y"))
+         .filter(F.col("y").isNotNull()))
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx")
+                 - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy")
+                 - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select("event_type", F.col("n").cast("bigint")
+                    .alias("n_pairs"),
+                    F.round(num / dx / dy, 6).alias("lag1_autocorr"))

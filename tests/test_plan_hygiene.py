@@ -182,6 +182,8 @@ def _shuffles(plan: str) -> int:
     ("events_chi2_independence", 8),  # cell agg reused by 3 marginals
     ("vocab_coverage_curve", 5),    # vocab agg + rank window + cutoffs
     ("gopher_rule_overlap", 5),     # gopher aggs + per-doc pair join
+    ("events_value_autocorr", 2),   # type window + moment agg
+    ("quality_signal_correlation", 6),  # ppl chain + join + moments
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -1023,3 +1023,52 @@ def test_rule_overlap_consistent_with_flags(spark, sf_dir):
     for (a, b), n in out.items():
         if a != b:
             assert n <= out.get((a, a), 0) and n <= out.get((b, b), 0)
+
+
+# ------------------------------------------------------------ correlations
+
+def test_quality_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from examples_scala_spark.queries import REGISTRY
+    from examples_scala_spark.operators.text import quality_score_col
+    from examples_scala_spark.sources.tables import load_table
+    out = REGISTRY["quality_signal_correlation"].fn(spark, sf_dir) \
+        .collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    qs = {r["doc_id"]: r["q"] for r in
+          docs.select("doc_id",
+                      quality_score_col(F.col("text")).alias("q"))
+          .collect()}
+    ppl = {r["doc_id"]: r["avg_neg_logprob"] for r in
+           REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir).collect()
+           if r["n_bigrams"] > 0}
+    ids = sorted(set(qs) & set(ppl))
+    x = np.array([round(qs[i] * 100) for i in ids], float)
+    y = np.array([round(ppl[i] * 1e6) for i in ids], float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n"] == len(ids)
+    assert abs(out["pearson_r"] - r) < 1e-5
+
+
+def test_autocorr_detects_constructed_memory(spark):
+    import datetime, tempfile, os
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    # 'trend': strictly increasing -> autocorr ~ 1
+    # 'alt': alternating high/low -> autocorr ~ -1
+    for i in range(300):
+        ts = base + datetime.timedelta(seconds=i)
+        rows.append((2 * i, ts, 1, "trend", float(i), "{}"))
+        rows.append((2 * i + 1, ts, 1, "alt",
+                     100.0 if i % 2 == 0 else 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["event_type"]: r["lag1_autocorr"]
+           for r in REGISTRY["events_value_autocorr"].fn(spark, d)
+           .collect()}
+    assert out["trend"] > 0.99
+    assert out["alt"] < -0.99
