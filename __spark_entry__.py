@@ -108,7 +108,7 @@ PRIORITY = [
     "funnel_time_percentiles", "lsh_band_sweep",
     "events_chi2_independence", "vocab_coverage_curve",
     "gopher_rule_overlap", "quality_signal_correlation",
-    "events_value_autocorr",
+    "events_value_autocorr", "stream_distinct_sketch",
 ]
 
 

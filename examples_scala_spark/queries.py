@@ -8688,3 +8688,38 @@ def events_value_autocorr(spark, sf_dir):
     return m.select("event_type", F.col("n").cast("bigint")
                     .alias("n_pairs"),
                     F.round(num / dx / dy, 6).alias("lag1_autocorr"))
+
+
+@register(
+    "stream_distinct_sketch",
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type""",
+    "streaming", "sketch", "R3",
+)
+def stream_distinct_sketch(spark, sf_dir):
+    """Distinct-user sketches maintained as STREAMING state: the
+    events replay (4 micro-batches) feeds a complete-mode HLL
+    aggregation per event type — the live distinct-count dashboard
+    backed by mergeable sketch state instead of an unbounded exact
+    set. Because HLL union is associative and commutative, the
+    streamed sketch is BIT-IDENTICAL to the one-shot batch sketch
+    whatever the batch split (asserted in tests); the gate row hashes
+    the exact count plus the same 4%% error-bound boolean as
+    user_hll_rollup, so the check stays green at any scale factor."""
+    tune(spark)
+    src = _staged_events_stream(spark, sf_dir, n_files=4)
+    agg = (src.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")))
+    state = _run_to_memory(spark, agg, "stream_distinct_sketch_state",
+                           mode="complete")
+    est = state.select("event_type",
+                       F.hll_sketch_estimate("sk").alias("est"))
+    exact = (_t(spark, sf_dir, "events").groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n_exact")))
+    return (exact.join(F.broadcast(est), "event_type")
+            .select("event_type", "n_exact",
+                    (F.abs(F.col("est") - F.col("n_exact"))
+                     <= F.greatest(F.lit(1.0), F.col("n_exact") * 0.04))
+                    .alias("within_bound")))

@@ -1072,3 +1072,25 @@ def test_autocorr_detects_constructed_memory(spark):
            .collect()}
     assert out["trend"] > 0.99
     assert out["alt"] < -0.99
+
+
+# --------------------------------------------------------- stream sketch
+
+def test_stream_hll_equals_batch_sketch(spark, sf_dir):
+    """Mergeability: the streamed (4-batch) HLL estimate must equal
+    the one-shot batch sketch estimate exactly."""
+    from examples_scala_spark.queries import (
+        _staged_events_stream, _run_to_memory)
+    from examples_scala_spark.sources.tables import load_table
+    src = _staged_events_stream(spark, sf_dir, n_files=4)
+    agg = (src.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")))
+    state = _run_to_memory(spark, agg, "hll_merge_test", mode="complete")
+    streamed = {r["event_type"]: r["est"] for r in state.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")).collect()}
+    batch = {r["event_type"]: r["est"] for r in
+             load_table(spark, sf_dir, "events").groupBy("event_type")
+             .agg(F.hll_sketch_estimate(
+                 F.hll_sketch_agg("user_id", F.lit(14))).alias("est"))
+             .collect()}
+    assert streamed == batch
