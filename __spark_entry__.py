@@ -109,6 +109,7 @@ PRIORITY = [
     "events_chi2_independence", "vocab_coverage_curve",
     "gopher_rule_overlap", "quality_signal_correlation",
     "events_value_autocorr", "stream_distinct_sketch",
+    "user_activity_gini", "events_runs_test",
 ]
 
 

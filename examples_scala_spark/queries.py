@@ -8723,3 +8723,119 @@ def stream_distinct_sketch(spark, sf_dir):
                     (F.abs(F.col("est") - F.col("n_exact"))
                      <= F.greatest(F.lit(1.0), F.col("n_exact") * 0.04))
                     .alias("within_bound")))
+
+
+@register(
+    "user_activity_gini",
+    """
+    WITH u AS (
+      SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM u),
+    m AS (
+      SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(rk::HUGEINT * x)::HUGEINT AS srx
+      FROM r)
+    SELECT n::BIGINT AS n_users, sx::BIGINT AS n_events,
+           round((2 * srx)::DOUBLE / (n * sx)::DOUBLE
+                 - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+    FROM m""",
+    "relational", "analytics",
+)
+def user_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user event counts — the heavy-user
+    concentration number (0 = everyone equally active, →1 = a few
+    users generate everything) that sizes both product risk and the
+    key-skew a keyed pipeline must survive. Uses the closed form
+    G = 2·Σ rank·x / (n·Σx) − (n+1)/n over ascending counts; the
+    global rank comes from the distributed three-step scan
+    (operators/prefix.py — rank = running count), so no
+    single-partition window touches the user table, and all three
+    moments are exact integers."""
+    from .operators.prefix import ordered_prefix_sum
+    ev = _t(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+         .withColumn("__one", F.lit(1).cast("long")))
+    r = ordered_prefix_sum(
+        u, [F.col("x").asc(), F.col("user_id").asc()], "__one",
+        out_col="rk", partitions=8)
+    d38 = "decimal(38,0)"
+    m = r.agg(F.count("*").cast(d38).alias("n"),
+              F.sum("x").cast(d38).alias("sx"),
+              F.sum(F.col("rk").cast(d38) * F.col("x").cast(d38))
+               .alias("srx"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("n_events"),
+        F.round((2 * F.col("srx")).cast("double")
+                / (F.col("n") * F.col("sx")).cast("double")
+                - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+                6).alias("gini"))
+
+
+@register(
+    "events_runs_test",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type),
+    s AS (
+      SELECT e.event_type,
+             CASE WHEN e.value > med.m THEN 1 ELSE 0 END AS up,
+             lag(CASE WHEN e.value > med.m THEN 1 ELSE 0 END) OVER (
+               PARTITION BY e.event_type ORDER BY e.ts, e.event_id)
+               AS prev
+      FROM events e JOIN med USING (event_type)),
+    g AS (
+      SELECT event_type,
+             (1 + sum(CASE WHEN prev IS NOT NULL AND up <> prev
+                           THEN 1 ELSE 0 END))::HUGEINT AS runs,
+             sum(up)::HUGEINT AS n1,
+             sum(1 - up) FILTER (TRUE)::HUGEINT AS n0
+      FROM s GROUP BY event_type)
+    SELECT event_type, runs::BIGINT AS runs,
+           n1::BIGINT AS n_above, n0::BIGINT AS n_below,
+           round((runs::DOUBLE
+                  - (1.0 + 2.0 * n1 * n0 / (n1 + n0)::DOUBLE))
+                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                        / ((n1 + n0)::DOUBLE * (n1 + n0)::DOUBLE
+                           * (n1 + n0 - 1)::DOUBLE)), 6) AS z
+    FROM g""",
+    "relational", "timeseries", "diagnostics",
+)
+def events_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per event type: is the above/below-
+    median sequence random, or does it cluster (z << 0 = sticky
+    regimes, z >> 0 = oscillation)? The nonparametric cousin of the
+    lag-1 autocorrelation — sensitive to ANY serial dependence, not
+    just linear. Run count = 1 + sign changes from one lag() on the
+    shared per-type ordering shuffle; run/above/below counts are
+    exact integers; only the final normal approximation divides in
+    double."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (ev.join(F.broadcast(med), "event_type")
+         .select("event_type", "ts", "event_id",
+                 F.when(F.col("value") > F.col("m"), 1).otherwise(0)
+                  .alias("up"))
+         .withColumn("prev", F.lag("up").over(w)))
+    d38 = "decimal(38,0)"
+    g = s.groupBy("event_type").agg(
+        (1 + F.sum(F.when(F.col("prev").isNotNull()
+                          & (F.col("up") != F.col("prev")), 1)
+                   .otherwise(0))).cast(d38).alias("runs"),
+        F.sum("up").cast(d38).alias("n1"),
+        F.sum(1 - F.col("up")).cast(d38).alias("n0"))
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    nn = n1 + n0
+    mean = 1.0 + 2.0 * n1 * n0 / nn
+    var = (2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+           / (nn * nn * (nn - 1)))
+    return g.select(
+        "event_type", F.col("runs").cast("bigint").alias("runs"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n0").cast("bigint").alias("n_below"),
+        F.round((F.col("runs").cast("double") - mean) / F.sqrt(var), 6)
+         .alias("z"))

@@ -184,6 +184,7 @@ def _shuffles(plan: str) -> int:
     ("gopher_rule_overlap", 5),     # gopher aggs + per-doc pair join
     ("events_value_autocorr", 2),   # type window + moment agg
     ("quality_signal_correlation", 6),  # ppl chain + join + moments
+    ("events_runs_test", 3),        # median agg + type window + moments
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

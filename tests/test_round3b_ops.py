@@ -1094,3 +1094,67 @@ def test_stream_hll_equals_batch_sketch(spark, sf_dir):
                  F.hll_sketch_agg("user_id", F.lit(14))).alias("est"))
              .collect()}
     assert streamed == batch
+
+
+# -------------------------------------------------------------------- gini
+
+def test_gini_known_distributions(spark):
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+
+    def write(counts):
+        rows = []
+        eid = 0
+        for u, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, base, u, "click", 1.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        d = tempfile.mkdtemp()
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    from examples_scala_spark.queries import REGISTRY
+    equal = REGISTRY["user_activity_gini"].fn(
+        spark, write([5] * 40)).collect()[0]
+    assert equal["gini"] == 0.0
+    skewed = REGISTRY["user_activity_gini"].fn(
+        spark, write([1] * 39 + [961])).collect()[0]
+    # closed form for one dominant user: G ~ (n-1)/n * dominant share
+    assert skewed["gini"] > 0.9
+    # numpy cross-check on the skewed case
+    import numpy as np
+    x = np.sort(np.array([1] * 39 + [961], float))
+    n = len(x)
+    g = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert abs(skewed["gini"] - g) < 1e-6
+
+
+# --------------------------------------------------------------- runs test
+
+def test_runs_test_detects_regimes_and_oscillation(spark):
+    import datetime, tempfile, os
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        ts = base + datetime.timedelta(seconds=i)
+        # 'sticky': 200 low then 200 high -> 2 runs, z << 0
+        rows.append((eid, ts, 1, "sticky",
+                     10.0 if i < 200 else 90.0, "{}")); eid += 1
+        # 'osc': alternating -> maximal runs, z >> 0
+        rows.append((eid, ts, 1, "osc",
+                     10.0 if i % 2 == 0 else 90.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from examples_scala_spark.queries import REGISTRY
+    out = {r["event_type"]: r.asDict()
+           for r in REGISTRY["events_runs_test"].fn(spark, d).collect()}
+    assert out["sticky"]["runs"] == 2 and out["sticky"]["z"] < -15
+    assert out["osc"]["runs"] == 400 and out["osc"]["z"] > 15
+    assert out["osc"]["n_above"] == 200 and out["osc"]["n_below"] == 200
