@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget doesn't reach stays never-evaluated and is front-loaded by
 # the auto-rotation next round (_ordered_names ranks no-history
 # first), so each round's budget picks up where the last stopped.
-# tools/verify_local.py checks ALL entries every time; 209/209 pass at
+# tools/verify_local.py checks ALL entries every time; 211/211 pass at
 # sf0.01 — including under a fully vanilla driver-identical
 # session (tools/verify_local.py --vanilla).
 PRIORITY = [
