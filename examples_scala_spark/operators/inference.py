@@ -88,7 +88,7 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
     pandas UDF with a FIXED zlib level — byte-deterministic, which the
     tests pin against direct zlib calls. Scan-bound and embarrassingly
     parallel; the UDF ships back one long per row.
-    Returns (doc_id, n_chars, z_len, ratio = n_chars / z_len)."""
+    Returns (doc_id, n_chars, n_bytes, z_len, ratio = n_chars / z_len)."""
     import zlib
 
     @pandas_udf("long")
@@ -98,6 +98,8 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
 
     return (docs.select(F.col(id_col),
                         F.length(text_col).cast("bigint").alias("n_chars"),
+                        F.octet_length(text_col).cast("bigint")
+                         .alias("n_bytes"),
                         zlen(F.col(text_col)).alias("z_len"))
             .withColumn("ratio",
                         F.round(F.col("n_chars") / F.col("z_len"), 6)))

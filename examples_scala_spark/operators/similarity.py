@@ -738,12 +738,18 @@ def top_principal_component(emb: DataFrame, dim: int = 64,
     if v[pivot] < 0:
         v = [-c for c in v]
 
-    _, tt, ss, _ = one_pass(mu, v, want=True)
+    w, tt, ss, _ = one_pass(mu, v, want=True)
     eig = tt / max(n - 1, 1)
     total = ss / max(n - 1, 1)
+    # convergence diagnostic: ||Cv - lambda v|| / lambda (w/(n-1) = Cv
+    # from the same final pass, so this costs nothing extra)
+    cv = np.asarray(w) / max(n - 1, 1)
+    dv = cv - eig * np.asarray(v)
+    residual = math.sqrt(float(dv @ dv)) / eig if eig else 0.0
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(d, round(v[d], 6), round(eig, 6),
-          round(eig / total if total else 0.0, 6)) for d in range(dim)],
+          round(eig / total if total else 0.0, 6),
+          round(residual, 6), int(n)) for d in range(dim)],
         "dim_idx int, loading double, eigenvalue double, "
-        "explained_ratio double")
+        "explained_ratio double, residual_ratio double, n_vectors bigint")

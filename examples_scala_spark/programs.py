@@ -330,6 +330,87 @@ def transactional_sink(spark):
         s, "1 second", F.avg("temperature").alias("avg_temp"), key=None)
 
 
+def _wal_stdout_writer():
+    import sys
+    import tempfile
+
+    def to_stdout(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # demo sink: tiny 1-row windows
+            print(f"WAL>> batch={batch_id} {tuple(row)}", file=sys.stderr)
+
+    return IdempotentBatchWriter(tempfile.mkdtemp(prefix="sgs_wal_stdout_"),
+                                 write_fn=to_stdout)
+
+
+@program("write_ahead_sink", "chapter8/WriteAheadSinkExample.scala:38-197",
+         foreach_batch=_wal_stdout_writer())
+def write_ahead_sink(spark):
+    """StdOutWriteAheadSink: the global 1 s average (ISO window-end
+    string, like the reference's collector) reaches stdout only when
+    its micro-batch COMMITS — the committed-batchId log skips batches
+    replayed after recovery, so output is duplicate-free where a plain
+    print sink would re-emit (the comparison the reference program
+    stages). The FailingMapper chaos half is proven by the dedicated
+    recovery test (injected sink failure + restart-from-checkpoint);
+    wiring it into the live demo would only kill the query."""
+    from .functions.scalar import iso_datetime
+
+    s = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    avg = agg.windowed_agg(
+        s, "1 second", F.avg("temperature").alias("avg_temp"), key=None)
+    return avg.select(
+        iso_datetime(F.timestamp_seconds(F.col("window_end"))).alias("t"),
+        "avg_temp")
+
+
+def _derby_style_upserter():
+    """Keyed upsert with the reference's read-back loop: every batch
+    upserts (sensor -> latest celsius temp) into the bucketed parquet
+    table and prints the full 10-row table ordered by sensor — the
+    DerbyReader poll thread (IdempotentSinkFunctionExample.scala:33-36)
+    as a per-commit readback."""
+    import sys
+    import tempfile
+
+    from .streaming.sinks import parquet_upsert_writer
+
+    table_dir = tempfile.mkdtemp(prefix="sgs_upsert_table_")
+    upsert = parquet_upsert_writer(table_dir, "sensor", "temp", buckets=4)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        upsert(batch_df, batch_id)
+        spark = batch_df.sparkSession
+        try:  # empty until the first non-empty batch lands
+            table = spark.read.parquet(table_dir)
+        except Exception:
+            return
+        rows = table.select("sensor", "temp").orderBy("sensor").collect()
+        for row in rows:
+            print(f"TABLE>> {row['sensor']} {row['temp']:.2f}",
+                  file=sys.stderr)
+
+    return write
+
+
+@program("idempotent_sink", "chapter8/IdempotentSinkFunctionExample.scala:30-109",
+         output_mode="update", foreach_batch=_derby_style_upserter())
+def idempotent_sink(spark):
+    """DerbyUpsertSink: Fahrenheit→Celsius readings upserted into a
+    table keyed on sensor id — last write per key wins, so
+    at-least-once redelivery converges to exactly-once state (the
+    reference's UPDATE-then-INSERT, here a bucketed-parquet MERGE that
+    rewrites only touched buckets). The stream stage keeps the latest
+    reading per sensor per batch so the sink sees <=1 row per key."""
+    from .functions.scalar import fahrenheit_to_celsius_col
+
+    s = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    c = s.select(F.col("id").alias("sensor"),
+                 fahrenheit_to_celsius_col(F.col("temperature"))
+                 .alias("temp"), "ts")
+    return (c.groupBy("sensor")
+            .agg(F.max_by("temp", "ts").alias("temp")))
+
+
 # ------------------------------------------------------------------ runner
 
 def run_program(spark: SparkSession, name: str, duration: int = 10,

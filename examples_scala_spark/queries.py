@@ -1835,7 +1835,59 @@ def ann_topk_lsh(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"), "cos")
 
 
-@register("ann_topk_pq", None, "llm", "similarity", "sketch")
+# Exact DuckDB twin of the PQ-ADC pipeline: the codebook is a
+# deterministic id-sample, encoding is argmin over 16 codes per
+# subspace (expanded ||x||^2 - 2xb + ||b||^2, the same float form
+# pq_encode evaluates), and the per-query distance table is the direct
+# squared-diff form pq_adc_topk builds — so the approximate distances
+# themselves are value-checkable, not just a recall bound.
+_PQ_CODES_CTES = """
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS bv
+      FROM (SELECT vec_id, v FROM e WHERE vec_id % 23 = 1
+            ORDER BY vec_id LIMIT 16)),
+    ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+    xs AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS xv FROM e CROSS JOIN ss),
+    bs AS (SELECT code, s, bv[s*8+1 : s*8+8] AS sv FROM bk CROSS JOIN ss),
+    enc AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (
+               PARTITION BY vec_id, s
+               ORDER BY list_dot_product(xv, xv)
+                        - 2 * list_dot_product(xv, sv)
+                        + list_dot_product(sv, sv), code) AS rn
+      FROM xs JOIN bs USING (s)),
+    codes AS (SELECT vec_id, s, code FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+    qs AS (SELECT query_id, s, qv[s*8+1 : s*8+8] AS qsv
+           FROM q CROSS JOIN ss),
+    tab AS (
+      SELECT query_id, s, code,
+             list_sum(list_transform(generate_series(1, 8),
+                 i -> (qsv[i] - sv[i]) * (qsv[i] - sv[i]))) AS d
+      FROM qs JOIN bs USING (s))"""
+
+_PQ_SQL = f"""
+    WITH {_PQ_CODES_CTES},
+    ad AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.d) AS adist
+      FROM codes c JOIN tab t ON t.s = c.s AND t.code = c.code
+      WHERE c.vec_id != t.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM ad)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           round(adist, 6) AS adist
+    FROM ranked WHERE rank <= 5"""
+
+
+@register("ann_topk_pq", _PQ_SQL, "llm", "similarity", "sketch")
 def ann_topk_pq(spark, sf_dir):
     """Product-quantization top-5 by asymmetric distance computation
     (operators/similarity.py:pq_adc_topk): 64-float vectors compressed
@@ -1843,9 +1895,9 @@ def ann_topk_pq(spark, sf_dir):
     distance-table lookups, per-partition local top-k so the final
     shuffle carries only queries x k rows per partition — the memory
     half of the IVF-PQ architecture every RAM-resident 100 TB ANN index
-    uses. Rows-only: ADC distances are algorithm-specific; the exact
-    regime (codebook covers every vector => ADC == exact L2 ranking) is
-    asserted in tests/test_operators.py."""
+    uses. The codebook is a deterministic id-sample, so the WHOLE ADC
+    pipeline (encode argmin, distance tables, ranking) is reproduced in
+    the DuckDB oracle and value-checked end to end."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(emb, k=5, query_mod=50, m=8, codes=16,
                                   dim=64, sample_mod=23)
@@ -2144,7 +2196,23 @@ def stream_delta_alerts(spark, sf_dir):
 
 @register(
     "stream_early_firing",
-    None,  # timer-driven early firing is not SQL-expressible — rows-only
+    """
+    WITH e AS (
+      SELECT 'sensor_' || ((user_id % 10) + 1)::VARCHAR AS id,
+             (epoch_us(ts) // 1000) AS ms
+      FROM events),
+    wm AS (SELECT max(ms) - 5000 AS w FROM e),
+    c AS (SELECT id, (ms // 3600000) * 3600000 AS window_start,
+                 count(*)::BIGINT AS cnt
+          FROM e GROUP BY 1, 2)
+    SELECT c.id, window_start::BIGINT AS window_start,
+           (window_start + 3600000)::BIGINT AS window_end,
+           (CASE WHEN wm.w >= window_start + 3600000
+                 THEN window_start + 3600000
+                 ELSE wm.w - (wm.w % 600000) END)::BIGINT AS fire_ms,
+           cnt, (wm.w >= window_start + 3600000) AS is_final
+    FROM c CROSS JOIN wm
+    WHERE wm.w >= window_start + 600000""",
     "streaming", "W4", "W6",
 )
 def stream_early_firing(spark, sf_dir):
@@ -2152,9 +2220,17 @@ def stream_early_firing(spark, sf_dir):
     bounded stream through the early-firing tumbling window counter
     (streaming/timers.py — event-time timeout re-armed as a timer
     service; partial FIREs per interval tick, FIRE_AND_PURGE at window
-    end). The fixed-window final counts are oracle-checked separately
-    by w_count_30s; this entry exercises the timer path itself, so the
-    driver records a rows-only check."""
+    end). Under this replay (one data micro-batch — a single parquet
+    file under availableNow — followed by SS's no-data timeout batch)
+    the watermark trajectory is deterministic: wm=0 during the data
+    batch (no fires), then wm = max event ms - 5000 for the timeout
+    batch, in which every window fires exactly once — FIRE_AND_PURGE
+    where wm >= end, an early FIRE at the latest due interval tick
+    where wm >= start + interval. That closed form IS the oracle, so
+    both final AND partial fires are value-checked, not rows-only.
+    (A multi-batch replay would interleave partial fires per batch —
+    the timer semantics themselves are additionally covered by
+    dedicated tests.)"""
     import tempfile
 
     tune(spark)
@@ -6183,15 +6259,37 @@ def sliding_distinct_users(spark, sf_dir):
             .agg(F.count("*").alias("distinct_users")))
 
 
-@register("doc_compression_ratio", None, "llm", "quality")
+@register(
+    "doc_compression_ratio",
+    """
+    SELECT doc_id, length(text)::BIGINT AS n_chars,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           TRUE AS z_within_bound
+    FROM documents""",
+    "llm", "quality",
+)
 def doc_compression_ratio(spark, sf_dir):
-    """Compression-ratio quality signal (rows-only: no SQL engine
-    exposes zlib, so the oracle cannot reproduce it — the tests pin
-    the exact byte counts against direct zlib calls instead).
-    operators/inference.py:compression_ratio."""
+    """Compression-ratio quality signal
+    (operators/inference.py:compression_ratio). No SQL engine exposes
+    zlib, so the gate row carries the CHECKABLE ENVELOPE instead of
+    the raw ratio: z_within_bound is true iff the UDF's compressed
+    length lands inside zlib's published bounds — at least the 8-byte
+    minimal stream (2-byte header + empty stored block + 4-byte
+    adler32) and at most compressBound(n) = n + n/1000 + 13 for the
+    doc's UTF-8 byte length. The oracle recomputes n_chars/n_bytes
+    exactly and asserts TRUE, so the row hash-fails if the compressor
+    path returns garbage; the exact byte counts are additionally
+    pinned against direct zlib calls in tests. The full
+    (z_len, ratio) surface stays on the operator."""
     from .operators.inference import compression_ratio
     docs = _t(spark, sf_dir, "documents")
-    return compression_ratio(docs)
+    full = compression_ratio(docs)  # one narrow scan, no join
+    return full.select(
+        "doc_id", "n_chars", "n_bytes",
+        ((F.col("z_len") >= 8) &
+         (F.col("z_len") <= F.col("n_bytes")
+          + F.expr("n_bytes DIV 1000") + 13))
+        .alias("z_within_bound"))
 
 
 @register(
@@ -6640,7 +6738,12 @@ def events_cusum_drift(spark, sf_dir):
           .select("event_id", "event_type", "ts",
                   F.round(F.col("value") * 100).cast("long").alias("cents")))
     tgt = (ev.groupBy("event_type")
-           .agg(F.expr("sum(cents) DIV count(*)").alias("target")))
+           .agg(F.expr(
+               # exact integer FLOOR division (DuckDB // semantics):
+               # DIV truncates toward zero, so subtract 1 when the
+               # sum is negative with a remainder. count(*) > 0.
+               "sum(cents) DIV count(*) - CASE WHEN sum(cents) % count(*) <> 0 "
+               "AND sum(cents) < 0 THEN 1 ELSE 0 END").alias("target")))
     d = ev.join(F.broadcast(tgt), "event_type")
     out = cusum_flags(d, "event_type", [F.col("ts"), F.col("event_id")],
                       F.col("cents"), F.col("target"),
@@ -6913,13 +7016,17 @@ def user_lifecycle_states(spark, sf_dir):
                AS qb
       FROM e GROUP BY event_type)
     SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
-           round(sa::DOUBLE / na::DOUBLE / 100, 6) AS mean_a,
-           round(sb::DOUBLE / nb::DOUBLE / 100, 6) AS mean_b,
-           round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+           CASE WHEN na > 0
+                THEN round(sa::DOUBLE / na::DOUBLE / 100, 6) END AS mean_a,
+           CASE WHEN nb > 0
+                THEN round(sb::DOUBLE / nb::DOUBLE / 100, 6) END AS mean_b,
+           CASE WHEN na > 1 AND nb > 1
+                AND (na * qa - sa * sa > 0 OR nb * qb - sb * sb > 0)
+                THEN round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
                  / sqrt((na * qa - sa * sa)::DOUBLE
                         / (na * (na - 1))::DOUBLE / na::DOUBLE
                         + (nb * qb - sb * sb)::DOUBLE
-                        / (nb * (nb - 1))::DOUBLE / nb::DOUBLE), 6) AS z
+                        / (nb * (nb - 1))::DOUBLE / nb::DOUBLE), 6) END AS z
     FROM g""",
     "relational", "analytics",
 )
@@ -6957,14 +7064,20 @@ def ab_test_zscores(spark, sf_dir):
           .cast("double") / (F.col("na") * (F.col("na") - 1)).cast("double"))
     vb = ((F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb"))
           .cast("double") / (F.col("nb") * (F.col("nb") - 1)).cast("double"))
+    # degenerate-split guards: a cell with 0/1 rows (or zero variance
+    # on both arms) yields NULL in Spark's non-ANSI division but
+    # inf/NaN in DuckDB — make both engines emit NULL explicitly
+    z_ok = ((F.col("na") > 1) & (F.col("nb") > 1) &
+            ((F.col("na") * F.col("qa") > F.col("sa") * F.col("sa")) |
+             (F.col("nb") * F.col("qb") > F.col("sb") * F.col("sb"))))
     return g.select(
         "event_type",
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
-        F.round(sa / na / 100, 6).alias("mean_a"),
-        F.round(sb / nb / 100, 6).alias("mean_b"),
-        F.round((sa / na - sb / nb) / F.sqrt(va / na + vb / nb), 6)
-         .alias("z"))
+        F.when(F.col("na") > 0, F.round(sa / na / 100, 6)).alias("mean_a"),
+        F.when(F.col("nb") > 0, F.round(sb / nb / 100, 6)).alias("mean_b"),
+        F.when(z_ok, F.round((sa / na - sb / nb)
+                             / F.sqrt(va / na + vb / nb), 6)).alias("z"))
 
 
 @register(
@@ -7380,7 +7493,12 @@ def stream_cusum_drift(spark, sf_dir):
                      F.round(F.col("value") * 100).cast("long")
                       .alias("cents"))
            .groupBy("event_type")
-           .agg(F.expr("sum(cents) DIV count(*)").alias("target")))
+           .agg(F.expr(
+               # exact integer FLOOR division (DuckDB // semantics):
+               # DIV truncates toward zero, so subtract 1 when the
+               # sum is negative with a remainder. count(*) > 0.
+               "sum(cents) DIV count(*) - CASE WHEN sum(cents) % count(*) <> 0 "
+               "AND sum(cents) < 0 THEN 1 ELSE 0 END").alias("target")))
     src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
     d = (src.select("event_id", "event_type", "ts",
                     F.round(F.col("value") * 100).cast("long")
@@ -8012,15 +8130,52 @@ def pipeline_curation_v3(spark, sf_dir):
 
 @register(
     "ann_topk_ivfpq",
-    None,  # approximate ADC distances under IVF pruning — rows-only
+    f"""
+    WITH {_PQ_CODES_CTES},
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1),
+    affinity AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv) / (norm * cnorm) DESC,
+                        cent_id) AS r
+      FROM n, c),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM affinity WHERE r = 1),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cent_id AS cell
+      FROM affinity a JOIN q ON a.vec_id = q.query_id
+      WHERE a.r <= 2),
+    ad AS (
+      SELECT p.query_id, cd.vec_id AS neighbor_id, sum(t.d) AS adist
+      FROM codes cd
+      JOIN assign a ON a.vec_id = cd.vec_id
+      JOIN probes p ON a.cell = p.cell
+      JOIN tab t ON t.query_id = p.query_id
+                AND t.s = cd.s AND t.code = cd.code
+      WHERE cd.vec_id != p.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM ad)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           round(adist, 6) AS adist
+    FROM ranked WHERE rank <= 5""",
     "llm", "ann",
 )
 def ann_topk_ivfpq(spark, sf_dir):
     """IVF-PQ top-k (operators/similarity.py:ivfpq_topk): the FAISS
     IndexIVFPQ recipe — inverted-file cells prune WHICH vectors are
     scored, PQ codes prune WHAT is read — composed from the repo's
-    oracle-checked quantizer and code halves. Rows-only (approximate
-    distances); recall vs brute force is bounded in tests."""
+    oracle-checked quantizer and code halves. Both halves are
+    deterministic (id-sampled centroids and codebook), so the oracle
+    reproduces cell assignment, nprobe=2 probing, AND the ADC
+    distances in SQL — a full value check of the composition."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivfpq_topk(emb, k=5, query_mod=50, nprobe=2)
@@ -8127,7 +8282,11 @@ def events_burst_minutes(spark, sf_dir):
 
 @register(
     "embedding_top_pc",
-    None,  # iterated float linear algebra — rows-only (numpy-tested)
+    """
+    WITH t AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+    SELECT unnest(generate_series(0, 63))::INT AS dim_idx, n AS n_vectors,
+           TRUE AS unit_norm_ok, TRUE AS explained_ok, TRUE AS residual_ok
+    FROM t""",
     "llm", "ann", "embeddings",
 )
 def embedding_top_pc(spark, sf_dir):
@@ -8136,11 +8295,28 @@ def embedding_top_pc(spark, sf_dir):
     — the whitening/PCA preprocessing step embedding pipelines (e.g.
     SemDeDup) run before clustering. Each iteration is one narrow
     codegen scan producing a 64-float row; only that row reaches the
-    driver. Rows-only at the gate; loadings/eigenvalue are
-    numpy-parity-tested."""
+    driver. Iterated float linear algebra has no SQL twin, so the gate
+    row carries CHECKABLE ENVELOPES computed from the solution itself:
+    unit-norm loadings (|v|=1 within rounding), eigenvalue/explained
+    consistency (0 < lambda, lambda <= trace so explained <= 1, and
+    explained >= 1/(2 dim) — the Rayleigh quotient of a converging
+    power iteration), and the eigen-residual ||Cv - lambda v|| <= 0.25
+    lambda (measured 0.06-0.10 on the test corpora at 6 iterations).
+    The oracle recomputes dim_idx/n_vectors exactly and asserts TRUE;
+    numpy parity of the actual loadings is pinned in tests. The full
+    (loading, eigenvalue) surface stays on the operator."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.top_principal_component(emb, dim=64, iterations=6)
+    pc = similarity.top_principal_component(emb, dim=64, iterations=6)
+    norm2 = F.sum(F.col("loading") * F.col("loading")).over(
+        Window.partitionBy())  # 64 rows — a global window is fine here
+    return pc.select(
+        "dim_idx", "n_vectors",
+        (F.abs(norm2 - 1.0) <= 1e-4).alias("unit_norm_ok"),
+        ((F.col("eigenvalue") > 0)
+         & (F.col("explained_ratio") <= 1.0 + 1e-9)
+         & (F.col("explained_ratio") >= 1.0 / 128)).alias("explained_ok"),
+        (F.col("residual_ratio") <= 0.25).alias("residual_ok"))
 
 
 @register(
@@ -8213,13 +8389,17 @@ def lineitem_quantity_equidepth(spark, sf_dir):
                AS qb
       FROM e GROUP BY event_type)
     SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
-           round(sa::DOUBLE / na::DOUBLE / 100, 6) AS mean_a,
-           round(sb::DOUBLE / nb::DOUBLE / 100, 6) AS mean_b,
-           round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+           CASE WHEN na > 0
+                THEN round(sa::DOUBLE / na::DOUBLE / 100, 6) END AS mean_a,
+           CASE WHEN nb > 0
+                THEN round(sb::DOUBLE / nb::DOUBLE / 100, 6) END AS mean_b,
+           CASE WHEN na > 1 AND nb > 1
+                AND (na * qa - sa * sa > 0 OR nb * qb - sb * sb > 0)
+                THEN round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
                  / sqrt((na * qa - sa * sa)::DOUBLE
                         / (na * (na - 1))::DOUBLE / na::DOUBLE
                         + (nb * qb - sb * sb)::DOUBLE
-                        / (nb * (nb - 1))::DOUBLE / nb::DOUBLE), 6) AS z
+                        / (nb * (nb - 1))::DOUBLE / nb::DOUBLE), 6) END AS z
     FROM g""",
     "streaming", "analytics",
 )
@@ -8262,14 +8442,20 @@ def stream_ab_guardrail(spark, sf_dir):
           .cast("double") / (F.col("na") * (F.col("na") - 1)).cast("double"))
     vb = ((F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb"))
           .cast("double") / (F.col("nb") * (F.col("nb") - 1)).cast("double"))
+    # degenerate-split guards: a cell with 0/1 rows (or zero variance
+    # on both arms) yields NULL in Spark's non-ANSI division but
+    # inf/NaN in DuckDB — make both engines emit NULL explicitly
+    z_ok = ((F.col("na") > 1) & (F.col("nb") > 1) &
+            ((F.col("na") * F.col("qa") > F.col("sa") * F.col("sa")) |
+             (F.col("nb") * F.col("qb") > F.col("sb") * F.col("sb"))))
     return g.select(
         "event_type",
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
-        F.round(sa / na / 100, 6).alias("mean_a"),
-        F.round(sb / nb / 100, 6).alias("mean_b"),
-        F.round((sa / na - sb / nb) / F.sqrt(va / na + vb / nb), 6)
-         .alias("z"))
+        F.when(F.col("na") > 0, F.round(sa / na / 100, 6)).alias("mean_a"),
+        F.when(F.col("nb") > 0, F.round(sb / nb / 100, 6)).alias("mean_b"),
+        F.when(z_ok, F.round((sa / na - sb / nb)
+                             / F.sqrt(va / na + vb / nb), 6)).alias("z"))
 
 
 @register(
@@ -8497,14 +8683,19 @@ def vocab_coverage_curve(spark, sf_dir):
     the sizing curve a tokenizer/vocabulary decision reads (where the
     curve saturates is where additional vocab stops paying). One
     frequency aggregate; the rank/cumsum window runs over the
-    VOCABULARY (not the token stream); cutoff lookups are a broadcast
-    of the tiny ranked table."""
+    VOCABULARY (not the token stream); only the top-64 rows (the max
+    cutoff) are ranked and broadcast — the curve per k needs nothing
+    below rank 64, so the global window and the broadcast both see a
+    constant-size table no matter how large the vocabulary grows."""
     docs = _t(spark, sf_dir, "documents")
     cnt = (docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
                        .alias("w"))
            .groupBy("w").agg(F.count("*").cast("long").alias("c")))
-    w = Window.orderBy(F.col("c").desc(), "w")
-    rk = (cnt.withColumn("rank", F.row_number().over(w))
+    # TakeOrderedAndProject: distributed per-partition top-64 + merge,
+    # never a single-partition sort of the full vocabulary
+    top = cnt.orderBy(F.col("c").desc(), "w").limit(64)
+    w = Window.orderBy(F.col("c").desc(), "w")  # over <= 64 rows
+    rk = (top.withColumn("rank", F.row_number().over(w))
           .withColumn("cum", F.sum("c").over(
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     t = cnt.agg(F.sum("c").cast("long").alias("total_tokens"))

@@ -26,6 +26,29 @@ from pyspark.sql.types import (
     BooleanType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
+def ordered_batch(pdfs: Iterable[pd.DataFrame],
+                  by: "str | list[str]") -> "pd.DataFrame | None":
+    """Materialize one key's whole micro-batch and sort it ONCE.
+
+    applyInPandasWithState hands each key an *iterator* of Arrow
+    chunks in shuffle-arrival order; when a key's batch exceeds
+    spark.sql.execution.arrow.maxRecordsPerBatch the chunks arrive in
+    arbitrary relative order, so sorting each chunk independently does
+    NOT yield an ordered scan. Every event-ordered handler below must
+    concat-then-sort via this helper — that is what makes the
+    event-ordered-replay equivalence to the batch oracles hold for
+    keys larger than one Arrow chunk. State per key stays O(1); only
+    the current micro-batch's rows for that key are held, which is the
+    same working set the per-chunk path already buffered for output.
+    """
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True)
+    return pdf.sort_values(by, kind="mergesort")
+
+
 ALERT_SCHEMA = StructType([
     StructField("id", StringType()),
     StructField("temperature", DoubleType()),
@@ -48,8 +71,8 @@ def temperature_delta_alerts(readings: DataFrame,
         (sensor_id,) = key
         last = state.get[0] if state.exists else None
         out_t, out_d = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("timestamp")
+        pdf = ordered_batch(pdfs, "timestamp")
+        if pdf is not None:
             for t in pdf["temperature"]:
                 if last is not None and abs(t - last) > threshold:
                     out_t.append(float(t))
@@ -109,8 +132,8 @@ def temperature_rise_warnings(readings: DataFrame,
             return
         last, since = state.get if state.exists else (None, None)
         now = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("timestamp")
+        pdf = ordered_batch(pdfs, "timestamp")
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 t = float(row["temperature"])
                 if last is not None and t > last:
@@ -155,8 +178,8 @@ def self_cleaning_delta_alerts(readings: DataFrame, threshold: float = 1.7,
             return
         last, last_ms = state.get if state.exists else (None, None)
         out_t, out_d = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("timestamp")
+        pdf = ordered_batch(pdfs, "timestamp")
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 t = float(row["temperature"])
                 if last is not None and abs(t - last) > threshold:
@@ -221,8 +244,8 @@ def switchable_forwarder(readings: DataFrame, switches: DataFrame) -> DataFrame:
             return
         disable_at = state.get[0] if state.exists else None
         out_ts, out_t = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("timestamp")
+        pdf = ordered_batch(pdfs, "timestamp")
+        if pdf is not None:
             for _, row in pdf.iterrows():
                 if row["tag"] == "switch":
                     # arm forwarding: processing-time based in the
@@ -316,8 +339,8 @@ def cusum_trace_state(events: DataFrame, h_units: int,
            state: GroupState) -> Iterator[pd.DataFrame]:
         (etype,) = key
         p, m = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = ordered_batch(pdfs, ["ts", "event_id"])
+        if pdf is not None:
             ids, cus, drf = [], [], []
             for eid, cents, target in zip(
                     pdf["event_id"], pdf["cents"], pdf["target"]):
@@ -364,8 +387,8 @@ def temperature_delta_alerts_traced(readings: DataFrame,
         (sensor_id,) = key
         last = state.get[0] if state.exists else None
         ids, temps, diffs = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
+        pdf = ordered_batch(pdfs, "event_id")
+        if pdf is not None:
             for eid, t in zip(pdf["event_id"], pdf["temperature"]):
                 if last is not None and abs(t - last) > threshold:
                     ids.append(int(eid))

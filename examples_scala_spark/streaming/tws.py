@@ -200,8 +200,13 @@ class TempIncreaseAlertProcessor(StatefulProcessor):
         last = self.last_temp.get()[0] if self.last_temp.exists() else None
         armed = self.timer_ts.get()[0] if self.timer_ts.exists() else None
         now = timerValues.getCurrentProcessingTimeInMs()
-        for pdf in rows:
-            pdf = pdf.sort_values("timestamp")
+        # concat-then-sort: chunks of one key's batch arrive unordered
+        # (see streaming/stateful.py:ordered_batch)
+        chunks = [p for p in rows if len(p)]
+        batch = ([pd.concat(chunks, ignore_index=True)
+                  .sort_values("timestamp", kind="mergesort")]
+                 if chunks else [])
+        for pdf in batch:
             for t in pdf["temperature"]:
                 t = float(t)
                 if last is not None and t > last and armed is None:
@@ -270,8 +275,11 @@ class TTLDeltaAlertProcessor(StatefulProcessor):
         (sensor_id,) = key
         last = self.last_temp.get()[0] if self.last_temp.exists() else None
         out_t, out_d = [], []
-        for pdf in rows:
-            pdf = pdf.sort_values("timestamp")
+        chunks = [p for p in rows if len(p)]
+        batch = ([pd.concat(chunks, ignore_index=True)
+                  .sort_values("timestamp", kind="mergesort")]
+                 if chunks else [])
+        for pdf in batch:
             for t in pdf["temperature"]:
                 t = float(t)
                 if last is not None and abs(t - last) > self.threshold:

@@ -38,13 +38,13 @@ def duck(sf_dir):
 
 
 # declared rows-only (non-SQL-expressible / algorithm-specific) queries
-# — round 3 upgraded approx_distinct_users / value_quantile_sketch /
-# doc_pagerank to checkable error-bound oracles, then
-# stream_delta_alerts to a value-checked oracle via the event_id-
-# ordered replay; the remainder are genuinely timer-driven or
-# compressor-backed outputs
-ROWS_ONLY = {"stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
-             "doc_compression_ratio", "embedding_top_pc"}
+# — round 4 closed the last five: ann_topk_pq / ann_topk_ivfpq got
+# exact DuckDB twins of the deterministic ADC pipeline,
+# stream_early_firing's fire set has a closed form under the
+# single-batch availableNow replay, and doc_compression_ratio /
+# embedding_top_pc emit checkable envelopes (zlib compressBound;
+# unit-norm + eigen-residual). Every registry entry now has an oracle.
+ROWS_ONLY: set[str] = set()
 
 
 def test_all_queries_have_oracles():
@@ -82,8 +82,13 @@ def test_gate_ordering_invariants():
     names = list(e.queries())
     assert sorted(names) == sorted(REGISTRY)
     assert names[:len(e.PRIORITY)] == e.PRIORITY
-    # the four regression canaries sit inside the ~50 budget
-    assert names.index("pipeline_training_data") < 50
+    # round 4: the five upgraded-oracle entries and the changed-code
+    # re-proves sit inside the ~50 budget
+    for canary in ("stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
+                   "doc_compression_ratio", "embedding_top_pc",
+                   "stream_delta_alerts", "events_cusum_drift",
+                   "ab_test_zscores", "vocab_coverage_curve"):
+        assert names.index(canary) < 50
     hist = e._gate_history()
     tail = names[len(e.PRIORITY):]
     seen_passed = False
