@@ -171,9 +171,16 @@ def main() -> None:
                  "gopher_quality_flags", "doc_bigram_logppl",
                  "events_psi_drift", "events_cusum_drift",
                  "pipeline_curation_v3"]:
-        t0 = time.time()
-        n = len(REGISTRY[name].fn(spark, sf_dir).collect())
-        extra[name] = round(time.time() - t0, 3)
+        # best of two, same as the headline set: r3's single-sample
+        # extras produced phantom regressions (ann_topk_pq "2.3x"
+        # measured 1.13x under controlled best-of-two A/B)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = len(REGISTRY[name].fn(spark, sf_dir).collect())
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        extra[name] = round(best, 3)
         print(f"# extra {name}: {extra[name]:.2f}s ({n} rows)",
               file=sys.stderr)
 

@@ -399,7 +399,14 @@ def substring_dup_stats(docs: DataFrame, L: int = 30,
     base = docs.select(
         F.col(id_col), F.col(text_col).alias("t"),
         F.length(text_col).cast("bigint").alias("n"))
-    eligible = base.filter(F.col("n") >= L)
+    # the per-window md5 is ~150 ns/char of CPU, far above the ~ns/byte
+    # cost of shipping the text once — so do NOT let the hashing stage
+    # inherit the scan's parallelism (a single small parquet file = one
+    # task doing all the hashing; measured 6x at sf0.1). At production
+    # scale input splits usually exceed cores and this exchange
+    # AQE-coalesces to a no-op-sized shuffle of one text copy.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    eligible = base.filter(F.col("n") >= L).repartition(par)
     # materialize the hashed positions once: they feed BOTH the global
     # hash-count and the join-back, and the per-window md5 is the
     # dominant CPU — recomputing it doubles the query

@@ -28,6 +28,19 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # InferFiltersFromGenerate duplicates the generator's child
+    # expression into a pre-Generate (size(..)>0 AND isnotnull(..))
+    # filter that is pushed below the projection — for explode over a
+    # COMPUTED array (every shingle/token pipeline here: split +
+    # transform + array_join) the whole higher-order expression then
+    # runs 3x per row, interpreted, inside the scan's DataFilters.
+    # Measured 9x on the n-gram pipelines (6.3s -> 0.7s at sf0.1).
+    # The rule only ever pays off when exploding a STORED array column
+    # (prunes rows before Generate); no query in this repo does that,
+    # so it is excluded wholesale.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     try:
         spark.conf.set("spark.sql.shuffle.partitions",
                        os.environ.get("SPARK_GRAFT_CPUS", "32"))
