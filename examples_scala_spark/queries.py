@@ -1342,7 +1342,7 @@ def events_pivot(spark, sf_dir):
 def salted_event_type_stats(spark, sf_dir):
     """Skew-safe two-stage aggregation (operators/skew.py): event_type
     has ~5 values over the whole table — the canonical hot-key shape.
-    Stage 1 shuffles on (event_type, md5-salt), stage 2 combines the 16
+    Stage 1 shuffles on (event_type, xxhash64-salt), stage 2 combines the 16
     partials per key; results are bit-identical to the direct groupBy
     (the oracle)."""
     from .operators.skew import salted_agg_count_sum
