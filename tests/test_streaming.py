@@ -261,3 +261,53 @@ def test_recovery_from_checkpoint_exactly_once(spark, tmpdir):
     batch_ids = [b for b, _ in seen]
     assert sorted(batch_ids) == [0, 1, 2]          # each batch delivered once
     assert len(batch_ids) == len(set(batch_ids))   # no duplicates
+
+
+def test_ordered_trace_survives_multi_chunk_groups(spark, tmpdir):
+    """ADVICE r3 item 1 regression test: applyInPandasWithState yields
+    one key's micro-batch as MULTIPLE Arrow chunks (in shuffle-arrival
+    order) once the batch exceeds arrow.maxRecordsPerBatch. The
+    event-ordered handlers must concat-then-sort the whole group
+    (streaming/stateful.py:ordered_batch); sorting each chunk
+    independently produces a garbled trace. Forced here with a tiny
+    chunk size and rows staged in REVERSED event order."""
+    import pandas as pd
+
+    from examples_scala_spark.streaming.stateful import (
+        temperature_delta_alerts_traced)
+
+    n = 200
+    # deterministic zig-zag per event: alternating spikes so the alert
+    # set depends on exact scan order
+    rows = [("s1", i, i, 50.0 + (25.0 if i % 3 == 0 else 0.0) + i * 0.01)
+            for i in range(n)]
+    # expected alerts from an ordered scan (the batch lag() semantics)
+    expected = []
+    last = None
+    for _, _, eid, t in sorted(rows, key=lambda r: r[2]):
+        if last is not None and abs(t - last) > 17.0:
+            expected.append((eid, round(t - last, 6)))
+        last = t
+    assert len(expected) > 50  # the fixture genuinely exercises order
+
+    path = os.path.join(tmpdir, "in")
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in sorted(
+            rows, key=lambda r: -r[2])],  # stage REVERSED
+        ["id", "timestamp", "event_id", "temperature"])
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = (spark.readStream
+              .schema("id string, timestamp long, event_id long, "
+                      "temperature double")
+              .parquet(path))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        out = temperature_delta_alerts_traced(stream, threshold=17.0)
+        _run(out, tmpdir, "multi_chunk_trace")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = sorted((r.event_id, round(r.diff, 6)) for r in
+                 spark.sql("SELECT * FROM multi_chunk_trace").collect())
+    assert got == sorted(expected)
