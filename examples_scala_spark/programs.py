@@ -251,6 +251,76 @@ def queryable_state(spark):
     return s.groupBy("id").agg(F.max("temperature").alias("maxTemperature"))
 
 
+def _external_dashboard_writer():
+    """State snapshots to parquet + an EXTERNAL poll loop: the
+    dashboard half of QueryableState.scala:84-113 (the
+    QueryableStateClient's async per-sensor reads + tab-separated
+    print). The reader is a separate DuckDB process-space poller — it
+    shares nothing with the Spark session, exactly like the
+    reference's out-of-process client; any SQL engine (or another
+    Spark job) can read the same snapshot dir. Each micro-batch
+    replaces the snapshot atomically (tmp dir + rename), so readers
+    never see a torn table."""
+    import glob
+    import os
+    import shutil
+    import sys
+    import tempfile
+    import threading
+    import time
+
+    snap = tempfile.mkdtemp(prefix="sgs_qstate_snap_")
+    state_dir = os.path.join(snap, "current")
+    stop = threading.Event()
+
+    def poll():
+        try:
+            import duckdb
+        except ImportError:  # dashboard degrades to a no-op
+            return
+        while not stop.is_set():
+            time.sleep(2.0)
+            if not glob.glob(os.path.join(state_dir, "*.parquet")):
+                continue
+            try:
+                rows = duckdb.sql(
+                    f"SELECT id, maxTemperature FROM "
+                    f"'{state_dir}/*.parquet' ORDER BY id").fetchall()
+            except Exception:
+                continue  # snapshot mid-swap; next tick reads it
+            if not rows:
+                continue
+            line = "\t| ".join(f"{t:1.3f}" for _, t in rows)
+            print(f"DASH>> {line}", file=sys.stderr)
+
+    threading.Thread(target=poll, daemon=True).start()
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        tmp = os.path.join(snap, f"tmp-{batch_id}")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return write
+
+
+@program("queryable_state_external", "chapter7/QueryableState.scala:84-113",
+         output_mode="complete", foreach_batch=_external_dashboard_writer())
+def queryable_state_external(spark):
+    """R3 with the dashboard OUT of process: per-key max temperature
+    snapshotted to parquet each micro-batch (atomic dir swap); a
+    detached DuckDB poller — no Spark session, no shared JVM — reads
+    and prints the per-sensor line the reference's
+    QueryableStateClient loop prints. Complete-mode output = the full
+    keyed state every batch, which is exactly what the reference's
+    queryable state store exposes."""
+    s = sensor_source_stream(spark)
+    return s.groupBy("id").agg(F.max("temperature").alias("maxTemperature"))
+
+
 # ------------------------------------------------------------------ ch8
 
 @program("source_function", "chapter8/SourceFunctionExample.scala:14-81")
