@@ -272,3 +272,51 @@ def test_snapshot_diff_applied_to_old_yields_new(old, new):
         else:
             rebuilt[k] = v
     assert rebuilt == new
+
+
+# --------------------------------------------------- ordered_batch (round 4)
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(0, 50)),
+        min_size=0, max_size=120),
+    chunking=st.lists(st.integers(1, 17), min_size=1, max_size=40),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_ordered_batch_equals_global_sort_under_any_chunking(
+        rows, chunking, data):
+    """streaming/stateful.py:ordered_batch must yield the globally
+    (ts, event_id)-sorted micro-batch no matter how the rows are split
+    into Arrow chunks or how those chunks are permuted — the exact
+    invariant the event-ordered replay oracles depend on (ADVICE r3
+    item 1). Mergesort keeps equal keys in concat order, so ties on
+    the sort key are also deterministic given the chunk order."""
+    import pandas as pd
+
+    from examples_scala_spark.streaming.stateful import ordered_batch
+
+    df = pd.DataFrame(rows, columns=["event_id", "ts"])
+    # arbitrary contiguous chunking, then an arbitrary permutation of
+    # the chunks (shuffle-arrival order)
+    chunks, i = [], 0
+    for size in chunking:
+        if i >= len(df):
+            break
+        chunks.append(df.iloc[i:i + size])
+        i += size
+    if i < len(df):
+        chunks.append(df.iloc[i:])
+    perm = data.draw(st.permutations(range(len(chunks))))
+    shuffled = [chunks[j] for j in perm]
+    # some empty chunks sprinkled in (SS emits them)
+    shuffled.insert(0, df.iloc[0:0])
+    shuffled.append(df.iloc[0:0])
+
+    got = ordered_batch(iter(shuffled), ["ts", "event_id"])
+    if not len(df):
+        assert got is None
+        return
+    expect = df.sort_values(["ts", "event_id"], kind="mergesort")
+    assert list(got["event_id"]) == list(expect["event_id"])
+    assert list(got["ts"]) == list(expect["ts"])
