@@ -345,8 +345,10 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     driver never materializes more than max_queries rows, so the
     collect cannot grow with the corpus). Distance tables ship as a
     Spark broadcast (one copy per executor), not a per-task closure.
-    Output: (query_id, neighbor_id, rank, adist) — approx distances,
-    so rows-only; recall is bounded in tests against brute force."""
+    Output: (query_id, neighbor_id, rank, adist). The whole pipeline is
+    deterministic (id-sampled codebook), so the registry oracle is an
+    exact DuckDB twin of the ADC computation; recall vs brute force is
+    additionally bounded in tests."""
     import numpy as np
     import pandas as pd
 
@@ -574,8 +576,10 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
     Query set is hard-capped at max_queries via ordered-limit (same
     bounded-collect contract as pq_adc_topk). Output:
-    (query_id, neighbor_id, rank, adist) — approximate distances,
-    rows-only; recall vs brute force is bounded in tests."""
+    (query_id, neighbor_id, rank, adist). Deterministic halves
+    (id-sampled centroids + codebook) mean the registry oracle
+    reproduces cells, probing AND distances in SQL; recall vs brute
+    force is additionally bounded in tests."""
     import numpy as np
     import pandas as pd
 

@@ -21,7 +21,8 @@ retried task reproduces the identical digest bit-for-bit — no RNG
 anywhere. Estimates are approximate (rank error concentrated at the
 tails per the scale function k(q) = delta/2pi * asin(2q-1)); exactness
 is tested as rank-error bounds, not value equality, hence the registry
-entry is rows-only (no SQL oracle can reproduce the algorithm).
+entry carries an error-bound oracle (rank error vs the exact
+quantile; no SQL oracle can reproduce the algorithm itself).
 """
 
 from __future__ import annotations
