@@ -26,6 +26,10 @@ SAMPLE = [
     # round-3 representatives
     "bm25_topk", "bloom_decontaminate", "corpus_budget_selection",
     "zorder_clustered_scan",
+    # round-4: the five upgraded-oracle entries (exact ADC twins,
+    # closed-form early-firing replay, envelope bounds)
+    "ann_topk_pq", "ann_topk_ivfpq", "stream_early_firing",
+    "doc_compression_ratio", "embedding_top_pc",
 ]
 
 
