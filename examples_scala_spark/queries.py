@@ -2436,7 +2436,12 @@ def _run_to_memory(spark, out, name, mode="append"):
     joins). A production deployment sizes this to the stream rate —
     the knob is per-query, exactly as here. The session conf is
     restored before returning; the memory table is already
-    materialized, so callers' batch reads are unaffected."""
+    materialized, so callers' batch reads are unaffected. The
+    checkpoint dir is deleted once the replay terminates — the memory
+    sink holds the rows driver-side, so nothing reads it again (the
+    staged INPUT dirs, by contrast, must persist: batch twins scan
+    them lazily)."""
+    import shutil
     import tempfile
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2447,6 +2452,7 @@ def _run_to_memory(spark, out, name, mode="append"):
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
+        shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
