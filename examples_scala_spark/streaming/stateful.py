@@ -300,6 +300,31 @@ def high_temp_counter(readings: DataFrame, threshold: float = 100.0) -> DataFram
     )
 
 
+def high_temp_counter_per_subtask(readings: DataFrame,
+                                  threshold: float = 100.0) -> DataFrame:
+    """F5/A12 — the OPERATOR-state half of HighTempCounter
+    (chapter7/CheckpointedFunctionExample.scala:45-85): the reference
+    keeps one running count per PARALLEL INSTANCE in operator
+    ListState (`opHighTempCnt`, snapshotted per checkpoint). The
+    structural Spark twin keys the running count by
+    `spark_partition_id()` — the id of the input partition that
+    processed the row, i.e. the parallel instance — maintained in the
+    state store by an update-mode aggregation, so it survives
+    micro-batches and checkpoints exactly as the ListState does.
+
+    Same caveat class as Flink: the reference redistributes operator
+    state on rescale (union/redistribute of the list), and here a
+    repartitioned source reassigns partition ids — per-instance counts
+    are an observability surface, not a stable key space. The KEYED
+    half (per-sensor count, the `keyedCntState` ValueState) is
+    high_temp_counter above; together they are the reference's two
+    state stores."""
+    high = readings.filter(F.col("temperature") > threshold)
+    return (high.withColumn("subtask", F.spark_partition_id())
+            .groupBy("subtask")
+            .agg(F.count("*").alias("op_high_count")))
+
+
 CUSUM_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("event_type", StringType()),

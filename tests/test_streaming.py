@@ -311,3 +311,42 @@ def test_ordered_trace_survives_multi_chunk_groups(spark, tmpdir):
     got = sorted((r.event_id, round(r.diff, 6)) for r in
                  spark.sql("SELECT * FROM multi_chunk_trace").collect())
     assert got == sorted(expected)
+
+
+def test_high_temp_counter_per_subtask_operator_state(spark, tmpdir):
+    """F5's operator-state half: running high-temp counts per parallel
+    instance (spark_partition_id), held in the state store across
+    micro-batches — the structural twin of the reference's
+    opHighTempCnt ListState. The partition-id keying means per-subtask
+    counts must (a) sum to the total high count, (b) accumulate across
+    batches (update mode re-emits grown counts)."""
+    path = os.path.join(tmpdir, "in")
+    rows1 = [("s1", 1, 150.0), ("s2", 2, 50.0), ("s3", 3, 160.0),
+             ("s4", 4, 170.0)]
+    spark.createDataFrame(rows1, ["id", "timestamp", "temperature"]) \
+        .repartition(2).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema("id string, timestamp long, temperature double")
+        .option("maxFilesPerTrigger", 2).parquet(path)
+    )
+    out = stateful.high_temp_counter_per_subtask(stream, threshold=100.0)
+    _run(out, tmpdir, "subtask_counts", output_mode="update")
+    got = {r.subtask: r.op_high_count for r in
+           spark.sql("SELECT * FROM subtask_counts").collect()}
+    assert sum(got.values()) >= 3  # every high reading counted somewhere
+    # second batch: counts must grow from state, not restart
+    spark.createDataFrame([("s5", 5, 180.0)],
+                          ["id", "timestamp", "temperature"]) \
+        .repartition(1).write.mode("append").parquet(path)
+    q = (stateful.high_temp_counter_per_subtask(
+            spark.readStream
+            .schema("id string, timestamp long, temperature double")
+            .option("maxFilesPerTrigger", 2).parquet(path), threshold=100.0)
+         .writeStream.format("memory").queryName("subtask_counts2")
+         .outputMode("complete")
+         .option("checkpointLocation", os.path.join(tmpdir, "ck_sub2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    total = sum(r.op_high_count for r in
+                spark.sql("SELECT * FROM subtask_counts2").collect())
+    assert total == 4  # 3 from batch files + 1 appended, accumulated
