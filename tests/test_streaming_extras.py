@@ -373,3 +373,43 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         assert len(got_rocks) == 7
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------- multimodal round-4 plumbing
+
+def test_resize_plan_covers_and_crops_exactly(spark, sf_dir):
+    from examples_scala_spark.operators.multimodal import (
+        decode_media, media_table, resize_plan)
+    from examples_scala_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    plan = resize_plan(decode_media(media_table(docs)), 224, 224).collect()
+    assert plan  # image + video rows exist in the mime mix
+    for r in plan:
+        # scaled image covers the target in both axes (scale = max of
+        # the two ratios), and the crop box stays inside it
+        assert r.scaled_w >= 224 and r.scaled_h >= 224
+        assert min(r.scaled_w - 224, r.scaled_h - 224) <= 1  # tight axis
+        assert 0 <= r.crop_x <= r.scaled_w - 224
+        assert 0 <= r.crop_y <= r.scaled_h - 224
+        assert (r.out_w, r.out_h) == (224, 224)
+
+
+def test_extract_features_matches_direct_numpy(spark, sf_dir):
+    import numpy as np
+
+    from examples_scala_spark.operators.multimodal import (
+        extract_features, media_table)
+    from examples_scala_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_table(docs)
+    got = {r.doc_id: r.byte_hist
+           for r in extract_features(media, bins=16).collect()}
+    rows = media.collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        arr = np.frombuffer(bytes(r.media), dtype=np.uint8)
+        hist = np.bincount(arr // 16, minlength=16)[:16] / len(arr)
+        assert np.allclose(got[r.doc_id], hist.round(6), atol=1e-6)
+        assert abs(sum(got[r.doc_id]) - 1.0) < 1e-3
