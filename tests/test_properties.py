@@ -320,3 +320,35 @@ def test_ordered_batch_equals_global_sort_under_any_chunking(
     expect = df.sort_values(["ts", "event_id"], kind="mergesort")
     assert list(got["event_id"]) == list(expect["event_id"])
     assert list(got["ts"]) == list(expect["ts"])
+
+
+# ------------------------------------------------- verifier hash invariants
+
+@given(
+    rows=st.lists(st.tuples(st.integers(-10, 10), st.floats(
+        allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=5)), min_size=0, max_size=40),
+    data=st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_value_hash_insensitive_to_row_and_column_order(rows, data):
+    """tools/verify_local.value_hash — the local twin of the driver's
+    comparator — must be invariant to row order and column order (it
+    sorts columns by name, then rows by repr), and sensitive to an
+    actual value change."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_local import value_hash
+
+    df = pd.DataFrame(rows, columns=["a", "b", "c"])
+    perm_rows = data.draw(st.permutations(range(len(df))))
+    perm_cols = data.draw(st.permutations(["a", "b", "c"]))
+    shuffled = df.iloc[list(perm_rows)][list(perm_cols)]
+    assert value_hash(df) == value_hash(shuffled)
+    if len(df):
+        mutated = df.copy()
+        mutated.loc[mutated.index[0], "a"] = 99  # outside the domain
+        assert value_hash(mutated) != value_hash(df)
