@@ -242,6 +242,22 @@ def checkpointed_function(spark):
         s.select("id", "timestamp", "temperature"), threshold=100.0)
 
 
+@program("operator_list_state",
+         "chapter7/OperatorListStateFunction.scala:15-90",
+         output_mode="update")
+def operator_list_state(spark):
+    """HighTempCounterOpState: running count of >120F readings per
+    PARALLEL INSTANCE, emitted as (subtask, op_high_count) — the
+    operator-ListState example. Here the instance id is
+    spark_partition_id() and the running count lives in the state
+    store (update mode re-emits each grown count, the reference's
+    per-record emission at micro-batch granularity); restore-by-sum
+    and list redistribution are the state store's job."""
+    s = sensor_source_stream(spark)
+    return stateful.high_temp_counter_per_subtask(
+        s.select("id", "timestamp", "temperature"), threshold=120.0)
+
+
 @program("queryable_state", "chapter7/QueryableState.scala:28-113",
          output_mode="complete")
 def queryable_state(spark):
