@@ -652,7 +652,8 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
 def top_principal_component(emb: DataFrame, dim: int = 64,
                             iterations: int = 10,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            residual_target: float = 0.125) -> DataFrame:
     """Top principal component of the mean-centered embedding matrix
     by DISTRIBUTED power iteration — the building block of embedding
     whitening / SemDeDup-style PCA preprocessing, done Spark-first:
@@ -673,7 +674,10 @@ def top_principal_component(emb: DataFrame, dim: int = 64,
     quotient, accurate to second order in the residual angle even on
     near-degenerate spectra where the DIRECTION converges slowly
     (rate lambda2/lambda1 per round) — tests assert the quotient
-    reaches >= 98% of numpy's top eigenvalue.
+    reaches >= 98% of numpy's top eigenvalue. Iteration is ADAPTIVE:
+    after `iterations` base rounds it keeps stepping (up to 4x) until
+    the eigen-residual ||Cv - lambda v||/lambda <= residual_target,
+    so downstream envelopes hold by construction, not by luck.
     """
     import math
 
@@ -732,24 +736,41 @@ def top_principal_component(emb: DataFrame, dim: int = 64,
     msum, _, _, n = one_pass(None, None)
     mu = (msum / max(n, 1)).tolist()
 
-    v = [1.0 / math.sqrt(dim)] * dim
-    for _ in range(iterations):
-        w, _, _, _ = one_pass(mu, v)
+    v = np.full(dim, 1.0 / math.sqrt(dim))
+    for _ in range(max(iterations - 1, 0)):
+        w, _, _, _ = one_pass(mu, v.tolist())
         norm = math.sqrt(float(w @ w)) or 1.0
-        v = (w / norm).tolist()
-    # deterministic sign: largest-|loading| coordinate positive
-    pivot = max(range(dim), key=lambda d: abs(v[d]))
-    if v[pivot] < 0:
-        v = [-c for c in v]
+        v = w / norm
 
-    w, tt, ss, _ = one_pass(mu, v, want=True)
-    eig = tt / max(n - 1, 1)
-    total = ss / max(n - 1, 1)
-    # convergence diagnostic: ||Cv - lambda v|| / lambda (w/(n-1) = Cv
-    # from the same final pass, so this costs nothing extra)
-    cv = np.asarray(w) / max(n - 1, 1)
-    dv = cv - eig * np.asarray(v)
-    residual = math.sqrt(float(dv @ dv)) / eig if eig else 0.0
+    # Adaptive convergence tail: each `want` pass yields eigenvalue,
+    # total variance AND the eigen-residual ||Cv - lambda v||/lambda of
+    # the CURRENT v from the same scan (w/(n-1) = Cv), so checking
+    # convergence costs nothing extra; when the residual hasn't cleared
+    # `residual_target`, that same pass's w IS the next power step.
+    # residual_target=0.125 is half the correctness gate's 0.25
+    # envelope (queries.py:embedding_top_pc) — the operator guarantees
+    # the gate bound with 2x margin unless the 4x-iterations budget
+    # trips (pathologically small spectral gap), in which case the
+    # honestly-measured residual is reported and the gate flags it.
+    budget = 3 * max(iterations, 1) + 1
+    while True:
+        w, tt, ss, _ = one_pass(mu, v.tolist(), want=True)
+        eig = tt / max(n - 1, 1)
+        total = ss / max(n - 1, 1)
+        cv = np.asarray(w) / max(n - 1, 1)
+        dv = cv - eig * v
+        residual = math.sqrt(float(dv @ dv)) / eig if eig else 0.0
+        budget -= 1
+        if residual <= residual_target or budget <= 0:
+            break
+        norm = math.sqrt(float(w @ w)) or 1.0
+        v = w / norm
+    # deterministic sign: largest-|loading| coordinate positive (a
+    # global sign flip changes neither eig, total, nor the residual)
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    v = [float(c) for c in v]
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(d, round(v[d], 6), round(eig, 6),

@@ -41,14 +41,17 @@ class Program:
     reference: str
     output_mode: str = "append"
     doc: str = ""
-    foreach_batch: Optional[Callable] = None
+    # Zero-arg FACTORY returning the foreachBatch writer. Instantiated
+    # lazily in run_program so that importing this module (tests,
+    # registry listings) never creates temp dirs or poller threads.
+    foreach_batch: Optional[Callable[[], Callable]] = None
 
 
 PROGRAMS: dict[str, Program] = {}
 
 
 def program(name: str, reference: str, output_mode: str = "append",
-            foreach_batch: Optional[Callable] = None):
+            foreach_batch: Optional[Callable[[], Callable]] = None):
     def deco(fn):
         PROGRAMS[name] = Program(build=fn, reference=reference,
                                  output_mode=output_mode,
@@ -315,6 +318,10 @@ def _external_dashboard_writer():
         tmp = os.path.join(snap, f"tmp-{batch_id}")
         batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = state_dir + ".old"
+        # a crash between the two renames below leaves a stale
+        # non-empty '.old'; clear it first or the next batch's
+        # os.rename raises ENOTEMPTY and kills the query
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(state_dir):
             os.rename(state_dir, old)
         os.rename(tmp, state_dir)
@@ -324,7 +331,7 @@ def _external_dashboard_writer():
 
 
 @program("queryable_state_external", "chapter7/QueryableState.scala:84-113",
-         output_mode="complete", foreach_batch=_external_dashboard_writer())
+         output_mode="complete", foreach_batch=_external_dashboard_writer)
 def queryable_state_external(spark):
     """R3 with the dashboard OUT of process: per-key max temperature
     snapshotted to parquet each micro-batch (atomic dir swap); a
@@ -406,7 +413,7 @@ def _wal_writer():
 
 
 @program("transactional_sink", "chapter8/TransactionalSinkExample.scala:38-197",
-         foreach_batch=_wal_writer())
+         foreach_batch=_wal_writer)
 def transactional_sink(spark):
     """Global 1 s average through the batchId-idempotent committer —
     the reference's WAL/2PC sinks collapse to idempotent-by-batchId
@@ -429,7 +436,7 @@ def _wal_stdout_writer():
 
 
 @program("write_ahead_sink", "chapter8/WriteAheadSinkExample.scala:38-197",
-         foreach_batch=_wal_stdout_writer())
+         foreach_batch=_wal_stdout_writer)
 def write_ahead_sink(spark):
     """StdOutWriteAheadSink: the global 1 s average (ISO window-end
     string, like the reference's collector) reaches stdout only when
@@ -479,7 +486,7 @@ def _derby_style_upserter():
 
 
 @program("idempotent_sink", "chapter8/IdempotentSinkFunctionExample.scala:30-109",
-         output_mode="update", foreach_batch=_derby_style_upserter())
+         output_mode="update", foreach_batch=_derby_style_upserter)
 def idempotent_sink(spark):
     """DerbyUpsertSink: Fahrenheit→Celsius readings upserted into a
     table keyed on sensor id — last write per key wins, so
@@ -510,7 +517,7 @@ def run_program(spark: SparkSession, name: str, duration: int = 10,
     if writer is not None:
         w = df.writeStream.foreach(writer).outputMode(p.output_mode)
     elif p.foreach_batch is not None:
-        w = (df.writeStream.foreachBatch(p.foreach_batch)
+        w = (df.writeStream.foreachBatch(p.foreach_batch())
              .outputMode(p.output_mode))
     elif sink == "memory":
         w = (df.writeStream.format("memory").queryName(name)

@@ -337,10 +337,11 @@ def test_value_hash_insensitive_to_row_and_column_order(rows, data):
     sorts columns by name, then rows by repr), and sensitive to an
     actual value change."""
     import sys
+    from pathlib import Path
 
     import pandas as pd
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from verify_local import value_hash
 
     df = pd.DataFrame(rows, columns=["a", "b", "c"])
