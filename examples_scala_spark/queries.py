@@ -6907,20 +6907,39 @@ def part_skyline(spark, sf_dir):
     parts no other part dominates (<= price AND >= size, strict in
     one). The oracle states dominance as NOT EXISTS (quadratic); the
     Spark plan is the 2-D scan form — aggregate max size per price
-    (map-combined, O(distinct prices) rows), a running max over that
-    SMALL aggregate ordered by price, then one broadcast-sized join
-    back. A part survives iff it tops its own price group and beats
-    every strictly-cheaper group's best size — no self-join over the
-    fact table at any scale."""
+    (map-combined, O(distinct prices) rows), then a PARTITIONED
+    running max over that aggregate: range-partition by price, scan
+    each range independently (Window.partitionBy the range id), and
+    carry history across ranges via a broadcast prefix-max of the
+    per-range maxima (P rows, P = #partitions) — no single-partition
+    window node anywhere, so the running max scales with distinct
+    prices. One broadcast join back: a part survives iff it tops its
+    own price group and beats every strictly-cheaper group's best
+    size — no self-join over the fact table at any scale."""
     p = (_t(spark, sf_dir, "part")
          .select("p_partkey",
                  F.round(F.col("p_retailprice") * 100).cast("long")
                   .alias("price_cents"),
                  "p_size"))
-    grp = p.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
-    w = (Window.orderBy("price_cents")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    grp2 = grp.withColumn("cheaper_max", F.max("gmax").over(w))
+    grp = (p.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
+           .repartitionByRange(8, "price_cents")
+           .withColumn("pid", F.spark_partition_id()))
+    w_in = (Window.partitionBy("pid").orderBy("price_cents")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    run = grp.withColumn("run_max", F.max("gmax").over(w_in))
+    bounds = grp.groupBy("pid").agg(F.max("gmax").alias("pmax"))
+    pre = (bounds.alias("a")
+           .join(F.broadcast(bounds.select(F.col("pid").alias("bpid"),
+                                           F.col("pmax").alias("bpmax"))),
+                 F.col("bpid") < F.col("a.pid"), "left")
+           .groupBy(F.col("a.pid").alias("pid"))
+           .agg(F.max("bpmax").alias("prefix_max")))
+    grp2 = (run.join(F.broadcast(pre), "pid", "left")
+            # greatest() skips NULLs: first range + first row => NULL,
+            # matching the unbounded-preceding semantics exactly
+            .withColumn("cheaper_max",
+                        F.greatest("run_max", "prefix_max"))
+            .select("price_cents", "gmax", "cheaper_max"))
     return (p.join(F.broadcast(grp2), "price_cents")
             .filter((F.col("p_size") == F.col("gmax"))
                     & (F.col("cheaper_max").isNull()
@@ -7368,53 +7387,56 @@ def segment_overlap_hll(spark, sf_dir):
     """Audience-overlap via HLL sketch SET OPERATIONS: pairwise
     distinct-user intersections between event types estimated by
     inclusion-exclusion — |A∩B| = |A| + |B| − |A∪B| — over MERGEABLE
-    per-type sketches. The union sketch is a lossless merge of the
-    stored per-type partials (operators/sketches.py:hll_partials), so
-    all O(T²) pair estimates come from T stored sketches WITHOUT
-    rescanning the fact table — the whole point of sketch algebra at
-    100 TB (intersection has no native sketch; inclusion-exclusion is
-    the standard estimator, with error scaling on the UNION size).
-    The gate row hashes exact counts plus a CHECKABLE bound:
-    within_bound asserts the estimate lands within 5 % of |A|+|B|
-    (generous vs lgk=14's 0.8 % rsd compounded across three
-    estimates). Exact intersections ride along from the same distinct
-    (user, type) projection the oracle uses."""
-    from .operators.sketches import hll_partials, hll_rollup
+    per-type sketches, with the union taken by the PAIRWISE
+    `hll_union` scalar on the two stored sketches (sketch algebra in
+    codegen — no re-aggregation, no fact rescan; the point at 100 TB:
+    intersection has no native sketch, inclusion-exclusion over
+    stored unions is the standard estimator). The whole query is ONE
+    fact-table scan and THREE shuffles (the r4 form had 13 + two
+    scans): a per-user type-set aggregate feeds (a) the per-type
+    aggregate computing exact count AND sketch in one pass, and (b)
+    the exact pair counts via an in-array pair expansion — replacing
+    the former distinct + self-join-on-user + separate partials/
+    rollup tree. The gate row hashes exact counts plus a CHECKABLE
+    bound: within_bound asserts the estimate lands within 5 % of
+    |A|+|B| (generous vs lgk=14's 0.8 % rsd compounded across three
+    estimates)."""
     ev = _t(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    ex = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
-    inter = (ut.alias("l").join(ut.alias("r"),
-                                (F.col("l.user_id") == F.col("r.user_id"))
-                                & (F.col("l.event_type")
-                                   < F.col("r.event_type")))
-             .groupBy(F.col("l.event_type").alias("type_a"),
-                      F.col("r.event_type").alias("type_b"))
+    # localCheckpoint = the reuse point: one scan + one shuffle build
+    # the per-user type sets, and BOTH downstream aggregates read the
+    # materialized partitions (exchange reuse alone doesn't unify the
+    # two branches — fresh scan nodes canonicalize differently)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.array_sort(F.collect_set("event_type"))
+                     .alias("types"))
+                .localCheckpoint(eager=False))
+    ut = per_user.select("user_id", F.explode("types").alias("event_type"))
+    typ = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    # ordered (type_a < type_b) pairs straight out of the sorted
+    # per-user array — codegen array expressions, no self-join
+    n_t = F.size("types")
+    pair_col = F.flatten(F.transform(
+        "types",
+        lambda x, i: F.transform(
+            F.slice("types", i + 2, n_t),
+            lambda y: F.struct(x.alias("type_a"), y.alias("type_b")))))
+    inter = (per_user.select(F.explode(pair_col).alias("p"))
+             .groupBy(F.col("p.type_a").alias("type_a"),
+                      F.col("p.type_b").alias("type_b"))
              .agg(F.count("*").cast("long").alias("n_inter_exact")))
-    parts = hll_partials(ev, ["event_type"], F.lit(0).alias("b"),
-                         "user_id", lgk=14)
-    est = hll_rollup(parts, ["event_type"])
-    pair_parts = (parts.alias("p").join(
-        inter.select("type_a", "type_b").alias("pr"),
-        (F.col("p.event_type") == F.col("pr.type_a"))
-        | (F.col("p.event_type") == F.col("pr.type_b")))
-        .select("type_a", "type_b", "sk"))
-    est_union = hll_rollup(pair_parts, ["type_a", "type_b"]) \
-        .withColumnRenamed("est_distinct", "est_ab")
-    j = (inter
-         .join(F.broadcast(ex.select(F.col("event_type").alias("type_a"),
-                                     F.col("n").alias("n_a_exact"))),
-               "type_a")
-         .join(F.broadcast(ex.select(F.col("event_type").alias("type_b"),
-                                     F.col("n").alias("n_b_exact"))),
-               "type_b")
-         .join(F.broadcast(est.select(F.col("event_type").alias("type_a"),
-                                      F.col("est_distinct").alias("est_a"))),
-               "type_a")
-         .join(F.broadcast(est.select(F.col("event_type").alias("type_b"),
-                                      F.col("est_distinct").alias("est_b"))),
-               "type_b")
-         .join(F.broadcast(est_union), ["type_a", "type_b"]))
-    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_ab")
+    a = typ.select(F.col("event_type").alias("type_a"),
+                   F.col("n").alias("n_a_exact"),
+                   F.col("sk").alias("sk_a"))
+    b = typ.select(F.col("event_type").alias("type_b"),
+                   F.col("n").alias("n_b_exact"),
+                   F.col("sk").alias("sk_b"))
+    j = (inter.join(F.broadcast(a), "type_a")
+              .join(F.broadcast(b), "type_b"))
+    est_inter = (F.hll_sketch_estimate("sk_a")
+                 + F.hll_sketch_estimate("sk_b")
+                 - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")))
     return j.select(
         "type_a", "type_b", "n_a_exact", "n_b_exact", "n_inter_exact",
         (F.abs(est_inter - F.col("n_inter_exact"))
