@@ -21,26 +21,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The per-round correctness gate evaluates queries in dict order with a
-# bounded budget (~50 per round). Rounds 1-3 proved 123 distinct
-# queries (121 green; the 2 non-green were no_oracle rows, all five of
-# which got checkable oracles this round). Round 4 freezes new query
-# additions (per VERDICT r3 #1) and burns down the never-evaluated
-# backlog: the head is (a) the five upgraded-oracle entries (PQ/IVF-PQ
-# now have exact DuckDB ADC twins; early-firing has a closed-form fire
-# set under the single-batch replay; compression/top-PC emit checkable
-# envelopes), (b) re-proves of everything whose code or oracle changed
-# this round (the applyInPandasWithState concat-then-sort fix, the
-# floor-consistent CUSUM target, the degenerate-split A/B guards, the
-# top-64 vocab broadcast), then (c) ALL remaining never-driver-
-# evaluated queries, streaming first, in registration order. Whatever
-# the ~50 budget doesn't reach is front-loaded by the auto-rotation
-# next round (_ordered_names ranks no-history first).
-# tools/verify_local.py checks ALL entries every time; 211/211 pass at
-# sf0.01 — including under the driver-identical vanilla session
+# bounded budget (~50 per round). Rounds 1-4 proved 170 distinct
+# queries, 170 green in latest status, 0 failures. Round 5 finishes
+# the burn-down (VERDICT r4 #1): the head is exactly the 41 queries
+# never driver-evaluated in r1-r4 (the round-3 analytics tail, in the
+# order the r4 rotation established), followed by this round's
+# additions and re-proves — the multi-batch early-firing replay
+# (VERDICT r4 #2), the 64-record-Arrow-chunk stateful re-prove
+# (VERDICT r4 #4), the real-BMP pixel-decode query (VERDICT r4 #8),
+# and re-proves of the two rewritten plans (part_skyline's
+# departitioned running max, segment_overlap_hll's 3-shuffle form —
+# both already in the 41) plus embedding_top_pc (adaptive-convergence
+# operator change). 41 + 4 fits the ~50 budget, so after r5 every
+# registry name has a green row in some CORRECTNESS_r*.json. The
+# auto-rotation still front-loads anything the budget misses next
+# round (_ordered_names ranks no-history first). tools/verify_local.py
+# checks ALL entries every time; 214/214 pass at sf0.01 — including
+# under the driver-identical vanilla session
 # (tools/verify_local.py --vanilla).
 PRIORITY = [
+    "ann_topk_lsh_multiprobe", "stratified_split_alloc",
+    "sliding_distinct_users", "purchase_touch_attribution",
+    "events_mad_anomalies", "revenue_pareto_abc", "event_type_transitions",
+    "minhash_accuracy", "lsh_precision_recall", "gopher_quality_flags",
+    "events_trend_ols", "neardup_triangle_stats", "setsim_jaccard_prefix",
+    "part_skyline", "user_lifecycle_states", "inverted_index_postings",
+    "mutual_information_bands", "doc_containment_pairs",
+    "doc_bigram_logppl", "segment_overlap_hll", "part_neighbors_cosine",
+    "source_token_entropy", "events_decayed_counts", "events_psi_drift",
+    "benford_price_audit", "clickstream_top_paths", "source_zipf_slope",
+    "order_cohort_ltv", "part_demand_abc_xyz", "pipeline_curation_v3",
+    "supplier_return_wilson", "events_burst_minutes",
+    "lineitem_quantity_equidepth", "funnel_time_percentiles",
+    "lsh_band_sweep", "events_chi2_independence", "gopher_rule_overlap",
+    "quality_signal_correlation", "events_value_autocorr",
+    "user_activity_gini", "events_runs_test",
+    # --- round-5 additions and re-proves ---
+    "stream_early_firing_multibatch", "stream_delta_alerts_smallbatch",
+    "bmp_decode_stats", "embedding_top_pc",
+    # --- previously-proven high-value head (beyond the ~50 budget;
+    # kept for rotation stability) ---
     "stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
-    "doc_compression_ratio", "embedding_top_pc", "stream_delta_alerts",
+    "doc_compression_ratio", "stream_delta_alerts",
     "events_cusum_drift", "stream_cusum_drift", "ab_test_zscores",
     "stream_ab_guardrail", "vocab_coverage_curve",
     "stream_manifest_maintenance", "stream_distinct_sketch",
@@ -58,22 +80,6 @@ PRIORITY = [
     "pipeline_curation_v2", "events_gap_fill",
     "quality_percentile_by_source", "leakage_free_split",
     "ivf_incremental_assign", "part_cooccurrence_lift",
-    "ann_topk_lsh_multiprobe", "stratified_split_alloc",
-    "sliding_distinct_users", "purchase_touch_attribution",
-    "events_mad_anomalies", "revenue_pareto_abc", "event_type_transitions",
-    "minhash_accuracy", "lsh_precision_recall", "gopher_quality_flags",
-    "events_trend_ols", "neardup_triangle_stats", "setsim_jaccard_prefix",
-    "part_skyline", "user_lifecycle_states", "inverted_index_postings",
-    "mutual_information_bands", "doc_containment_pairs",
-    "doc_bigram_logppl", "segment_overlap_hll", "part_neighbors_cosine",
-    "source_token_entropy", "events_decayed_counts", "events_psi_drift",
-    "benford_price_audit", "clickstream_top_paths", "source_zipf_slope",
-    "order_cohort_ltv", "part_demand_abc_xyz", "pipeline_curation_v3",
-    "supplier_return_wilson", "events_burst_minutes",
-    "lineitem_quantity_equidepth", "funnel_time_percentiles",
-    "lsh_band_sweep", "events_chi2_independence", "gopher_rule_overlap",
-    "quality_signal_correlation", "events_value_autocorr",
-    "user_activity_gini", "events_runs_test",
 ]
 
 

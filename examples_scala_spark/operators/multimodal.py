@@ -6,11 +6,14 @@ metadata predicates prune row groups without touching bytes.
 
 The decode/feature-extract step runs as Arrow-batched `mapInPandas`
 (one Python worker per partition, whole record batches across the
-JVM<->Python boundary). The image/audio codec libraries are NOT
-available in this container, so `decode_media` is STUBBED with a
-deterministic fake (documented below); the Spark-side plumbing —
-schema, batch iteration, partitioning — is real and tested, and a real
-deployment only swaps `_fake_decode` for PIL/ffmpeg calls.
+JVM<->Python boundary). The image/audio codec LIBRARIES are not
+available in this container, so `decode_media` falls back to a
+deterministic fake for png/wav/mp4 payloads (documented below) — but
+uncompressed 24-bit BMP decodes FOR REAL via the pure-Python header+
+pixel decoder below (`decode_bmp`): file/info header parse, row
+padding, bottom-up flip, BGR order. The Spark-side plumbing — schema,
+batch iteration, partitioning — is identical either way; a real
+deployment adds PIL/ffmpeg branches next to the BMP one.
 """
 
 from __future__ import annotations
@@ -59,13 +62,16 @@ def media_table(docs: DataFrame, text_col: str = "text",
 
 
 def _fake_decode(media: bytes, mime: str) -> tuple[int, int, int]:
-    """STUB decoder (deterministic fake): derives (width, height,
-    n_frames) from payload length. Replace with PIL / soundfile /
-    pyav in a real deployment:
+    """STUB decoder (deterministic fake) for the formats whose codec
+    libraries are absent in this container (png/wav/mp4): derives
+    (width, height, n_frames) from payload length. Replace with
+    PIL / soundfile / pyav in a real deployment:
 
         raise NotImplementedError("install pillow/av and swap me in")
 
-    Keeping it deterministic lets the driver oracle-check the plumbing.
+    Keeping it deterministic lets the driver oracle-check the
+    plumbing. BMP payloads never reach this — `decode_bmp` handles
+    them for real.
     """
     n = len(media)
     if mime.startswith("image/"):
@@ -75,15 +81,71 @@ def _fake_decode(media: bytes, mime: str) -> tuple[int, int, int]:
     return (n % 1920) + 1, (n % 1080) + 1, (n % 240) + 1
 
 
+def encode_bmp(px) -> bytes:
+    """Pure-Python/numpy 24-bit uncompressed BMP (BI_RGB) encoder.
+    `px` is a (height, width, 3) uint8 RGB array in TOP-DOWN row
+    order; the file stores rows bottom-up, channels BGR, each row
+    padded to a 4-byte boundary — the exact invariants `decode_bmp`
+    must undo."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    buf = np.zeros((h, row_size), np.uint8)
+    buf[:, :3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)
+    return header + info + buf.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """REAL pure-Python BMP decoder (no codec libs needed): parses the
+    BITMAPFILEHEADER + BITMAPINFOHEADER, validates 24 bpp / BI_RGB,
+    strips per-row 4-byte padding, undoes the bottom-up row order
+    (negative height = already top-down, per the spec) and the BGR
+    channel order. Returns (width, height, pixels) with pixels a
+    (height, width, 3) uint8 RGB array in top-down order."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported, got {bpp}/{comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    raw = np.frombuffer(data, np.uint8, count=row_size * h, offset=off)
+    px = raw.reshape(h, row_size)[:, :3 * w].reshape(h, w, 3)[..., ::-1]
+    return w, h, (px[::-1] if bottom_up else px)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode over mapInPandas. Partition-parallel; each
-    batch decodes vectorized-ish in the Python worker. The output
-    schema drops the payload (decoded features only) so downstream
-    stages never re-shuffle the heavy binary column."""
+    batch decodes vectorized-ish in the Python worker. image/bmp
+    payloads go through the REAL decoder (header dims, 1 frame);
+    codec-dependent formats fall back to the documented fake. The
+    output schema drops the payload (decoded features only) so
+    downstream stages never re-shuffle the heavy binary column."""
+    def decode_one(m: bytes, t: str) -> tuple[int, int, int]:
+        if t == "image/bmp":
+            w, h, _ = decode_bmp(bytes(m))
+            return w, h, 1
+        return _fake_decode(m, t)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _fake_decode(m, t) for m, t in zip(pdf["media"], pdf["mime"])
+                decode_one(m, t) for m, t in zip(pdf["media"], pdf["mime"])
             ]
             out = pd.DataFrame(decoded, columns=["width", "height", "n_frames"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
@@ -92,6 +154,73 @@ def decode_media(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def bmp_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL 24-bit BMP payloads, one per document, with a
+    closed-form pixel function of doc_id — so a SQL oracle can
+    recompute any pixel statistic without ever seeing the bytes:
+
+        w = 8 + doc_id % 9, h = 5 + doc_id % 7   (widths hit every
+        row-padding residue), and at (x, y) top-down:
+        r = (doc_id + 7x + 13y) % 256
+        g = (2*doc_id + 3x + 5y) % 256
+        b = (doc_id + x*y)      % 256
+
+    Synthesis scaffolding for the decode path (production reads real
+    binary columns); runs as Arrow-batched mapInPandas, one numpy
+    meshgrid + encode per row."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 8 + d % 9, 5 + d % 7
+                X, Y = np.meshgrid(np.arange(w), np.arange(h))
+                px = np.stack([(d + 7 * X + 13 * Y) % 256,
+                               (2 * d + 3 * X + 5 * Y) % 256,
+                               (d + X * Y) % 256],
+                              axis=-1).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({
+                "doc_id": ids.values,
+                "media": payloads,
+                "mime": ["image/bmp"] * len(payloads),
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-asset statistics computed FROM TRULY DECODED PIXELS:
+    channel sums over the full image plus the r-channel sum of the
+    TOP row (orientation-sensitive — a decoder that forgets the
+    bottom-up flip, misreads the pixel offset, or mishandles row
+    padding produces different sums). Payload stays in the scan
+    stage; only the 8-integer row flows out."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, px = decode_bmp(bytes(payload))
+                px = px.astype(np.int64)
+                rows.append((int(d), w, h, w * h,
+                             int(px[..., 0].sum()), int(px[..., 1].sum()),
+                             int(px[..., 2].sum()), int(px[0, :, 0].sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "r_sum", "g_sum", "b_sum", "first_row_r_sum"])
+
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, width bigint, height bigint, n_pixels bigint, "
+        "r_sum bigint, g_sum bigint, b_sum bigint, first_row_r_sum bigint")
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 24) -> DataFrame:
