@@ -158,14 +158,19 @@ def _shuffles(plan: str) -> int:
     ("events_trend_ols", 2),        # moment agg + scalar min
     ("neardup_triangle_stats", 7),  # LSH pairs + wedge/close + credits
     ("setsim_jaccard_prefix", 12),  # df-rank + prefix join + verify
-    ("part_skyline", 2),            # price-group agg + tiny window
+    ("part_skyline", 6),            # price agg + range/pid-window/
+                                    # bounds/prefix shuffles, ALL over
+                                    # the tiny per-price aggregate —
+                                    # the price of zero
+                                    # single-partition windows (r5)
     ("user_lifecycle_states", 7),   # distinct + user windows + day aggs
     ("ab_test_zscores", 1),         # one map-combined moment agg
     ("inverted_index_postings", 2), # (term,doc) tf agg + term agg
     ("mutual_information_bands", 7),  # quartiles + joint agg + windows
     ("doc_containment_pairs", 4),   # shingle distinct + sz + pair agg
     ("doc_bigram_logppl", 5),       # doc-bigram agg + LM agg/window
-    ("segment_overlap_hll", 13),    # (user,type) distinct + pair joins
+    ("segment_overlap_hll", 3),     # per-user sets + type agg + pairs
+                                    # (was 13 before the r5 rewrite)
     ("part_neighbors_cosine", 11),  # basket pairs + union + rank
     ("source_token_entropy", 2),    # (source,word) agg + source agg
     ("events_decayed_counts", 2),   # scalar max + one aggregate
@@ -190,6 +195,15 @@ def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
     assert _shuffles(plan) <= max_shuffles, (
         f"{name}: {_shuffles(plan)} shuffles > {max_shuffles}\n{plan}")
+
+
+def test_part_skyline_has_no_single_partition_window(spark, sf_dir):
+    """The r5 rewrite replaced the global running max with
+    range-partitioned scans + a broadcast prefix-max; a
+    SinglePartition exchange reappearing means the scalable form
+    regressed (VERDICT r4 #5)."""
+    plan = explain_str(REGISTRY["part_skyline"].fn(spark, sf_dir), "simple")
+    assert "SinglePartition" not in plan
 
 
 def test_q2_broadcasts_dims_and_takes_ordered_topk(spark, sf_dir):
