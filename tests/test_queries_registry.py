@@ -86,12 +86,17 @@ def test_gate_ordering_invariants():
     names = list(e.queries())
     assert sorted(names) == sorted(REGISTRY)
     assert names[:len(e.PRIORITY)] == e.PRIORITY
-    # round 4: the five upgraded-oracle entries and the changed-code
-    # re-proves sit inside the ~50 budget
-    for canary in ("stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
-                   "doc_compression_ratio", "embedding_top_pc",
-                   "stream_delta_alerts", "events_cusum_drift",
-                   "ab_test_zscores", "vocab_coverage_curve"):
+    # round 5: every never-driver-evaluated query (per the recorded
+    # CORRECTNESS history) plus this round's additions and
+    # changed-code re-proves sit inside the ~50 budget
+    hist0 = e._gate_history()
+    never = [n for n in REGISTRY if n not in hist0]
+    for n in never:
+        assert names.index(n) < 50, f"never-evaluated {n} outside budget"
+    for canary in ("stream_early_firing_multibatch",
+                   "stream_delta_alerts_smallbatch", "bmp_decode_stats",
+                   "embedding_top_pc", "part_skyline",
+                   "segment_overlap_hll"):
         assert names.index(canary) < 50
     hist = e._gate_history()
     tail = names[len(e.PRIORITY):]
