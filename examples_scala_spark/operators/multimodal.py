@@ -129,17 +129,67 @@ def decode_bmp(data: bytes):
     return w, h, (px[::-1] if bottom_up else px)
 
 
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """Pure-Python/numpy RIFF WAVE encoder: 16-bit PCM mono.
+    `samples` is an int16 array. Writes the canonical RIFF header,
+    a 16-byte `fmt ` chunk, and the little-endian `data` chunk —
+    the exact layout `decode_wav` must parse back."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(data: bytes):
+    """REAL pure-Python WAV decoder: validates the RIFF/WAVE
+    container, WALKS the chunk list (skipping unknown chunks and
+    their odd-length pad bytes, per the RIFF spec) to find `fmt ` and
+    `data`, validates 16-bit PCM, and returns
+    (sample_rate, n_channels, samples) with samples a little-endian
+    int16 numpy array."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {audio_format}/{bits}")
+    return rate, channels, np.frombuffer(pcm, dtype="<i2")
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode over mapInPandas. Partition-parallel; each
-    batch decodes vectorized-ish in the Python worker. image/bmp
-    payloads go through the REAL decoder (header dims, 1 frame);
-    codec-dependent formats fall back to the documented fake. The
-    output schema drops the payload (decoded features only) so
-    downstream stages never re-shuffle the heavy binary column."""
+    batch decodes vectorized-ish in the Python worker. image/bmp and
+    RIFF audio/wav payloads go through the REAL decoders (header
+    dims / sample count); codec-dependent formats fall back to the
+    documented fake. The output schema drops the payload (decoded
+    features only) so downstream stages never re-shuffle the heavy
+    binary column."""
     def decode_one(m: bytes, t: str) -> tuple[int, int, int]:
         if t == "image/bmp":
             w, h, _ = decode_bmp(bytes(m))
             return w, h, 1
+        if t == "audio/wav" and bytes(m[:4]) == b"RIFF":
+            _rate, _ch, samples = decode_wav(bytes(m))
+            return 0, 0, len(samples)
         return _fake_decode(m, t)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,6 +243,64 @@ def bmp_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def wav_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL 16-bit PCM WAV payloads, one per document, with
+    a closed-form sample function of doc_id (SQL-recomputable):
+
+        n    = 64 + doc_id % 97 samples
+        rate = 8000 + 1000 * (doc_id % 5)
+        s[i] = ((doc_id * 31 + i * 17) % 4001) - 2000
+
+    Synthesis scaffolding for the decode path, Arrow-batched."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                i = np.arange(64 + d % 97, dtype=np.int64)
+                s = ((d * 31 + i * 17) % 4001 - 2000).astype(np.int16)
+                payloads.append(encode_wav(s, 8000 + 1000 * (d % 5)))
+            yield pd.DataFrame({
+                "doc_id": ids.values,
+                "media": payloads,
+                "mime": ["audio/wav"] * len(payloads),
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Per-asset statistics FROM TRULY DECODED PCM SAMPLES: sample
+    rate and count from the chunk walk, plus sum, absolute sum, and
+    the index-weighted sum (order-sensitive — a decoder that reverses
+    sample order, misparses chunk offsets, or botches the int16
+    little-endian read produces different values)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["media"]):
+                rate, ch, s = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                idx = np.arange(len(s))
+                rows.append((int(d), rate, ch, len(s), int(s.sum()),
+                             int(np.abs(s).sum()), int((idx * s).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_channels", "n_samples",
+                "s_sum", "s_abs_sum", "s_weighted_sum"])
+
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, sample_rate bigint, n_channels bigint, "
+        "n_samples bigint, s_sum bigint, s_abs_sum bigint, "
+        "s_weighted_sum bigint")
 
 
 def bmp_pixel_stats(media: DataFrame) -> DataFrame:

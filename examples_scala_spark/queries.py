@@ -2098,6 +2098,42 @@ def bmp_decode_stats(spark, sf_dir):
     return multimodal.bmp_pixel_stats(multimodal.bmp_media_table(docs))
 
 
+@register(
+    "wav_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n,
+             8000 + 1000 * (doc_id % 5) AS rate
+      FROM documents),
+    sm AS (
+      SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM d),
+    s AS (
+      SELECT doc_id, n, rate, i,
+             ((doc_id * 31 + i * 17) % 4001) - 2000 AS v
+      FROM sm)
+    SELECT doc_id, rate::BIGINT AS sample_rate, 1::BIGINT AS n_channels,
+           n::BIGINT AS n_samples,
+           sum(v)::BIGINT AS s_sum,
+           sum(abs(v))::BIGINT AS s_abs_sum,
+           sum(i * v)::BIGINT AS s_weighted_sum
+    FROM s GROUP BY 1, 2, 3, 4""",
+    "llm", "multimodal",
+)
+def wav_decode_stats(spark, sf_dir):
+    """REAL audio decode, oracle-checked end to end — the PCM
+    counterpart of bmp_decode_stats: one genuine RIFF/WAVE 16-bit PCM
+    payload per document (multimodal.py:wav_media_table — closed-form
+    samples of doc_id, lengths hitting odd/even chunk alignments),
+    decoded by the pure-Python chunk-walking decoder
+    (multimodal.py:decode_wav — RIFF validation, fmt/data chunk
+    walk, little-endian int16), then per-asset sample sums PLUS the
+    index-weighted sum from the decoded array. The oracle recomputes
+    everything from the sample formula alone, so any decoder error in
+    chunk offsets, sample order, or endianness hash-fails the gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.wav_sample_stats(multimodal.wav_media_table(docs))
+
+
 # ======================================================================
 # Beyond-parity window surface: sliding + session windows (the book
 # covers them; the reference examples don't — Spark has them built in),

@@ -483,3 +483,87 @@ def test_decode_media_routes_bmp_to_real_decoder(spark, sf_dir):
         assert r.width == 8 + d % 9
         assert r.height == 5 + d % 7
         assert r.n_frames == 1
+
+
+def test_multibatch_oracle_data_invariants():
+    """stream_early_firing_multibatch's oracle models 'every live key
+    fires every batch', exact iff (a) every key has rows in every
+    time-quartile AND (b) consecutive-quartile watermark jumps exceed
+    the 10-min tick interval (so every armed event-time timer has
+    expired by the next batch). Pin both properties of the driver
+    corpora so a future data regen can't silently invalidate the
+    closed form."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        rows = duckdb.sql(f"""
+            WITH e AS (
+              SELECT ((user_id % 10) + 1) AS key,
+                     (epoch_us(ts) // 1000) AS ms,
+                     ((row_number() OVER (ORDER BY epoch_us(ts), event_id)
+                       - 1) * 4) // (SELECT count(*) FROM '{path}') AS b
+              FROM '{path}')
+            SELECT b, count(DISTINCT key), max(ms)
+            FROM e GROUP BY b ORDER BY b""").fetchall()
+        assert [r[0] for r in rows] == [0, 1, 2, 3]
+        assert all(r[1] == 10 for r in rows), f"{sf}: key missing a quartile"
+        maxes = [r[2] for r in rows]
+        gaps = [maxes[i] - maxes[i - 1] for i in range(1, 4)]
+        assert all(g > 600_000 for g in gaps), f"{sf}: wm jump <= interval"
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode->decode identity for odd/even lengths, and the decoder
+    must WALK chunks: an unknown odd-sized chunk (with its pad byte)
+    inserted before fmt/data must be skipped per the RIFF spec."""
+    import struct
+
+    import numpy as np
+
+    from examples_scala_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 63, 64, 97):
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        rate, ch, got = decode_wav(encode_wav(s, 12_345))
+        assert (rate, ch) == (12_345, 1)
+        assert np.array_equal(got, s)
+    # splice a 3-byte LIST chunk (odd size -> 1 pad byte) after WAVE
+    s = rng.integers(-32768, 32768, size=10, dtype=np.int16)
+    data = encode_wav(s, 8000)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = data[:12] + extra + data[12:]
+    rate, ch, got = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(got, s)
+
+
+def test_wav_decode_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from examples_scala_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS\x00notwav")
+    data = bytearray(encode_wav(np.zeros(4, np.int16)))
+    data[20] = 3  # claim IEEE-float format
+    with pytest.raises(ValueError):
+        decode_wav(bytes(data))
+
+
+def test_decode_media_routes_riff_wav_to_real_decoder(spark, sf_dir):
+    from examples_scala_spark.operators.multimodal import (
+        decode_media, wav_media_table)
+    from examples_scala_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    decoded = {r.doc_id: r for r in
+               decode_media(wav_media_table(docs)).collect()}
+    assert len(decoded) == 30
+    for d, r in decoded.items():
+        # real chunk-walked sample count, not the fake's n_bytes*100
+        assert r.n_frames == 64 + d % 97
+        assert (r.width, r.height) == (0, 0)
