@@ -353,3 +353,51 @@ def test_value_hash_insensitive_to_row_and_column_order(rows, data):
         mutated = df.copy()
         mutated.loc[mutated.index[0], "a"] = 99  # outside the domain
         assert value_hash(mutated) != value_hash(df)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_codec_roundtrip_property(w, h, seed):
+    """encode_bmp -> decode_bmp is the identity for EVERY geometry —
+    all four row-padding residues, 1-pixel edges, arbitrary content —
+    and the encoded size matches the BMP closed form."""
+    import numpy as np
+
+    from examples_scala_spark.operators.multimodal import (
+        decode_bmp, encode_bmp)
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_bmp(px)
+    assert len(data) == 54 + ((3 * w + 3) // 4 * 4) * h
+    got_w, got_h, got = decode_bmp(data)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, px)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=257),
+    rate=st.integers(min_value=1, max_value=192_000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    """encode_wav -> decode_wav is the identity for every length
+    (odd data-chunk sizes included), any sample rate, and full-range
+    int16 content; the container size matches the RIFF closed form."""
+    import numpy as np
+
+    from examples_scala_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int16)
+    data = encode_wav(s, rate)
+    assert len(data) == 12 + 8 + 16 + 8 + 2 * n
+    got_rate, ch, got = decode_wav(data)
+    assert (got_rate, ch) == (rate, 1)
+    assert np.array_equal(got, s)
