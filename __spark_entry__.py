@@ -59,6 +59,9 @@ PRIORITY = [
     # --- round-5 additions and re-proves ---
     "stream_early_firing_multibatch", "stream_delta_alerts_smallbatch",
     "bmp_decode_stats", "wav_decode_stats", "embedding_top_pc",
+    # decode_media now routes real BMP/WAV payloads — re-prove the
+    # two queries that share its code path
+    "media_meta", "frame_sample",
     # --- previously-proven high-value head (beyond the ~50 budget;
     # kept for rotation stability) ---
     "stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
@@ -66,7 +69,7 @@ PRIORITY = [
     "events_cusum_drift", "stream_cusum_drift", "ab_test_zscores",
     "stream_ab_guardrail", "vocab_coverage_curve",
     "stream_manifest_maintenance", "stream_distinct_sketch",
-    "frame_sample", "error_recent_clicks", "events_moving_avg",
+    "error_recent_clicks", "events_moving_avg",
     "events_value_stats", "funnel_conversion", "events_json_props",
     "doc_chunks", "corpus_stats_by_source", "shared_passages",
     "events_zscore_anomalies", "user_retention_cohorts", "dedup_keep_best",
