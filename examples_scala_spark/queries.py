@@ -2385,7 +2385,10 @@ def _staged_events_stream_quartile(spark, sf_dir, n_files: int = 4):
          .withColumn("bucket",
                      F.expr(f"CAST(((rn - 1) * {n_files}) DIV {n} AS INT)"))
          .select("event_id", "ts", "user_id", "event_type", "value",
-                 "props", "bucket"))
+                 "props", "bucket")
+         # materialize once: the per-bucket writes below would
+         # otherwise re-run the global sort n_files times
+         .localCheckpoint(eager=True))
     work = tempfile.mkdtemp(prefix="sgs_qstage_work_")
     d = tempfile.mkdtemp(prefix="sgs_qstaged_")
     base = 1_700_000_000
