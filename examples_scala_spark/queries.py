@@ -1473,8 +1473,9 @@ def minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(docs, num_hashes=16, n=3)
 
 
-def _minhash_pairs_sql(bands: int = 4, rows: int = 4, threshold: float = 0.5) -> str:
-    sig = _minhash_sig_sql()
+def _minhash_pairs_sql(bands: int = 4, rows: int = 4, threshold: float = 0.5,
+                       src: str = "documents") -> str:
+    sig = _minhash_sig_sql(src=src)
     band_exprs = ",\n           ".join(
         "md5(concat_ws(','," + ",".join(
             f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
@@ -6894,6 +6895,78 @@ def lsh_precision_recall(spark, sf_dir):
         "n_pred", "n_true", "tp",
         F.round(F.col("tp") / F.col("n_pred"), 6).alias("precision"),
         F.round(F.col("tp") / F.col("n_true"), 6).alias("recall"))
+
+
+@register(
+    "lsh_tuning_sampled",
+    f"""
+    WITH sdocs AS (
+      SELECT * FROM documents
+      WHERE ('0x' || substr(md5('lshs-' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 5 = 0),
+    lsh AS ({_minhash_pairs_sql(src="sdocs")}),
+    w3 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM sdocs),
+    sh3 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                     AS g
+            FROM w3)),
+    sz3 AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh3 GROUP BY doc_id),
+    t2 AS (
+      SELECT i.doc_a, i.doc_b FROM (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*)::BIGINT AS i3
+        FROM sh3 l JOIN sh3 r USING (shingle)
+        WHERE l.doc_id < r.doc_id GROUP BY 1, 2) i
+      JOIN sz3 sa ON sa.doc_id = i.doc_a
+      JOIN sz3 sb ON sb.doc_id = i.doc_b
+      WHERE i.i3 / (sa.sz + sb.sz - i.i3) >= 0.5),
+    hits AS (SELECT count(*)::BIGINT AS tp FROM lsh
+             JOIN t2 USING (doc_a, doc_b)),
+    np AS (SELECT count(*)::BIGINT AS n_pred FROM lsh),
+    nt AS (SELECT count(*)::BIGINT AS n_true FROM t2)
+    SELECT np.n_pred, nt.n_true, hits.tp,
+           (CASE WHEN np.n_pred > 0
+                 THEN round(hits.tp / np.n_pred::DOUBLE, 6) END) AS precision,
+           (CASE WHEN nt.n_true > 0
+                 THEN round(hits.tp / nt.n_true::DOUBLE, 6) END) AS recall
+    FROM np CROSS JOIN nt CROSS JOIN hits""",
+    "llm", "dedup", "diagnostics",
+)
+def lsh_tuning_sampled(spark, sf_dir):
+    """The SAMPLE-BOUND form of lsh_precision_recall — the intended
+    production use (SCALE.md round-5 notes): a deterministic 20 % doc
+    sample (salted md5 of doc_id, replayable, append-stable) pays the
+    exact-Jaccard ground-truth cost on sample² density, not corpus²,
+    while scoring the SAME banding parameters the full run will use.
+    This is the cheap pre-flight that justifies (b, r, n) before a
+    100 TB dedup; ratios are NULL-guarded for degenerate samples."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("lshs-"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint") % 5) == 0
+    sample = docs.filter(keep)
+    pred = (dedup.minhash_lsh_pairs(sample, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+            .select("doc_a", "doc_b"))
+    truth = (dedup.ngram_jaccard_pairs(sample, n=3, threshold=0.5)
+             .select("doc_a", "doc_b"))
+    tp = pred.join(truth, ["doc_a", "doc_b"]).count()
+    n_pred, n_true = pred.count(), truth.count()
+    one = spark.createDataFrame(
+        [(n_pred, n_true, tp)], "n_pred bigint, n_true bigint, tp bigint")
+    return one.select(
+        "n_pred", "n_true", "tp",
+        F.when(F.col("n_pred") > 0,
+               F.round(F.col("tp") / F.col("n_pred"), 6)).alias("precision"),
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("tp") / F.col("n_true"), 6)).alias("recall"))
 
 
 @register(
