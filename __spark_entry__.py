@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # some CORRECTNESS_r*.json. The auto-rotation still front-loads
 # anything the budget misses next round (_ordered_names ranks
 # no-history first). tools/verify_local.py checks ALL entries every
-# time; 216/216 pass at sf0.01 — including under the driver-identical
+# time; 217/217 pass at sf0.01 — including under the driver-identical
 # vanilla session (tools/verify_local.py --vanilla).
 PRIORITY = [
     "ann_topk_lsh_multiprobe", "stratified_split_alloc",
@@ -62,8 +62,9 @@ PRIORITY = [
     # decode_media now routes real BMP/WAV payloads — re-prove the
     # two queries that share its code path
     "media_meta", "frame_sample",
-    # the sample-bound LSH tuning diagnostic (new r5)
-    "lsh_tuning_sampled",
+    # the sample-bound LSH tuning diagnostic and the RRF hybrid
+    # retrieval composition (new r5) — head is exactly the ~50 budget
+    "lsh_tuning_sampled", "hybrid_retrieval_rrf",
     # --- previously-proven high-value head (beyond the ~50 budget;
     # kept for rotation stability) ---
     "stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",

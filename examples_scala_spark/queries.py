@@ -5750,6 +5750,106 @@ def bm25_topk(spark, sf_dir):
 
 
 @register(
+    "hybrid_retrieval_rrf",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents),
+    stats AS (
+      SELECT count(*)::DOUBLE AS N, avg(len(words))::DOUBLE AS avgdl FROM w),
+    tok AS (
+      SELECT doc_id, len(words)::BIGINT AS dl, unnest(words) AS term FROM w),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+      FROM tok WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1.0 + (s.N - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.5)
+               / (t.tf + 1.5 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s),
+    lex20 AS (
+      SELECT doc_id, round(sum(c), 6) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 20),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    q AS (SELECT v AS qv, norm AS qnorm FROM n WHERE vec_id = 0),
+    sem0 AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(qv, v) / (qnorm * norm) AS cos
+      FROM n, q WHERE vec_id != 0),
+    sem20 AS (
+      SELECT doc_id, cos FROM sem0 ORDER BY cos DESC, doc_id LIMIT 20),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+      FROM sem20),
+    fused AS (
+      SELECT doc_id, l.lex_rank::BIGINT AS lex_rank,
+             s.sem_rank::BIGINT AS sem_rank,
+             round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                   + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN sem s USING (doc_id))
+    SELECT doc_id, lex_rank, sem_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "llm", "retrieval", "similarity",
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG-pipeline
+    op that merges a LEXICAL ranking (BM25 top-20 for the fixed term
+    set, text.py:bm25_topk) with a SEMANTIC ranking (exact cosine
+    top-20 against doc 0's embedding as the query) via
+    RRF(d) = sum over lists of 1/(60 + rank_d). Scale shape: each
+    side is one corpus scan ending in TakeOrderedAndProject (never a
+    global sort); rank windows run over the 20 fused candidates only;
+    the fusion join touches <= 40 rows. Ranks use unique (score,
+    doc_id) tie-breaks so both engines derive identical lists; the
+    6-dp rounding happens on scores AND on the fused RRF, keeping the
+    float surface engine-exact as in bm25_topk/ann_topk_bruteforce."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex20 = text.bm25_topk(docs, ["spark", "join", "window"],
+                           k1=1.5, b=0.75, topk=20)
+    lex = (lex20.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")))
+        .select("doc_id", "lex_rank"))
+    base = similarity.with_norm(emb)
+    qv = (base.filter(F.col("vec_id") == 0)
+          .select(F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
+    sem0 = (base.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != 0)
+            .select(F.col("vec_id").alias("doc_id"),
+                    similarity.cosine(F.col("qv"), F.col("v"),
+                                      F.col("qnorm"), F.col("norm"))
+                    .alias("cos")))
+    sem20 = sem0.orderBy(F.col("cos").desc(), "doc_id").limit(20)
+    sem = (sem20.withColumn(
+        "sem_rank",
+        F.row_number().over(Window.orderBy(F.col("cos").desc(), "doc_id")))
+        .select("doc_id", "sem_rank"))
+    fused = (lex.join(sem, "doc_id", "full")
+             .select(
+                 "doc_id",
+                 F.col("lex_rank").cast("bigint").alias("lex_rank"),
+                 F.col("sem_rank").cast("bigint").alias("sem_rank"),
+                 F.round(
+                     F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")),
+                                F.lit(0.0))
+                     + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")),
+                                  F.lit(0.0)), 6).alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@register(
     "bloom_decontaminate",
     """
     WITH w AS (
