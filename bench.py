@@ -170,7 +170,11 @@ def main() -> None:
                  # round-3 session-2 additions
                  "gopher_quality_flags", "doc_bigram_logppl",
                  "events_psi_drift", "events_cusum_drift",
-                 "pipeline_curation_v3"]:
+                 "pipeline_curation_v3",
+                 # round-5 additions: the rewritten sketch-overlap
+                 # plan, real decode, and the retrieval composition
+                 "segment_overlap_hll", "bmp_decode_stats",
+                 "hybrid_retrieval_rrf"]:
         # best of two, same as the headline set: r3's single-sample
         # extras produced phantom regressions (ann_topk_pq "2.3x"
         # measured 1.13x under controlled best-of-two A/B)
