@@ -245,6 +245,51 @@ def bmp_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(synth, MEDIA_SCHEMA)
 
 
+def resample_nearest(px, tw: int, th: int):
+    """Nearest-neighbor resample of a decoded (h, w, 3) pixel array to
+    (th, tw, 3) using PURE INTEGER source mapping —
+    sx = ((2*ox + 1) * w) // (2*tw) — the midpoint rule with no float
+    arithmetic, so a SQL oracle can reproduce every sampled
+    coordinate exactly. The executed counterpart of resize_plan's
+    geometry (which plans scale/crop for a codec-backed resampler)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    sx = ((2 * np.arange(tw) + 1) * w) // (2 * tw)
+    sy = ((2 * np.arange(th) + 1) * h) // (2 * th)
+    return px[np.ix_(sy, sx)]
+
+
+def bmp_thumbnail_stats(media: DataFrame, tw: int = 7,
+                        th: int = 5) -> DataFrame:
+    """decode -> resample -> features, EXECUTED end to end on real
+    pixels: each BMP payload is decoded (decode_bmp), thumbnailed to
+    (tw, th) by the integer nearest-neighbor rule, and reduced to
+    channel sums plus the top-row r-sum of the THUMBNAIL — values a
+    SQL oracle recomputes from the closed-form pixel function composed
+    with the midpoint source mapping, so resample coordinate errors
+    (off-by-one, axis swap, float drift) hash-fail the gate."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, px = decode_bmp(bytes(payload))
+                t = resample_nearest(px, tw, th).astype(np.int64)
+                rows.append((int(d), w, h,
+                             int(t[..., 0].sum()), int(t[..., 1].sum()),
+                             int(t[..., 2].sum()), int(t[0, :, 0].sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "src_w", "src_h",
+                "t_r_sum", "t_g_sum", "t_b_sum", "t_top_r_sum"])
+
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, src_w bigint, src_h bigint, t_r_sum bigint, "
+        "t_g_sum bigint, t_b_sum bigint, t_top_r_sum bigint")
+
+
 def wav_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL 16-bit PCM WAV payloads, one per document, with
     a closed-form sample function of doc_id (SQL-recomputable):
@@ -301,6 +346,41 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
         "doc_id bigint, sample_rate bigint, n_channels bigint, "
         "n_samples bigint, s_sum bigint, s_abs_sum bigint, "
         "s_weighted_sum bigint")
+
+
+def wav_frame_features(media: DataFrame, frame: int = 16) -> DataFrame:
+    """Frame-level audio features from TRULY DECODED PCM: the samples
+    split into fixed `frame`-sample windows; per frame, the
+    zero-crossing count (sign flips between consecutive samples
+    WITHIN the frame, sign = v >= 0) and the integer absolute-
+    amplitude sum — the codec-free analogues of ZCR/energy that drive
+    voice-activity and silence screens before any model runs. All
+    integer arithmetic, so a SQL oracle recomputes every frame
+    exactly from the closed-form sample function. One output row per
+    (asset, frame), produced inside the Arrow scan stage."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["media"]):
+                _rate, _ch, s = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                n = len(s)
+                for k in range((n + frame - 1) // frame):
+                    seg = s[k * frame:(k + 1) * frame]
+                    nonneg = seg >= 0
+                    zc = int((nonneg[:-1] != nonneg[1:]).sum())
+                    rows.append((int(d), k, len(seg), zc,
+                                 int(np.abs(seg).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "n_in_frame", "zero_crossings",
+                "abs_sum"])
+
+    return media.mapInPandas(
+        feats,
+        "doc_id bigint, frame_idx bigint, n_in_frame bigint, "
+        "zero_crossings bigint, abs_sum bigint")
 
 
 def bmp_pixel_stats(media: DataFrame) -> DataFrame:

@@ -2100,6 +2100,46 @@ def bmp_decode_stats(spark, sf_dir):
 
 
 @register(
+    "bmp_thumbnail_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+      FROM documents),
+    ox AS (SELECT doc_id, w, h, unnest(range(0, 7)) AS ox FROM d),
+    oxy AS (SELECT doc_id, w, h, ox, unnest(range(0, 5)) AS oy FROM ox),
+    m AS (
+      SELECT doc_id, w, h, ox, oy,
+             ((2 * ox + 1) * w) // 14 AS sx,
+             ((2 * oy + 1) * h) // 10 AS sy
+      FROM oxy)
+    SELECT doc_id, w::BIGINT AS src_w, h::BIGINT AS src_h,
+           sum((doc_id + 7 * sx + 13 * sy) % 256)::BIGINT AS t_r_sum,
+           sum((2 * doc_id + 3 * sx + 5 * sy) % 256)::BIGINT AS t_g_sum,
+           sum((doc_id + sx * sy) % 256)::BIGINT AS t_b_sum,
+           sum(CASE WHEN oy = 0
+                    THEN (doc_id + 7 * sx + 13 * sy) % 256
+                    ELSE 0 END)::BIGINT AS t_top_r_sum
+    FROM m GROUP BY 1, 2, 3""",
+    "llm", "multimodal",
+)
+def bmp_thumbnail_stats(spark, sf_dir):
+    """The EXECUTED resample path: real BMP payloads are decoded
+    (multimodal.py:decode_bmp), thumbnailed to 7x5 by the pure-integer
+    midpoint nearest-neighbor rule (resample_nearest — sx =
+    ((2*ox+1)*w) DIV (2*tw), no floats), and reduced to thumbnail
+    channel sums + the orientation-sensitive top-row sum. The oracle
+    composes the closed-form pixel function with the same integer
+    source mapping, never touching bytes — any resample coordinate
+    error (off-by-one, axis swap, orientation) hash-fails. This
+    upgrades resize_plan from geometry planning to an executed
+    decode -> resample -> features chain, all inside one Arrow
+    scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.bmp_thumbnail_stats(
+        multimodal.bmp_media_table(docs), tw=7, th=5)
+
+
+@register(
     "wav_decode_stats",
     """
     WITH d AS (
@@ -4085,6 +4125,162 @@ def media_chunks(spark, sf_dir):
 
 
 @register(
+    "tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    wt AS (
+      SELECT doc_id, term, tf * ln((n + 1.0) / (df + 1.0)) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE df * 5 <= n),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM wt GROUP BY 1),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dp
+      FROM wt a JOIN wt b USING (term)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(dp / (na.nm * nb.nm), 6) AS cos
+    FROM dot JOIN nrm na ON na.doc_id = doc_a
+             JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE dp / (na.nm * nb.nm) >= 0.6""",
+    "llm", "dedup", "similarity",
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse LEXICAL-VECTOR similarity: document pairs with tf-idf
+    cosine >= 0.6 over the selective sub-vocabulary (df <= N/5 — a
+    CORPUS-RELATIVE cap, so the excluded stopword-like band scales
+    with the corpus; high-df terms leave the vector space,
+    which is both the standard practice and what makes the term
+    equi-join linear in true collisions rather than quadratic via
+    corpus-wide terms). Complements the near-dup family: shingle/
+    minhash match verbatim overlap, embeddings match semantics, and
+    tf-idf cosine matches topical vocabulary. Plan: two hash
+    aggregates, one term equi-join carrying (doc_id, weight) pairs,
+    norms joined back by doc — text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    wt = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+          .filter(F.col("df") * 5 <= F.col("n"))
+          .select("doc_id", "term",
+                  (F.col("tf")
+                   * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)))
+                  .alias("w")))
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
+    dot = (wt.alias("a").join(wt.alias("b"), "term")
+           .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+           .groupBy(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+           .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp")))
+    j = (dot.join(nrm.select(F.col("doc_id").alias("doc_a"),
+                             F.col("nm").alias("na")), "doc_a")
+         .join(nrm.select(F.col("doc_id").alias("doc_b"),
+                          F.col("nm").alias("nb")), "doc_b"))
+    cos = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (j.filter(cos >= 0.6)
+            .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))
+
+
+@register(
+    "grouped_kfold_assign",
+    """
+    WITH can AS (
+      SELECT doc_id, lang,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS grp
+      FROM documents)
+    SELECT doc_id, lang, grp,
+           (('0x' || substr(md5('kf-' || grp::VARCHAR), 1, 15))::BIGINT
+            % 5)::BIGINT AS fold
+    FROM can""",
+    "llm", "sampling",
+)
+def grouped_kfold_assign(spark, sf_dir):
+    """GROUP-aware k-fold assignment for leakage-free cross-
+    validation: every doc in the same exact-content group (keyed by
+    the group's min doc_id) lands in the SAME fold, so duplicate
+    documents can never straddle a train/eval fold boundary — the
+    k-fold counterpart of leakage_free_split. Fold = salted md5 of
+    the GROUP id, not the doc id: deterministic, append-stable, and
+    replayable, like every sampling op here. One content-hash window
+    plus narrow column math; no corpus-sized join."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    can = docs.select("doc_id", "lang", grp.alias("grp"))
+    fold = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("kf-"), F.col("grp").cast("string"))),
+        1, 15), 16, 10).cast("bigint") % 5)
+    return can.select("doc_id", "lang", "grp",
+                      fold.cast("bigint").alias("fold"))
+
+
+@register(
+    "media_dedup_by_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+    st AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 1, 0), 64)) AS s
+      FROM m),
+    ch AS (
+      SELECT DISTINCT doc_id, md5(substring(text, s + 1, 64)) AS h
+      FROM st),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS nc FROM ch GROUP BY 1),
+    p AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             count(*)::BIGINT AS n_shared
+      FROM ch l JOIN ch r USING (h)
+      WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared, sa.nc AS n_a, sb.nc AS n_b
+    FROM p JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+    WHERE 2 * n_shared >= least(sa.nc, sb.nc)""",
+    "llm", "multimodal", "dedup",
+)
+def media_dedup_by_chunks(spark, sf_dir):
+    """Media near-dup detection by CONTENT-ADDRESSED CHUNK OVERLAP:
+    asset pairs sharing at least half of the smaller asset's distinct
+    chunk hashes (chunk_media's 16-byte md5s) — the storage-layer
+    dedup screen that finds duplicated/embedded payloads WITHOUT
+    decoding anything, the binary counterpart of shared_passages.
+    Fixed-offset chunking catches aligned duplication (exact copies,
+    shared prefixes), by design; shifted edits are the text/minhash
+    family's job. Scale shape: the join carries only (doc_id, hash)
+    pairs and is linear in true chunk collisions; content-addressed
+    hashes make hot buckets genuine duplication, not skew."""
+    from .operators.multimodal import chunk_media, media_table
+    docs = _t(spark, sf_dir, "documents")
+    ch = (chunk_media(media_table(docs), chunk_bytes=64)
+          .select("doc_id", F.col("chunk_md5").alias("h")).distinct())
+    sz = ch.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    p = (ch.alias("l").join(ch.alias("r"), "h")
+         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+         .groupBy(F.col("l.doc_id").alias("doc_a"),
+                  F.col("r.doc_id").alias("doc_b"))
+         .agg(F.count("*").alias("n_shared")))
+    return (p.join(sz.select(F.col("doc_id").alias("doc_a"),
+                             F.col("nc").alias("n_a")), "doc_a")
+            .join(sz.select(F.col("doc_id").alias("doc_b"),
+                            F.col("nc").alias("n_b")), "doc_b")
+            .filter(2 * F.col("n_shared") >= F.least("n_a", "n_b"))
+            .select("doc_a", "doc_b",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b")))
+
+
+@register(
     "customer_rfm_segments",
     """
     WITH mx AS (
@@ -5747,6 +5943,42 @@ def bm25_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.bm25_topk(docs, ["spark", "join", "window"],
                           k1=1.5, b=0.75, topk=20)
+
+
+@register(
+    "wav_frame_features",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+    i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    s AS (
+      SELECT doc_id, n, i, i // 16 AS frame_idx,
+             ((doc_id * 31 + i * 17) % 4001) - 2000 AS v,
+             CASE WHEN (i + 1) % 16 != 0 AND i + 1 < n
+                  THEN ((doc_id * 31 + (i + 1) * 17) % 4001) - 2000
+             END AS nxt
+      FROM i)
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           count(*)::BIGINT AS n_in_frame,
+           sum(CASE WHEN nxt IS NOT NULL
+                    AND ((v >= 0) != (nxt >= 0)) THEN 1
+                    ELSE 0 END)::BIGINT AS zero_crossings,
+           sum(abs(v))::BIGINT AS abs_sum
+    FROM s GROUP BY 1, 2""",
+    "llm", "multimodal",
+)
+def wav_frame_features(spark, sf_dir):
+    """Frame-level ZCR/energy over TRULY DECODED PCM
+    (multimodal.py:wav_frame_features): 16-sample frames, per-frame
+    zero-crossing count (sign flips within the frame) and integer
+    absolute-amplitude sum — the codec-free voice-activity/silence
+    screen, executed on real decoded samples. The oracle recomputes
+    every frame from the closed-form sample function with the same
+    within-frame neighbor rule; all-integer arithmetic, so the match
+    is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.wav_frame_features(
+        multimodal.wav_media_table(docs), frame=16)
 
 
 @register(

@@ -87,16 +87,25 @@ def test_gate_ordering_invariants():
     assert sorted(names) == sorted(REGISTRY)
     assert names[:len(e.PRIORITY)] == e.PRIORITY
     # round 5: every never-driver-evaluated query (per the recorded
-    # CORRECTNESS history) plus this round's additions and
-    # changed-code re-proves sit inside the ~50 budget
+    # CORRECTNESS history) sits inside the ~50 budget OR is one of
+    # the five late-round-5 additions deliberately left to the r6
+    # rotation — which must front them immediately after the head
     hist0 = e._gate_history()
+    deferred = {"bmp_thumbnail_stats", "wav_frame_features",
+                "media_dedup_by_chunks", "grouped_kfold_assign",
+                "tfidf_cosine_pairs"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
-        assert names.index(n) < 50, f"never-evaluated {n} outside budget"
+        if n in deferred:
+            assert names.index(n) < len(e.PRIORITY) + len(deferred), (
+                f"deferred {n} not fronted by the rotation")
+        else:
+            assert names.index(n) < 50, f"never-evaluated {n} outside budget"
     for canary in ("stream_early_firing_multibatch",
                    "stream_delta_alerts_smallbatch", "bmp_decode_stats",
-                   "embedding_top_pc", "part_skyline",
-                   "segment_overlap_hll"):
+                   "wav_decode_stats", "lsh_tuning_sampled",
+                   "hybrid_retrieval_rrf", "embedding_top_pc",
+                   "part_skyline", "segment_overlap_hll"):
         assert names.index(canary) < 50
     hist = e._gate_history()
     tail = names[len(e.PRIORITY):]
