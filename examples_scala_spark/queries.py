@@ -4125,74 +4125,6 @@ def media_chunks(spark, sf_dir):
 
 
 @register(
-    "tfidf_cosine_pairs",
-    """
-    WITH toks AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-               AS term
-      FROM documents),
-    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-           FROM toks GROUP BY doc_id, term),
-    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-    n AS (SELECT count(*)::BIGINT AS n FROM documents),
-    wt AS (
-      SELECT doc_id, term, tf * ln((n + 1.0) / (df + 1.0)) AS w
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-      WHERE df * 5 <= n),
-    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM wt GROUP BY 1),
-    dot AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dp
-      FROM wt a JOIN wt b USING (term)
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT doc_a, doc_b, round(dp / (na.nm * nb.nm), 6) AS cos
-    FROM dot JOIN nrm na ON na.doc_id = doc_a
-             JOIN nrm nb ON nb.doc_id = doc_b
-    WHERE dp / (na.nm * nb.nm) >= 0.6""",
-    "llm", "dedup", "similarity",
-)
-def tfidf_cosine_pairs(spark, sf_dir):
-    """Sparse LEXICAL-VECTOR similarity: document pairs with tf-idf
-    cosine >= 0.6 over the selective sub-vocabulary (df <= N/5 — a
-    CORPUS-RELATIVE cap, so the excluded stopword-like band scales
-    with the corpus; high-df terms leave the vector space,
-    which is both the standard practice and what makes the term
-    equi-join linear in true collisions rather than quadratic via
-    corpus-wide terms). Complements the near-dup family: shingle/
-    minhash match verbatim overlap, embeddings match semantics, and
-    tf-idf cosine matches topical vocabulary. Plan: two hash
-    aggregates, one term equi-join carrying (doc_id, weight) pairs,
-    norms joined back by doc — text never shuffles."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.expr(
-            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n"))
-    wt = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
-          .filter(F.col("df") * 5 <= F.col("n"))
-          .select("doc_id", "term",
-                  (F.col("tf")
-                   * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)))
-                  .alias("w")))
-    nrm = wt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
-    dot = (wt.alias("a").join(wt.alias("b"), "term")
-           .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-           .groupBy(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-           .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp")))
-    j = (dot.join(nrm.select(F.col("doc_id").alias("doc_a"),
-                             F.col("nm").alias("na")), "doc_a")
-         .join(nrm.select(F.col("doc_id").alias("doc_b"),
-                          F.col("nm").alias("nb")), "doc_b"))
-    cos = F.col("dp") / (F.col("na") * F.col("nb"))
-    return (j.filter(cos >= 0.6)
-            .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))
-
-
-@register(
     "grouped_kfold_assign",
     """
     WITH can AS (

@@ -567,3 +567,21 @@ def test_decode_media_routes_riff_wav_to_real_decoder(spark, sf_dir):
         # real chunk-walked sample count, not the fake's n_bytes*100
         assert r.n_frames == 64 + d % 97
         assert (r.width, r.height) == (0, 0)
+
+
+def test_resample_nearest_identity_and_midpoints():
+    """Same-size resample is the identity; 2x downscale picks the
+    midpoint-rule source pixels ((2*ox+1)*w)//(2*tw)."""
+    import numpy as np
+
+    from examples_scala_spark.operators.multimodal import resample_nearest
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    assert np.array_equal(resample_nearest(px, 8, 6), px)
+    t = resample_nearest(px, 4, 3)
+    for oy in range(3):
+        for ox in range(4):
+            sx = ((2 * ox + 1) * 8) // 8
+            sy = ((2 * oy + 1) * 6) // 6
+            assert np.array_equal(t[oy, ox], px[sy, sx])
