@@ -3152,31 +3152,47 @@ def doc_repetition_stats(spark, sf_dir):
     docs with >= 2 tokens: duplicate-word fraction (1 - distinct/total)
     and the fraction of all bigrams taken by the single most frequent
     bigram — high values flag boilerplate/spam for training-data
-    filtering. The word stats are narrow column expressions
-    (size/array_distinct — no distinct-aggregate expand, no join)
-    carried through the bigram aggregation, so the whole query is two
-    shuffles keyed on doc_id and the wire carries counts, never text."""
+    filtering. ZERO shuffles (r5 rewrite, was two doc-keyed shuffles):
+    every signal is a narrow per-row fold — the most frequent bigram's
+    multiplicity equals the longest equal-run in the doc's SORTED
+    bigram array, so one array_sort + one aggregate() fold computes it
+    without the (doc_id, bigram) rows ever leaving the scan task, and
+    sum(c) is just size(w)-1. At 100 TB that removes a corpus-sized
+    bigram-keyed exchange entirely; output flows straight out of the
+    scan stage. Equivalence to the aggregate form is pinned by
+    tests/test_round3_ops.py::test_doc_repetition_narrow_equivalence
+    (exact frame match vs the two-shuffle composition) and the
+    zero-Exchange plan assert in test_plan_hygiene.py."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"))
-    grams = F.expr(
-        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
-        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
-        "ELSE CAST(array() AS array<string>) END")
-    base = toks.select(
-        "doc_id",
-        F.size("w").cast("bigint").alias("n_words"),
-        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
-        F.explode(grams).alias("bigram"))
-    bi = base.groupBy("doc_id", "bigram").agg(
-        F.count("*").alias("c"),
-        F.max("n_words").alias("n_words"),
-        F.max("n_distinct").alias("n_distinct"))
-    return bi.groupBy("doc_id").agg(
-        F.max("n_words").cast("bigint").alias("n_words"),
-        F.round(1.0 - F.max("n_distinct") / F.max("n_words"), 6)
-         .alias("dup_word_frac"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    # longest equal-run over the sorted bigram array == max bigram
+    # multiplicity; <=> makes the first element start run 1 (prev null)
+    max_run = F.expr("""
+      aggregate(
+        array_sort(transform(sequence(1, size(w) - 1),
+                   i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))),
+        named_struct('prev', cast(null as string),
+                     'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'run', CASE WHEN x <=> acc.prev THEN acc.run + 1
+                      ELSE cast(1 as bigint) END,
+          'best', greatest(acc.best,
+                  CASE WHEN x <=> acc.prev THEN acc.run + 1
+                       ELSE cast(1 as bigint) END)),
+        acc -> acc.best)""")
+    return (toks.filter(F.size("w") >= 2)
+            .select("doc_id",
+                    F.size("w").cast("bigint").alias("n_words"),
+                    F.size(F.array_distinct("w")).cast("bigint")
+                     .alias("n_distinct"),
+                    max_run.alias("max_c"))
+            .select("doc_id", "n_words",
+                    F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+                     .alias("dup_word_frac"),
+                    F.round(F.col("max_c") / (F.col("n_words") - 1), 6)
+                     .alias("top_bigram_frac")))
 
 
 @register(

@@ -77,7 +77,8 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     ("events_rollup", 1),
     ("events_cube", 1),
     # narrow word stats + two doc_id-keyed aggregations, no join
-    ("doc_repetition_stats", 2),
+    ("doc_repetition_stats", 0),    # r5 narrow rewrite: sorted-array
+                                    # run-length fold, zero exchanges
     # three chained conditional window minima + final collapse, all on
     # one user_id partitioning
     ("funnel_conversion", 1),

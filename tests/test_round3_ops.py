@@ -308,3 +308,98 @@ def test_ordered_prefix_sum_equals_naive_window(spark):
     naive = naive.sort_values("id").reset_index(drop=True)
     assert got["cum"].tolist() == naive["cum"].tolist()
     assert len(got) == 1000
+
+
+# -------------------------------------- repetition stats narrow rewrite
+
+def test_doc_repetition_narrow_equivalence(spark, sf_dir):
+    """The r5 zero-shuffle form (sorted-bigram run-length fold) must
+    return exactly what the original two-shuffle aggregate composition
+    returns — on the sf0.001 corpus AND on hand-built edge docs
+    (all-identical bigrams, all-distinct, empty/one-token dropped)."""
+    from examples_scala_spark.queries import REGISTRY
+
+    def aggregate_form(docs):
+        toks = docs.select("doc_id", F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"))
+        grams = F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+            "ELSE CAST(array() AS array<string>) END")
+        base = toks.select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+            F.explode(grams).alias("bigram"))
+        bi = base.groupBy("doc_id", "bigram").agg(
+            F.count("*").alias("c"),
+            F.max("n_words").alias("n_words"),
+            F.max("n_distinct").alias("n_distinct"))
+        return bi.groupBy("doc_id").agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.round(1.0 - F.max("n_distinct") / F.max("n_words"), 6)
+             .alias("dup_word_frac"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+
+    def cmp(narrow_df, docs):
+        a = (narrow_df.toPandas().sort_values("doc_id")
+             .reset_index(drop=True))
+        b = (aggregate_form(docs).toPandas().sort_values("doc_id")
+             .reset_index(drop=True))
+        assert a.columns.tolist() == b.columns.tolist()
+        assert a.values.tolist() == b.values.tolist()
+        return len(a)
+
+    n = cmp(REGISTRY["doc_repetition_stats"].fn(spark, sf_dir),
+            _docs(spark, sf_dir))
+    assert n > 0
+
+    edge = spark.createDataFrame(
+        [(1, "x y x y x y"),        # one bigram dominates ("x y" 3x)
+         (2, "a b c d e"),          # all bigrams distinct
+         (3, "solo"),               # one token -> dropped
+         (4, ""),                   # empty -> dropped
+         (5, "Tie tie TIE tie")],   # case-folded identical run
+        "doc_id long, text string")
+
+    # the registry query is bound to the parquet table, so rebuild the
+    # same narrow expression over the edge frame to compare both forms
+    def narrow_form(docs):
+        max_run = F.expr("""
+          aggregate(
+            array_sort(transform(sequence(1, size(w) - 1),
+                       i -> concat(element_at(w, i), ' ',
+                                   element_at(w, i + 1)))),
+            named_struct('prev', cast(null as string),
+                         'run', cast(0 as bigint),
+                         'best', cast(0 as bigint)),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run', CASE WHEN x <=> acc.prev THEN acc.run + 1
+                          ELSE cast(1 as bigint) END,
+              'best', greatest(acc.best,
+                      CASE WHEN x <=> acc.prev THEN acc.run + 1
+                           ELSE cast(1 as bigint) END)),
+            acc -> acc.best)""")
+        toks = docs.select("doc_id", F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("w"))
+        return (toks.filter(F.size("w") >= 2)
+                .select("doc_id",
+                        F.size("w").cast("bigint").alias("n_words"),
+                        F.size(F.array_distinct("w")).cast("bigint")
+                         .alias("n_distinct"),
+                        max_run.alias("max_c"))
+                .select("doc_id", "n_words",
+                        F.round(1.0 - F.col("n_distinct")
+                                / F.col("n_words"), 6)
+                         .alias("dup_word_frac"),
+                        F.round(F.col("max_c") / (F.col("n_words") - 1), 6)
+                         .alias("top_bigram_frac")))
+
+    n_edge = cmp(narrow_form(edge), edge)
+    assert n_edge == 3  # docs 3 and 4 dropped by both forms
+    got = {r["doc_id"]: r for r in narrow_form(edge).collect()}
+    assert got[1]["top_bigram_frac"] == 0.6          # "x y" 3 of 5
+    assert got[2]["top_bigram_frac"] == 0.25         # 4 distinct bigrams
+    assert got[5]["dup_word_frac"] == 0.75           # 4 words, 1 distinct
+    assert got[5]["top_bigram_frac"] == 1.0          # "tie tie" run of 3
