@@ -11,6 +11,11 @@ O(component diameter) rounds. Near-dup graphs at 100 TB have millions
 of tiny components (diameter 2-4), so 3-5 rounds in practice.
 
 Scale mechanics, per round:
+- only edge-touched nodes iterate (isolated docs — the vast majority
+  of a 100 TB corpus — are their own component by definition and are
+  restored by one final left join against the collision-sized label
+  table), so per-round volume is bounded by 2x the pair count, not
+  the corpus;
 - one shuffle (edges join labels on src, min-aggregated on dst);
 - `localCheckpoint` truncates the lineage, preventing the plan from
   doubling each iteration (the classic iterative-Spark failure mode);
@@ -39,9 +44,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    all_nodes = nodes.select(F.col(id_col).alias("id")) \
+        .localCheckpoint(eager=True)
+    # iterate ONLY over nodes incident to an edge: isolated nodes are
+    # their own component by definition and would otherwise ride along
+    # every round's join unchanged. On a 100 TB near-dup graph the
+    # edge-touched set is a small fraction of the corpus (2|pairs|
+    # bound), so this shrinks each round's label shuffle from |V| to
+    # that fraction; the isolated majority is restored by one final
+    # left join (the comp table is collision-sized, typically
+    # broadcast). Semantics are unchanged: labels only ever propagate
+    # along edges, so an isolated node can never change its label.
+    touched = sym.select("src").distinct().withColumnRenamed("src", "id")
+    labels = (all_nodes.join(touched, "id", "leftsemi")
+              .select("id", F.col("id").alias("component"))
+              .localCheckpoint(eager=True))
 
     for _ in range(max_iterations):
         # neighbor minimum: for each dst, the smallest label among srcs
@@ -69,7 +86,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = stepped.select("id", "component")
         if changed == 0:
             break
-    return labels
+    # isolated nodes (never iterated) are their own component
+    return (all_nodes.join(labels, "id", "left")
+            .select("id", F.coalesce("component", F.col("id"))
+                    .alias("component")))
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
