@@ -140,6 +140,51 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-hash window over the hash sequence, keep each window's minimum —
+    the selected subset is position-insensitive and guarantees that
+    any shared token run of length >= w + k - 1 contributes at least
+    one common fingerprint, while storing only ~2/(w+1) of the k-gram
+    hashes. The rolling-hash fingerprinting scheme the brief's text-
+    analysis list names, one level up from the single whole-doc md5 of
+    `fingerprint`.
+
+    Entirely narrow per-row higher-order functions — tokenize, k-gram
+    hash (60-bit md5 prefix, the same construction the MinHash oracle
+    uses), window minima, distinct — so fingerprint selection runs
+    inside the scan stage with ZERO shuffles; only the exploded
+    (doc_id, fp, n_fp) longs ever reach an exchange. Returns one row
+    per distinct selected fingerprint with the doc's distinct-
+    fingerprint count alongside (so downstream pair joins never
+    re-aggregate per-doc sizes).
+    """
+    grams_hash = F.expr(
+        f"transform(sequence(1, size(wd) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(wd, i, {k}))), 1, 15), 16, 10) as bigint))")
+    # slice() clamps at the array end, so docs with fewer than w
+    # hashes still yield one (global-min) fingerprint
+    select_mins = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(hs) - {w} + 1, 1)), "
+        f"j -> array_min(slice(hs, j, {w}))))")
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+         .alias("wd"))
+    hashes = (toks.filter(F.size("wd") >= k)
+              .select(F.col(id_col), grams_hash.alias("hs")))
+    fps = hashes.select(F.col(id_col), select_mins.alias("fps"))
+    return fps.select(
+        F.col(id_col),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.explode("fps").alias("fp"))
+
+
 URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 

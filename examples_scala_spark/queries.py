@@ -2017,6 +2017,75 @@ def doc_fingerprint(spark, sf_dir):
     return text.fingerprint(docs)
 
 
+@register(
+    "winnow_fingerprint_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+               i -> ('0x' || substr(md5(
+                      array_to_string(list_slice(w, i, i + 2), ' ')),
+                      1, 15))::BIGINT) AS hs
+      FROM t WHERE len(w) >= 3),
+    s AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+      FROM g),
+    f AS (
+      SELECT doc_id, len(fps)::BIGINT AS n_fp, unnest(fps) AS fp FROM s),
+    hot AS (
+      SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) > 50),
+    cold AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot)),
+    p AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             count(*)::BIGINT AS n_shared,
+             max(l.n_fp) AS n_a, max(r.n_fp) AS n_b
+      FROM cold l JOIN cold r USING (fp)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / least(n_a, n_b)::DOUBLE, 6) AS containment
+    FROM p WHERE n_shared >= 2""",
+    "llm", "dedup", "text",
+)
+def winnow_fingerprint_pairs(spark, sf_dir):
+    """Winnowed-fingerprint overlap pairs (operators/text.py:
+    winnow_fingerprints — the MOSS scheme): doc pairs sharing >= 2
+    selected fingerprints with the containment ratio
+    n_shared / min(n_fp). Fingerprint selection (word-3-gram 60-bit
+    hashes, window-4 minima) is entirely narrow inside the scan;
+    fingerprints seen in > 50 distinct docs are boilerplate and are
+    excluded before pair generation (the same hot-bucket guard the
+    prefix-filtered set-similarity join uses), so the equi-join on fp
+    is linear in true collisions and the wire carries only longs.
+    Per-doc fingerprint counts ride along the join rows (max() in the
+    pair aggregate), so no per-doc size table is joined back."""
+    docs = _t(spark, sf_dir, "documents")
+    f = text.winnow_fingerprints(docs, k=3, w=4)
+    hot = (f.groupBy("fp")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 50).select("fp"))
+    cold = f.join(F.broadcast(hot), "fp", "left_anti")
+    l = cold.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_fp").alias("n_a"), "fp")
+    r = cold.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_fp").alias("n_b"), "fp")
+    return (l.join(r, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("n_shared"),
+                 F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
+            .filter(F.col("n_shared") >= 2)
+            .select("doc_a", "doc_b", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.least(F.col("n_a"), F.col("n_b")), 6)
+                     .alias("containment")))
+
+
 _MEDIA_N = "octet_length(encode(text))"
 
 

@@ -92,7 +92,8 @@ def test_gate_ordering_invariants():
     # rotation — which must front them immediately after the head
     hist0 = e._gate_history()
     deferred = {"bmp_thumbnail_stats", "wav_frame_features",
-                "media_dedup_by_chunks", "grouped_kfold_assign"}
+                "media_dedup_by_chunks", "grouped_kfold_assign",
+                "winnow_fingerprint_pairs"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         if n in deferred:

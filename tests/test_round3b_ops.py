@@ -1158,3 +1158,41 @@ def test_runs_test_detects_regimes_and_oscillation(spark):
     assert out["sticky"]["runs"] == 2 and out["sticky"]["z"] < -15
     assert out["osc"]["runs"] == 400 and out["osc"]["z"] > 15
     assert out["osc"]["n_above"] == 200 and out["osc"]["n_below"] == 200
+
+
+# ----------------------------------------------- winnowing fingerprints
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The SIGMOD'03 guarantee: two docs sharing a token run of
+    length >= w + k - 1 (here 6) select at least one common
+    fingerprint — the identical w-hash window exists in both, and its
+    minimum is the same value. Disjoint-vocabulary docs share none."""
+    from collections import Counter
+
+    from examples_scala_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, "one two three " + shared + " four five"),
+         (2, shared + " completely different tail words here"),
+         (3, "unrelated vocabulary nothing matches at all ever")],
+        "doc_id long, text string")
+    rows = winnow_fingerprints(docs, k=3, w=4).collect()
+    by: dict[int, set] = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[1] & by[2], "guaranteed shared fingerprint missing"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+    # n_fp rides along correctly: equals the distinct-fp row count
+    nf = {r["doc_id"]: r["n_fp"] for r in rows}
+    assert nf == dict(Counter(r["doc_id"] for r in rows))
+
+    # a doc with fewer than w k-gram hashes still yields its global
+    # minimum as the single fingerprint (slice clamps at array end)
+    tiny = spark.createDataFrame([(9, "a b c d")],
+                                 "doc_id long, text string")
+    got = winnow_fingerprints(tiny, k=3, w=4).collect()
+    assert len(got) == 1 and got[0]["n_fp"] == 1
+    # and one with < k tokens yields nothing at all
+    sub = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    assert winnow_fingerprints(sub, k=3, w=4).count() == 0
