@@ -430,6 +430,102 @@ def substring_dup_stats(docs: DataFrame, L: int = 30,
         F.round(F.col("n_dup") / F.col("n_positions"), 6)
          .alias("dup_frac"))
 
+def substring_dedup_rewrite(docs: DataFrame, L: int = 30,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr deduplication WITH text rewriting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    length-L char window whose content occurs >= 2 times in the corpus
+    is removed from every occurrence EXCEPT the globally first one
+    (min (doc_id, offset)), and each document's text is rebuilt from
+    the surviving characters. The curation-pass counterpart of
+    `substring_dup_stats`, which only measures — this one emits the
+    cleaned corpus. (As in the paper's implementation, a kept first
+    occurrence may itself lose characters to a different duplicated
+    window that overlaps it.)
+
+    Returns (doc_id, clean_text, n_chars_removed, n_dup_spans) for
+    every input doc; docs shorter than L, or with no duplicated
+    windows, pass through untouched.
+
+    Scale shape: identical skeleton to substring_dup_stats — windows
+    are hashed to 60-bit ints inside the scan, so the explode and both
+    shuffles (first-occurrence aggregate on hash; join-back) move only
+    8-byte longs plus one (doc_id, offset) pair per REMOVED window.
+    The per-doc rebuild is a single sorted-array fold (aggregate HOF,
+    whole-stage codegen): sorted removal offsets -> interval union ->
+    kept-segment concatenation, one pass, no char-level explode. The
+    only corpus-sized shuffle payload is the rebuilt text itself,
+    which is the output."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("n"))
+    # same scan-parallelism note as substring_dup_stats: the window
+    # md5 dominates, don't inherit a single small file's one task
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    eligible = base.filter(F.col("n") >= L).repartition(par)
+    pos = eligible.select(
+        F.col(id_col), "t", "n",
+        F.posexplode(F.expr(
+            f"transform(sequence(1L, n - {L - 1}L), "
+            f"i -> CAST(conv(substr(md5(substring(t, i, {L})), 1, 15), "
+            f"16, 10) AS BIGINT))"))).select(
+        F.col(id_col), (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("col").alias("g")).localCheckpoint(eager=False)
+    # one aggregate gives both the dup filter and the keep-one winner
+    firsts = (pos.groupBy("g")
+              .agg(F.count("*").alias("c"),
+                   F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("i").alias("i"))).alias("first"))
+              .filter(F.col("c") >= 2)
+              .select("g", "first"))
+    removed = (pos.join(firsts, "g")
+               .filter(~((F.col(id_col) == F.col("first.d"))
+                         & (F.col("i") == F.col("first.i"))))
+               .select(id_col, "i"))
+    starts = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("i")).alias("ss"))
+    # fold state: (cov = union coverage end, out = kept text emitted so
+    # far, removed chars, span count). A start extends the current span
+    # when s <= cov + 1, else closes it (emitting the kept gap) and
+    # opens a new one; cov = 0 marks "nothing covered yet".
+    E = L - 1
+    rebuilt = F.expr(f"""
+      aggregate(
+        ss,
+        named_struct('cov', 0L, 'out', '', 'rm', 0L, 'sp', 0L),
+        (st, s) -> named_struct(
+          'cov', greatest(st.cov, s + {E}L),
+          'out', CASE WHEN s > st.cov + 1
+                 THEN concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
+                                               CAST(s - 1 - st.cov AS INT)))
+                 ELSE st.out END,
+          'rm', st.rm + greatest(s + {E}L, st.cov) - greatest(s - 1L, st.cov),
+          'sp', st.sp + CASE WHEN s > st.cov + 1 OR st.cov = 0L
+                        THEN 1L ELSE 0L END),
+        st -> named_struct(
+          'cov', st.cov,
+          'out', concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
+                                          CAST(n - st.cov AS INT))),
+          'rm', st.rm, 'sp', st.sp))""")
+    cleaned = (eligible.join(starts, id_col, "left")
+               .select(F.col(id_col), "t",
+                       F.when(F.col("ss").isNull(), None)
+                        .otherwise(rebuilt).alias("st")))
+    out = cleaned.select(
+        F.col(id_col),
+        F.coalesce(F.col("st.out"), F.col("t")).alias("clean_text"),
+        F.coalesce(F.col("st.rm"), F.lit(0)).cast("bigint")
+         .alias("n_chars_removed"),
+        F.coalesce(F.col("st.sp"), F.lit(0)).cast("bigint")
+         .alias("n_dup_spans"))
+    short = (base.filter(F.col("n") < L)
+             .select(F.col(id_col), F.col("t").alias("clean_text"),
+                     F.lit(0).cast("bigint").alias("n_chars_removed"),
+                     F.lit(0).cast("bigint").alias("n_dup_spans")))
+    return out.unionByName(short)
+
+
 def setsim_prefix_join(docs: DataFrame, n: int = 3,
                        t_num: int = 1, t_den: int = 2,
                        text_col: str = "text",

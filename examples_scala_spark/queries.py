@@ -2086,6 +2086,70 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                      .alias("containment")))
 
 
+@register(
+    "substring_dedup_rewrite",
+    """
+    WITH d AS (SELECT doc_id, text AS t, length(text)::BIGINT AS n
+               FROM documents),
+    ph AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(substring(t, i, 30)), 1, 15))::BIGINT AS g,
+             i
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, n - 29)) AS i
+            FROM d WHERE n >= 30)),
+    r AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               count(*) OVER (PARTITION BY g) AS c,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY doc_id, i) AS rn
+        FROM ph)
+      WHERE c >= 2 AND rn > 1),
+    rem AS (
+      SELECT DISTINCT doc_id, i + off AS p
+      FROM (SELECT doc_id, i,
+                   unnest(generate_series(0, 29)) AS off FROM r)),
+    stats AS (
+      SELECT doc_id, count(*)::BIGINT AS rm,
+             sum(CASE WHEN lag_p IS NULL OR p - lag_p > 1
+                 THEN 1 ELSE 0 END)::BIGINT AS sp
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+            FROM rem)
+      GROUP BY doc_id),
+    chars AS (
+      SELECT doc_id, t, unnest(generate_series(1, n)) AS p FROM d),
+    clean AS (
+      SELECT c.doc_id,
+             string_agg(substring(c.t, c.p, 1), '' ORDER BY c.p)
+               AS clean_text
+      FROM chars c
+      WHERE NOT EXISTS (SELECT 1 FROM rem
+                        WHERE rem.doc_id = c.doc_id AND rem.p = c.p)
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           coalesce(s.rm, 0)::BIGINT AS n_chars_removed,
+           coalesce(s.sp, 0)::BIGINT AS n_dup_spans
+    FROM d
+    LEFT JOIN clean cl USING (doc_id)
+    LEFT JOIN stats s USING (doc_id)""",
+    "llm", "dedup", "text",
+)
+def substring_dedup_rewrite(spark, sf_dir):
+    """ExactSubstr dedup WITH rewriting (operators/dedup.py:
+    substring_dedup_rewrite — Lee et al. 2022): duplicated 30-char
+    windows are removed from all but their globally-first occurrence
+    and each doc's text is rebuilt from the survivors — the curation
+    pass that substring_dup_stats only measures. The per-doc rebuild
+    is one sorted-offset fold (interval union + kept-segment concat)
+    in whole-stage codegen; the oracle rebuilds char-by-char with an
+    anti-join, so a fold off-by-one anywhere hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup_rewrite(docs, L=30)
+
+
 _MEDIA_N = "octet_length(encode(text))"
 
 

@@ -1196,3 +1196,45 @@ def test_winnowing_guarantee_and_edges(spark):
     # and one with < k tokens yields nothing at all
     sub = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
     assert winnow_fingerprints(sub, k=3, w=4).count() == 0
+
+
+# ------------------------------------------- ExactSubstr rewrite
+
+def test_substring_dedup_rewrite_semantics(spark):
+    """Hand-built corpus with a known duplicated 30-char block: the
+    first occurrence (min doc_id, offset) keeps its characters; every
+    other occurrence loses exactly the block; untouched docs and
+    sub-L docs pass through byte-identical."""
+    from examples_scala_spark.operators.dedup import substring_dedup_rewrite
+
+    block = "0123456789abcdefghijklmnopqrs"  # 29 chars
+    assert len(block) == 29
+    dup = "X" + block  # 30 chars, the duplicated window
+    docs = spark.createDataFrame(
+        [(1, "AAAA" + dup + "BBBB"),            # first occurrence — kept
+         (2, "CCCC" + dup + "DDDD"),            # later — block removed
+         (3, dup + dup),                         # two copies, both removed
+         (4, "no duplicated content here, but long enough to window ok"),
+         (5, "short")],                          # < L, untouched
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dedup_rewrite(docs, L=30).collect()}
+
+    assert out[1]["clean_text"] == "AAAA" + dup + "BBBB"
+    assert out[1]["n_chars_removed"] == 0 and out[1]["n_dup_spans"] == 0
+    # doc 2: every window of dup's 30 chars matches doc 1 -> the whole
+    # block goes; the flanks are unique (CCCC/DDDD contexts differ)
+    assert out[2]["clean_text"] == "CCCC" + "DDDD"
+    assert out[2]["n_chars_removed"] == 30 and out[2]["n_dup_spans"] == 1
+    # doc 3: both copies duplicated (doc 1 holds the first occurrence);
+    # overlapping windows across the seam merge into ONE removal span
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_chars_removed"] == 60 and out[3]["n_dup_spans"] == 1
+    # untouched docs pass through byte-identical, short docs too
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d in (4, 5):
+        assert out[d]["clean_text"] == src[d]
+        assert out[d]["n_chars_removed"] == 0
+    # global invariant: removed chars == length delta, every doc
+    for d, r in out.items():
+        assert len(src[d]) - len(r["clean_text"]) == r["n_chars_removed"]
