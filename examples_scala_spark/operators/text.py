@@ -185,6 +185,76 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
         F.explode("fps").alias("fp"))
 
 
+def bpe_train_merges(docs: DataFrame, k_merges: int = 12,
+                     text_col: str = "text",
+                     marker: str = "_") -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the actual trainer behind the brief's "BPE-ish" token surface:
+    learn the first `k_merges` merge rules from the corpus' own word
+    frequencies. Words are char sequences plus an end-of-word marker;
+    each round counts every adjacent symbol pair (overlapping counts,
+    exactly Sennrich's get_stats), merges the most frequent pair
+    (ties: lexicographic on (left, right)), and rewrites the vocab.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) — the
+    ordered merge table a tokenizer would load.
+
+    Scale shape: the ONLY corpus-sized stage is the initial word
+    count (the canonical explode + groupBy wordcount — map-side
+    partial agg, shuffles one row per distinct word). All K rounds
+    run on the vocab table, whose size is the distinct-word count
+    (millions at 100 TB — cluster-trivial), kept hot via
+    localCheckpoint so round k never re-scans the corpus or replays
+    rounds 1..k-1. Per round exactly ONE driver collect of exactly
+    ONE row (the argmax pair) — bounded by construction.
+
+    Merge substitution is string replace on the space-joined symbol
+    string, applied twice: a single left-to-right replace of
+    ' a b ' -> ' ab ' consumes the shared separator space between
+    back-to-back occurrences and skips every other one; the second
+    pass catches the survivors (they are flanked by merged tokens
+    after pass one, so no occurrence can share a boundary again) —
+    equivalent to Sennrich's non-consuming lookaround re.sub.
+    """
+    spark = docs.sparkSession
+    words = docs.select(F.explode(F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("w"))
+    vocab = (words.groupBy("w")
+             .agg(F.count("*").cast("long").alias("c"))
+             .select("w", "c",
+                     F.concat(F.lit(" "),
+                              F.regexp_replace("w", "(.)", "$1 "),
+                              F.lit(marker + " ")).alias("sym"))
+             .localCheckpoint())
+    pair_expr = F.expr(
+        "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), "
+        "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) "
+        "ELSE CAST(array() AS array<struct<a: string, b: string>>) END")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k_merges + 1):
+        top = (vocab
+               .select("c", F.split(F.trim("sym"), " ").alias("s"))
+               .select("c", F.explode(pair_expr).alias("p"))
+               .groupBy("p.a", "p.b")
+               .agg(F.sum("c").cast("long").alias("pc"))
+               .orderBy(F.desc("pc"), "a", "b")
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
+        merges.append((rank, a, b, pc))
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        vocab = (vocab.withColumn(
+            "sym", F.replace(F.replace("sym", pat, rep), pat, rep))
+            .localCheckpoint())
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "pair_count bigint")
+
+
 URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 

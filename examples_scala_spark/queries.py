@@ -2086,6 +2086,62 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                      .alias("containment")))
 
 
+def _bpe_oracle_sql(k: int = 12) -> str:
+    """Unrolled-CTE twin of operators/text.py:bpe_train_merges — one
+    (pair-count, argmax, rewrite) CTE triple per merge round, the same
+    double-replace substitution, the same (count DESC, left, right)
+    tie-break. Generated, not handwritten, so K stays in one place."""
+    sql = [r"""
+    WITH v0 AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS c,
+             ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '_ ' AS sym
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS w
+            FROM documents)
+      GROUP BY w)"""]
+    for r in range(1, k + 1):
+        pat = (f"' ' || (SELECT a FROM m{r}) || ' ' || "
+               f"(SELECT b FROM m{r}) || ' '")
+        rep = (f"' ' || (SELECT a FROM m{r}) || "
+               f"(SELECT b FROM m{r}) || ' '")
+        sql.append(f"""
+    , p{r} AS MATERIALIZED (
+      SELECT a, b, sum(c)::BIGINT AS pc FROM (
+        SELECT c, s[i] AS a, s[i + 1] AS b FROM (
+          SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
+          FROM (SELECT c, string_split(trim(sym), ' ') AS s
+                FROM v{r - 1})))
+      GROUP BY a, b)
+    , m{r} AS MATERIALIZED (
+        SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)
+    , v{r} AS MATERIALIZED (SELECT w, c,
+                      replace(replace(sym, {pat}, {rep}), {pat}, {rep})
+                        AS sym
+               FROM v{r - 1})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, pc AS pair_count FROM m{r}"
+        for r in range(1, k + 1))
+    sql.append(f"\n    {union}")
+    return "".join(sql)
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(12), "llm", "text")
+def bpe_train_merges(spark, sf_dir):
+    """BPE merge-rule training (operators/text.py:bpe_train_merges —
+    Sennrich et al. 2016): the first 12 merges learned from the
+    corpus' own word frequencies, with end-of-word marker, overlapping
+    pair counts, and deterministic (count DESC, left, right)
+    tie-break. The only corpus-sized stage is the initial wordcount;
+    the 12 rounds run on the checkpointed vocab table with exactly one
+    1-row argmax collect each. The oracle unrolls the identical
+    iteration as 12 CTE triples, so a divergence in ANY round's pair
+    statistics, tie-break, or substitution shifts every later round
+    and hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, k_merges=12)
+
+
 @register(
     "substring_dedup_rewrite",
     """

@@ -93,7 +93,8 @@ def test_gate_ordering_invariants():
     hist0 = e._gate_history()
     deferred = {"bmp_thumbnail_stats", "wav_frame_features",
                 "media_dedup_by_chunks", "grouped_kfold_assign",
-                "winnow_fingerprint_pairs", "substring_dedup_rewrite"}
+                "winnow_fingerprint_pairs", "substring_dedup_rewrite",
+                "bpe_train_merges"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         if n in deferred:

@@ -1238,3 +1238,68 @@ def test_substring_dedup_rewrite_semantics(spark):
     # global invariant: removed chars == length delta, every doc
     for d, r in out.items():
         assert len(src[d]) - len(r["clean_text"]) == r["n_chars_removed"]
+
+
+# ------------------------------------------------- BPE merge training
+
+def test_bpe_train_merges_matches_sennrich_reference(spark):
+    """Independent check against a from-scratch Python implementation
+    of Sennrich's learn_bpe loop (dict vocab, get_stats, tuple-pair
+    merge with greedy left-to-right substitution) on a corpus small
+    enough to eyeball — catches tie-break, marker, and substitution
+    divergences the SQL oracle (same algorithm, different engine)
+    could share only by coincidence."""
+    import re
+    from collections import Counter
+
+    from examples_scala_spark.operators.text import bpe_train_merges
+
+    texts = ["low lower lowest low low",
+             "new newer newest new newer",
+             "wide wider widest low new"]
+
+    def ref_merges(texts, k):
+        vocab = Counter()
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                vocab[tuple(w) + ("_",)] += 1
+        out = []
+        for rank in range(1, k + 1):
+            stats = Counter()
+            for sym, c in vocab.items():
+                for i in range(len(sym) - 1):
+                    stats[(sym[i], sym[i + 1])] += c
+            if not stats:
+                break
+            # max count, ties broken lexicographically on (a, b)
+            (a, b), pc = min(stats.items(),
+                             key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, pc))
+            new_vocab = Counter()
+            for sym, c in vocab.items():
+                merged, i = [], 0
+                while i < len(sym):
+                    if (i < len(sym) - 1
+                            and sym[i] == a and sym[i + 1] == b):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(sym[i])
+                        i += 1
+                new_vocab[tuple(merged)] += c
+            vocab = new_vocab
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["merge_rank"], r["left_sym"], r["right_sym"],
+            r["pair_count"])
+           for r in bpe_train_merges(docs, k_merges=8)
+           .orderBy("merge_rank").collect()]
+    assert got == ref_merges(texts, 8)
+
+    # degenerate corpus: single repeated 1-char word exhausts its
+    # merges (a + marker, then nothing) — the loop stops early
+    tiny = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    m = bpe_train_merges(tiny, k_merges=5).collect()
+    assert [(r["left_sym"], r["right_sym"]) for r in m] == [("a", "_")]
