@@ -177,3 +177,72 @@ def stratified_split_exact(df: DataFrame, stratum_col: str, id_col: str,
     return (samp.join(F.broadcast(kdf), stratum_col)
             .filter(F.col("rnk") <= F.col("__k"))
             .select(stratum_col, id_col, "rnk"))
+
+
+def dsir_importance(docs: DataFrame, target, n_buckets: int = 512,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of its hashed n-gram
+    features under a target-domain bag-of-ngrams model vs the raw-
+    corpus model — the standard recipe for selecting pretraining data
+    that matches a target distribution. `target` is a boolean Column
+    marking the in-domain docs (e.g. F.col("lang") == "de").
+
+    Features are word unigrams + bigrams hashed into `n_buckets`
+    buckets (60-bit md5, engine-reproducible); both models are
+    Laplace-smoothed (+1, denominator + n_buckets). Determinism: each
+    bucket's ln p is rounded ONCE to integer nano-units, the per-doc
+    accumulation is an exact integer sum (the doc_bigram_logppl
+    trick), only the final /1e9 runs in double.
+
+    Returns (doc_id, n_feats, logweight) for every doc; resample by
+    taking the top-K logweight (or Gumbel-perturbed top-K for the
+    stochastic variant).
+
+    Scale shape: one corpus-sized explode + (doc, bucket) aggregate;
+    both model tables are <= n_buckets rows (aggregated map-side), the
+    scoring join broadcasts them, and the bucket-count normalizers
+    ride in as broadcast single-row aggregates — no driver collect,
+    no shuffle wider than the (doc, bucket) count."""
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) "
+        "ELSE CAST(array() AS array<string>) END")
+    w = docs.select(
+        F.col(id_col), target.alias("tgt"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+         .alias("ws"))
+    f = w.select(
+        F.col(id_col), "tgt",
+        F.explode(F.concat(F.col("ws"), grams)).alias("feat"))
+    fb = (f.select(
+            F.col(id_col), "tgt",
+            (F.expr("CAST(conv(substr(md5(feat), 1, 15), 16, 10) AS BIGINT)")
+             % n_buckets).alias("b"))
+          .groupBy(id_col, "tgt", "b")
+          .agg(F.count("*").cast("long").alias("cnt")))
+    raw = fb.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
+    tgt = (fb.filter("tgt").groupBy("b")
+           .agg(F.sum("cnt").cast("long").alias("c_t")))
+    n_r = raw.agg(F.sum("c_r").cast("long").alias("n_r"))
+    n_t = tgt.agg(F.sum("c_t").cast("long").alias("n_t"))
+    units = lambda c, n: F.round(  # noqa: E731
+        F.log((c + F.lit(1)).cast("double")
+              / (n + F.lit(n_buckets)).cast("double")) * 1e9).cast("long")
+    lp = (raw.join(tgt, "b", "left")
+          .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
+          .select("b", (units(F.coalesce("c_t", F.lit(0)), F.col("n_t"))
+                        - units(F.col("c_r"), F.col("n_r"))).alias("du")))
+    sc = (fb.join(F.broadcast(lp), "b")
+          .groupBy(id_col)
+          .agg(F.sum("cnt").cast("long").alias("n_feats"),
+               F.sum(F.col("cnt") * F.col("du")).cast("long")
+                .alias("units")))
+    return (docs.select(id_col).join(sc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_feats", F.lit(0)).cast("bigint")
+                     .alias("n_feats"),
+                    F.round(F.coalesce("units", F.lit(0)) / 1e9, 6)
+                     .alias("logweight")))

@@ -2086,6 +2086,62 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                      .alias("containment")))
 
 
+@register(
+    "dsir_importance_weights",
+    """
+    WITH w AS (
+      SELECT doc_id, lang = 'de' AS tgt,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents),
+    f AS (
+      SELECT doc_id, tgt, unnest(ws) AS feat FROM w
+      UNION ALL
+      SELECT doc_id, tgt, ws[i] || ' ' || ws[i + 1] AS feat
+      FROM (SELECT doc_id, tgt, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM w)),
+    fb AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 512 AS b,
+             count(*)::BIGINT AS cnt
+      FROM f GROUP BY 1, 2, 3),
+    raw AS (SELECT b, sum(cnt)::BIGINT AS c_r FROM fb GROUP BY b),
+    tg AS (SELECT b, sum(cnt)::BIGINT AS c_t FROM fb WHERE tgt
+           GROUP BY b),
+    nr AS (SELECT sum(c_r)::BIGINT AS n_r FROM raw),
+    nt AS (SELECT sum(c_t)::BIGINT AS n_t FROM tg),
+    lp AS (
+      SELECT raw.b,
+             round(ln((coalesce(t.c_t, 0) + 1)::DOUBLE
+                      / (nt.n_t + 512)) * 1e9)::BIGINT
+           - round(ln((raw.c_r + 1)::DOUBLE
+                      / (nr.n_r + 512)) * 1e9)::BIGINT AS du
+      FROM raw LEFT JOIN tg t USING (b), nr, nt),
+    sc AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n_feats,
+             sum(cnt * du)::BIGINT AS units
+      FROM fb JOIN lp USING (b) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+           round(coalesce(sc.units, 0) / 1e9, 6) AS logweight
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+    "llm", "sampling", "text",
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (operators/sampling.py:dsir_importance —
+    Xie et al. 2023): per-doc log-likelihood ratio of hashed
+    unigram+bigram features under the target-domain ('de') vs
+    raw-corpus Laplace-smoothed bag-of-ngrams models — rank by
+    logweight and take the top slice to select pretraining data that
+    matches the target. Bucket ln-probs are rounded once to integer
+    nano-units so the per-doc sum is exact (doc_bigram_logppl trick);
+    both <= 512-row model tables broadcast into the scoring join."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.sampling import dsir_importance
+    return dsir_importance(docs, target=F.col("lang") == "de",
+                           n_buckets=512)
+
+
 def _bpe_oracle_sql(k: int = 12) -> str:
     """Unrolled-CTE twin of operators/text.py:bpe_train_merges — one
     (pair-count, argmax, rewrite) CTE triple per merge round, the same

@@ -1303,3 +1303,56 @@ def test_bpe_train_merges_matches_sennrich_reference(spark):
     tiny = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
     m = bpe_train_merges(tiny, k_merges=5).collect()
     assert [(r["left_sym"], r["right_sym"]) for r in m] == [("a", "_")]
+
+
+# ------------------------------------------------ DSIR importance
+
+def test_dsir_importance_matches_python_recompute(spark):
+    """Exact recompute of the hashed-ngram likelihood-ratio weights in
+    pure Python (same md5 bucketing, same Laplace smoothing, same
+    nano-unit rounding) — and the semantic sanity check that docs
+    sharing the target domain's vocabulary outweigh off-domain docs."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from examples_scala_spark.operators.sampling import dsir_importance
+
+    rows = [(1, "alpha beta gamma alpha beta", "t"),
+            (2, "alpha beta beta gamma gamma alpha", "t"),
+            (3, "alpha beta gamma beta", "r"),       # in-domain-looking
+            (4, "delta epsilon zeta delta zeta", "r"),  # off-domain
+            (5, "", "r")]                               # empty doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string, d string")
+    out = {r["doc_id"]: r for r in
+           dsir_importance(docs, target=F.col("d") == "t",
+                           n_buckets=64).collect()}
+
+    B = 64
+
+    def feats(t):
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(feat):
+        return int(hashlib.md5(feat.encode()).hexdigest()[:15], 16) % B
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for doc_id, t, d in rows:
+        c = Counter(bucket(f) for f in feats(t))
+        per_doc[doc_id] = c
+        raw.update(c)
+        if d == "t":
+            tgt.update(c)
+    n_r, n_t = sum(raw.values()), sum(tgt.values())
+    du = {b: round(math.log((tgt[b] + 1) / (n_t + B)) * 1e9)
+          - round(math.log((raw[b] + 1) / (n_r + B)) * 1e9)
+          for b in raw}
+    for doc_id, c in per_doc.items():
+        want = round(sum(n * du[b] for b, n in c.items()) / 1e9, 6)
+        assert out[doc_id]["logweight"] == want, doc_id
+        assert out[doc_id]["n_feats"] == sum(c.values())
+    assert out[3]["logweight"] > out[4]["logweight"]
+    assert out[5]["n_feats"] == 0 and out[5]["logweight"] == 0.0
