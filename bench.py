@@ -174,7 +174,11 @@ def main() -> None:
                  # round-5 additions: the rewritten sketch-overlap
                  # plan, real decode, and the retrieval composition
                  "segment_overlap_hll", "bmp_decode_stats",
-                 "hybrid_retrieval_rrf"]:
+                 "hybrid_retrieval_rrf",
+                 # round-5 continuation: winnowing, the ExactSubstr
+                 # rewrite, the BPE trainer, DSIR selection
+                 "winnow_fingerprint_pairs", "substring_dedup_rewrite",
+                 "bpe_train_merges", "dsir_importance_weights"]:
         # best of two, same as the headline set: r3's single-sample
         # extras produced phantom regressions (ann_topk_pq "2.3x"
         # measured 1.13x under controlled best-of-two A/B)

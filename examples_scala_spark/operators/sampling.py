@@ -246,3 +246,38 @@ def dsir_importance(docs: DataFrame, target, n_buckets: int = 512,
                      .alias("n_feats"),
                     F.round(F.coalesce("units", F.lit(0)) / 1e9, 6)
                      .alias("logweight")))
+
+
+def gumbel_topk(weights: DataFrame, k: int = 100,
+                weight_col: str = "logweight",
+                id_col: str = "doc_id",
+                salt: str = "gumbel") -> DataFrame:
+    """Gumbel-top-k resampling over log-weights — the exact sampling-
+    without-replacement trick DSIR uses for its resample step: adding
+    independent Gumbel(0,1) noise to each log-weight and taking the
+    top k draws k items WITHOUT replacement with probability
+    proportional to exp(weight). Noise is deterministic (inverse-CDF
+    of a 52-bit md5 uniform, -ln(-ln(u))), so the draw is reproducible
+    across engines, retries, and partitionings — no engine RNG.
+
+    Determinism: both the weight and the Gumbel draw are rounded once
+    to integer nano-units and RANKED on their exact integer sum
+    (doc_id tie-break), so float addition can never reorder the top-k
+    boundary. Plan: one narrow projection + TakeOrderedAndProject —
+    the corpus never shuffles; only k rows reach the driver side of
+    the ordered limit."""
+    two52 = 4_503_599_627_370_496  # 2^52
+    u = ((F.expr(f"CAST(conv(substr(md5(concat('{salt}:', "
+                 f"CAST({id_col} AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+          + 1) / F.lit(float(two52 + 2)))
+    g_units = F.round(-F.log(-F.log(u)) * 1e9).cast("long")
+    w_units = F.round(F.col(weight_col) * 1e9).cast("long")
+    scored = weights.select(
+        F.col(id_col), F.col(weight_col),
+        (w_units + g_units).alias("units"))
+    top = scored.orderBy(F.desc("units"), id_col).limit(k)
+    win = Window.orderBy(F.desc("units"), id_col)
+    return (top.withColumn("rnk", F.row_number().over(win).cast("long"))
+            .select(id_col, weight_col,
+                    F.round(F.col("units") / 1e9, 6).alias("score"),
+                    "rnk"))

@@ -217,7 +217,19 @@ def bpe_train_merges(docs: DataFrame, k_merges: int = 12,
     after pass one, so no occurrence can share a boundary again) —
     equivalent to Sennrich's non-consuming lookaround re.sub.
     """
-    spark = docs.sparkSession
+    merges, _ = _bpe_loop(docs, k_merges, text_col, marker)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "pair_count bigint")
+
+
+def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
+              marker: str) -> tuple[list, DataFrame]:
+    """Shared trainer loop: returns (merge list, final vocab DF with
+    (w, c, sym) where sym is the space-joined post-merge symbols) —
+    the final vocab IS the trained tokenizer applied to every distinct
+    word, which bpe_apply_token_counts explodes."""
     words = docs.select(F.explode(F.expr(
         f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
         .alias("w"))
@@ -249,10 +261,29 @@ def bpe_train_merges(docs: DataFrame, k_merges: int = 12,
         vocab = (vocab.withColumn(
             "sym", F.replace(F.replace("sym", pat, rep), pat, rep))
             .localCheckpoint())
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, left_sym string, right_sym string, "
-        "pair_count bigint")
+    return merges, vocab
+
+
+def bpe_apply_token_counts(docs: DataFrame, k_merges: int = 12,
+                           text_col: str = "text",
+                           marker: str = "_") -> DataFrame:
+    """Apply the k-merge BPE tokenizer the corpus itself trains
+    (bpe_train_merges) and return the resulting subword vocabulary
+    with usage stats: (token, n_tokens = corpus occurrences,
+    n_words = distinct words containing it). The post-training vocab
+    table already holds every distinct word's merged segmentation —
+    applying the tokenizer corpus-wide is ONE explode of that
+    vocab-sized table weighted by word counts; the corpus itself is
+    touched only by the initial wordcount. This is the table you'd
+    inspect for subword fertility / coverage before freezing a
+    tokenizer."""
+    _, vocab = _bpe_loop(docs, k_merges, text_col, marker)
+    return (vocab
+            .select("w", "c",
+                    F.explode(F.split(F.trim("sym"), " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count_distinct("w").cast("long").alias("n_words")))
 
 
 URL_RE = r"https?://[^\s]+"

@@ -2086,9 +2086,7 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                      .alias("containment")))
 
 
-@register(
-    "dsir_importance_weights",
-    """
+_DSIR_BODY = """
     WITH w AS (
       SELECT doc_id, lang = 'de' AS tgt,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
@@ -2124,7 +2122,12 @@ def winnow_fingerprint_pairs(spark, sf_dir):
     SELECT d.doc_id,
            coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
            round(coalesce(sc.units, 0) / 1e9, 6) AS logweight
-    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+
+
+@register(
+    "dsir_importance_weights",
+    _DSIR_BODY,
     "llm", "sampling", "text",
 )
 def dsir_importance_weights(spark, sf_dir):
@@ -2142,11 +2145,13 @@ def dsir_importance_weights(spark, sf_dir):
                            n_buckets=512)
 
 
-def _bpe_oracle_sql(k: int = 12) -> str:
+def _bpe_oracle_sql(k: int = 12, apply: bool = False) -> str:
     """Unrolled-CTE twin of operators/text.py:bpe_train_merges — one
     (pair-count, argmax, rewrite) CTE triple per merge round, the same
     double-replace substitution, the same (count DESC, left, right)
-    tie-break. Generated, not handwritten, so K stays in one place."""
+    tie-break. Generated, not handwritten, so K stays in one place.
+    With apply=True the final select explodes the post-merge vocab
+    into subword usage counts instead of emitting the merge table."""
     sql = [r"""
     WITH v0 AS MATERIALIZED (
       SELECT w, count(*)::BIGINT AS c,
@@ -2174,6 +2179,15 @@ def _bpe_oracle_sql(k: int = 12) -> str:
                       replace(replace(sym, {pat}, {rep}), {pat}, {rep})
                         AS sym
                FROM v{r - 1})""")
+    if apply:
+        sql.append(f"""
+    SELECT token, sum(c)::BIGINT AS n_tokens,
+           count(DISTINCT w)::BIGINT AS n_words
+    FROM (SELECT w, c,
+                 unnest(string_split(trim(sym), ' ')) AS token
+          FROM v{k})
+    GROUP BY token""")
+        return "".join(sql)
     union = "\n      UNION ALL ".join(
         f"SELECT {r}::BIGINT AS merge_rank, a AS left_sym, "
         f"b AS right_sym, pc AS pair_count FROM m{r}"
@@ -2196,6 +2210,57 @@ def bpe_train_merges(spark, sf_dir):
     and hash-fails."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, k_merges=12)
+
+
+@register(
+    "dsir_resample_topk",
+    "WITH wts AS MATERIALIZED (" + _DSIR_BODY + """),
+    g AS (
+      SELECT doc_id, logweight,
+             round(logweight * 1e9)::BIGINT
+           + round(-ln(-ln(
+               (('0x' || substr(md5('gumbel:' || doc_id::VARCHAR),
+                               1, 13))::BIGINT + 1)
+               / 4503599627370498.0)) * 1e9)::BIGINT AS units
+      FROM wts)
+    SELECT doc_id, logweight,
+           round(units / 1e9, 6) AS score,
+           row_number() OVER (ORDER BY units DESC, doc_id)::BIGINT
+             AS rnk
+    FROM g ORDER BY units DESC, doc_id LIMIT 100""",
+    "llm", "sampling",
+)
+def dsir_resample_topk(spark, sf_dir):
+    """The DSIR resample step (operators/sampling.py:gumbel_topk):
+    Gumbel-top-k over the importance log-weights — an exact
+    without-replacement draw of 100 docs with probability
+    proportional to exp(logweight), made deterministic by md5-derived
+    uniforms and nano-unit integer ranking (no engine RNG, no float
+    reordering at the top-k boundary). Plan: the weight computation +
+    one narrow projection + TakeOrderedAndProject; the corpus never
+    shuffles for the draw itself."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.sampling import dsir_importance, gumbel_topk
+    w = dsir_importance(docs, target=F.col("lang") == "de",
+                        n_buckets=512)
+    return gumbel_topk(w, k=100)
+
+
+@register("bpe_apply_token_counts", _bpe_oracle_sql(12, apply=True),
+          "llm", "text")
+def bpe_apply_token_counts(spark, sf_dir):
+    """Corpus-wide application of the self-trained 12-merge BPE
+    tokenizer (operators/text.py:bpe_apply_token_counts): the subword
+    vocabulary with occurrence and word-coverage counts — the
+    fertility/coverage table inspected before freezing a tokenizer.
+    Applying the tokenizer is one explode of the post-training
+    vocab-sized table (the trainer's final state IS the segmentation
+    of every distinct word); the corpus is touched only by the
+    wordcount. Oracle = the trainer's unrolled CTE chain ending in
+    the same explode, so any divergence in ANY merge round reshapes
+    the subword vocabulary and hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_apply_token_counts(docs, k_merges=12)
 
 
 @register(

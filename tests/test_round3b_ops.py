@@ -1356,3 +1356,60 @@ def test_dsir_importance_matches_python_recompute(spark):
         assert out[doc_id]["n_feats"] == sum(c.values())
     assert out[3]["logweight"] > out[4]["logweight"]
     assert out[5]["n_feats"] == 0 and out[5]["logweight"] == 0.0
+
+
+def test_bpe_apply_counts_consistent_with_trainer(spark):
+    """Applying the trained tokenizer must conserve mass: summed
+    subword occurrences = total chars+markers minus one per merge
+    occurrence; and every token must be reachable from the merge
+    table (a char, the marker, or a concatenation built by merges)."""
+    from examples_scala_spark.operators.text import (
+        bpe_apply_token_counts, bpe_train_merges)
+
+    texts = ["low lower lowest low low",
+             "new newer newest new newer",
+             "wide wider widest low new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    toks = {r["token"]: (r["n_tokens"], r["n_words"])
+            for r in bpe_apply_token_counts(docs, k_merges=8).collect()}
+    merges = bpe_train_merges(docs, k_merges=8).collect()
+
+    # vocabulary closure: every multi-char token is produced by a
+    # recorded merge (left+right), in order
+    produced = set("abcdefghijklmnopqrstuvwxyz0123456789_")
+    for m in sorted(merges, key=lambda r: r["merge_rank"]):
+        assert m["left_sym"] in produced and m["right_sym"] in produced
+        produced.add(m["left_sym"] + m["right_sym"])
+    assert set(toks) <= produced
+
+    # mass conservation: every word contributes len(word)+1 symbols,
+    # minus one per merge APPLICATION; total applications is bounded
+    # above by the trainer's pair counts but must leave exactly the
+    # token total we observe
+    import re
+    words = [w for t in texts for w in re.findall(r"[a-z0-9]+", t)]
+    base_symbols = sum(len(w) + 1 for w in words)
+    total_tokens = sum(n for n, _ in toks.values())
+    assert total_tokens < base_symbols
+    # words fully segmented: weighted word coverage equals corpus size
+    assert sum(1 for _ in words) == sum(
+        n for tok, (n, _) in toks.items() if tok.endswith("_")
+        or tok == "_")
+
+
+def test_gumbel_topk_is_deterministic_and_ranked(spark):
+    from examples_scala_spark.operators.sampling import gumbel_topk
+
+    w = spark.createDataFrame(
+        [(i, float(i % 7) - 3.0) for i in range(500)],
+        "doc_id long, logweight double")
+    a = [tuple(r) for r in gumbel_topk(w, k=50).collect()]
+    b = [tuple(r) for r in gumbel_topk(w, k=50).collect()]
+    assert a == b and len(a) == 50
+    assert [r[3] for r in a] == list(range(1, 51))
+    scores = [r[2] for r in a]
+    assert scores == sorted(scores, reverse=True)
+    # higher weights must dominate the draw on average
+    mean_w = sum(r[1] for r in a) / 50
+    assert mean_w > 0.0  # population mean is ~0 over -3..3
