@@ -2086,11 +2086,14 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                      .alias("containment")))
 
 
-_DSIR_BODY = """
+def _dsir_sql(table: str = "documents") -> str:
+    """DSIR weight SQL over any (doc_id, text, lang) relation — the
+    pipeline composes it over the ExactSubstr-cleaned corpus."""
+    return f"""
     WITH w AS (
       SELECT doc_id, lang = 'de' AS tgt,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-      FROM documents),
+      FROM {table}),
     f AS (
       SELECT doc_id, tgt, unnest(ws) AS feat FROM w
       UNION ALL
@@ -2122,12 +2125,12 @@ _DSIR_BODY = """
     SELECT d.doc_id,
            coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
            round(coalesce(sc.units, 0) / 1e9, 6) AS logweight
-    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+    FROM {table} d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
 
 
 @register(
     "dsir_importance_weights",
-    _DSIR_BODY,
+    _dsir_sql(),
     "llm", "sampling", "text",
 )
 def dsir_importance_weights(spark, sf_dir):
@@ -2214,7 +2217,7 @@ def bpe_train_merges(spark, sf_dir):
 
 @register(
     "dsir_resample_topk",
-    "WITH wts AS MATERIALIZED (" + _DSIR_BODY + """),
+    "WITH wts AS MATERIALIZED (" + _dsir_sql() + """),
     g AS (
       SELECT doc_id, logweight,
              round(logweight * 1e9)::BIGINT
@@ -2325,6 +2328,68 @@ def substring_dedup_rewrite(spark, sf_dir):
     anti-join, so a fold off-by-one anywhere hash-fails."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.substring_dedup_rewrite(docs, L=30)
+
+
+def _curation_v4_sql() -> str:
+    rewrite = REGISTRY["substring_dedup_rewrite"].oracle
+    return f"""
+    WITH cleaned_v4 AS MATERIALIZED (
+      SELECT d.doc_id, r.clean_text AS text, d.lang,
+             r.n_chars_removed
+      FROM documents d JOIN ({rewrite}) r USING (doc_id)
+      WHERE length(r.clean_text) >= 50
+        AND r.n_chars_removed < length(r.clean_text)),
+    wts AS MATERIALIZED ({_dsir_sql("cleaned_v4")}),
+    g AS (
+      SELECT doc_id, logweight,
+             round(logweight * 1e9)::BIGINT
+           + round(-ln(-ln(
+               (('0x' || substr(md5('gumbel:' || doc_id::VARCHAR),
+                               1, 13))::BIGINT + 1)
+               / 4503599627370498.0)) * 1e9)::BIGINT AS units
+      FROM wts),
+    sel AS (
+      SELECT doc_id, logweight, round(units / 1e9, 6) AS score,
+             row_number() OVER (ORDER BY units DESC, doc_id)::BIGINT
+               AS rnk
+      FROM g ORDER BY units DESC, doc_id LIMIT 150)
+    SELECT s.doc_id, c.lang,
+           length(c.text)::BIGINT AS clean_len,
+           c.n_chars_removed, s.logweight, s.score, s.rnk
+    FROM sel s JOIN cleaned_v4 c USING (doc_id)"""
+
+
+@register("pipeline_curation_v4", _curation_v4_sql(), "llm", "pipeline")
+def pipeline_curation_v4(spark, sf_dir):
+    """The round-5-continuation operators composed into one curation
+    job — the modern pretraining-data recipe: ExactSubstr rewrite
+    (strip corpus-duplicated spans, keep-first) -> boilerplate gate
+    (cleaned length >= 50 AND removed < kept, i.e. docs that were
+    mostly duplicated text are dropped) -> DSIR importance weights
+    computed ON THE CLEANED TEXT against the 'de' target -> Gumbel-
+    top-150 without-replacement selection. Each stage is the
+    standalone oracle-checked operator; the oracle is their literal
+    SQL composition. Scale shape: rewrite output feeds the DSIR
+    explode directly (no second corpus scan of raw text); the gate is
+    a narrow filter; the draw is one TakeOrderedAndProject."""
+    from .operators.sampling import dsir_importance, gumbel_topk
+    docs = _t(spark, sf_dir, "documents")
+    rw = dedup.substring_dedup_rewrite(docs, L=30)
+    cleaned = (docs.select("doc_id", "lang")
+               .join(rw, "doc_id")
+               .filter((F.length("clean_text") >= 50)
+                       & (F.col("n_chars_removed")
+                          < F.length("clean_text")))
+               .select("doc_id", F.col("clean_text").alias("text"),
+                       "lang", "n_chars_removed")
+               .localCheckpoint(eager=False))
+    w = dsir_importance(cleaned, target=F.col("lang") == "de",
+                        n_buckets=512)
+    sel = gumbel_topk(w, k=150)
+    return (sel.join(cleaned, "doc_id")
+            .select("doc_id", "lang",
+                    F.length("text").cast("bigint").alias("clean_len"),
+                    "n_chars_removed", "logweight", "score", "rnk"))
 
 
 _MEDIA_N = "octet_length(encode(text))"
