@@ -286,6 +286,47 @@ def bpe_apply_token_counts(docs: DataFrame, k_merges: int = 12,
                  F.count_distinct("w").cast("long").alias("n_words")))
 
 
+def bpe_encode_doc_stats(docs: DataFrame, k_merges: int = 12,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         marker: str = "_") -> DataFrame:
+    """Encode every document with the corpus' self-trained BPE
+    tokenizer and report per-doc tokenization stats: (doc_id, n_words,
+    n_subwords, fertility = subwords per word) — the per-document
+    counterpart of bpe_apply_token_counts' global vocabulary view, and
+    the number that actually prices a doc in a token budget.
+
+    Scale shape: encoding at corpus scale is a WORD-level equi-join —
+    each doc's words join the trained (word -> segment count) map,
+    which is vocab-sized and BROADCAST (at 100 TB vocab is millions of
+    rows / tens of MB — squarely broadcastable; if a corpus ever blew
+    past that, the same plan degrades gracefully to a shuffle join on
+    the word key). No per-doc re-segmentation: the trainer's final
+    vocab state already IS every distinct word's segmentation."""
+    _, vocab = _bpe_loop(docs, k_merges, text_col, marker)
+    seg = vocab.select(
+        "w", F.size(F.split(F.trim("sym"), " ")).cast("long")
+             .alias("n_sub"))
+    dw = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+         .alias("w"))
+    per = (dw.join(F.broadcast(seg), "w")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_words"),
+                F.sum("n_sub").cast("long").alias("n_subwords")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_words", F.lit(0)).cast("bigint")
+                     .alias("n_words"),
+                    F.coalesce("n_subwords", F.lit(0)).cast("bigint")
+                     .alias("n_subwords"),
+                    F.round(F.col("n_subwords")
+                            / F.col("n_words").cast("double"), 6)
+                     .alias("fertility")))
+
+
 URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 

@@ -2148,7 +2148,8 @@ def dsir_importance_weights(spark, sf_dir):
                            n_buckets=512)
 
 
-def _bpe_oracle_sql(k: int = 12, apply: bool = False) -> str:
+def _bpe_oracle_sql(k: int = 12, apply: bool = False,
+                    encode: bool = False) -> str:
     """Unrolled-CTE twin of operators/text.py:bpe_train_merges — one
     (pair-count, argmax, rewrite) CTE triple per merge round, the same
     double-replace substitution, the same (count DESC, left, right)
@@ -2182,6 +2183,25 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False) -> str:
                       replace(replace(sym, {pat}, {rep}), {pat}, {rep})
                         AS sym
                FROM v{r - 1})""")
+    if encode:
+        sql.append(f"""
+    , seg AS MATERIALIZED (
+      SELECT w, len(string_split(trim(sym), ' '))::BIGINT AS n_sub
+      FROM v{k})
+    , dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents)
+    , per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_sub)::BIGINT AS n_subwords
+      FROM dw JOIN seg USING (w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0)::BIGINT AS n_words,
+           coalesce(p.n_subwords, 0)::BIGINT AS n_subwords,
+           round(p.n_subwords / p.n_words::DOUBLE, 6) AS fertility
+    FROM documents d LEFT JOIN per p USING (doc_id)""")
+        return "".join(sql)
     if apply:
         sql.append(f"""
     SELECT token, sum(c)::BIGINT AS n_tokens,
@@ -2247,6 +2267,21 @@ def dsir_resample_topk(spark, sf_dir):
     w = dsir_importance(docs, target=F.col("lang") == "de",
                         n_buckets=512)
     return gumbel_topk(w, k=100)
+
+
+@register("bpe_encode_doc_stats", _bpe_oracle_sql(12, encode=True),
+          "llm", "text")
+def bpe_encode_doc_stats(spark, sf_dir):
+    """Per-document encoding stats under the self-trained 12-merge BPE
+    tokenizer (operators/text.py:bpe_encode_doc_stats): n_words,
+    n_subwords, and fertility — the numbers that price a document in a
+    token budget. Encoding is a word-level equi-join against the
+    BROADCAST (word -> segment count) map the trainer already built;
+    no per-doc re-segmentation. Oracle = the trainer CTE chain + the
+    same join, so any merge-round divergence shifts segment counts and
+    hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_encode_doc_stats(docs, k_merges=12)
 
 
 @register("bpe_apply_token_counts", _bpe_oracle_sql(12, apply=True),
@@ -5636,6 +5671,27 @@ def jsonl_roundtrip(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="sgs_jsonl_")
     write_jsonl(docs, d, partitions=4)
     return read_jsonl(spark, d, DOCUMENTS_SCHEMA)
+
+
+@register(
+    "orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "sources", "llm",
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC ingest/egress (sources/files.py:write_orc/read_orc): stage
+    the documents table as zlib ORC and read it back — the columnar
+    interchange path for Hive/Presto-standardized consumers. ORC is
+    self-describing (footer schema, no inference pass) and, unlike the
+    JSONL/CSV edges, supports pushdown, so a round trip must be
+    byte-lossless including the full text column (oracle = the
+    original table)."""
+    import tempfile
+    from .sources.files import read_orc, write_orc
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="sgs_orc_")
+    write_orc(docs, d, partitions=4)
+    return read_orc(spark, d)
 
 
 @register(

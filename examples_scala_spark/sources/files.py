@@ -55,3 +55,20 @@ def read_csv(spark: SparkSession, path: str,
              schema: T.StructType) -> DataFrame:
     return (spark.read.schema(schema).option("header", "true")
             .option("escape", '"').csv(path))
+
+
+def write_orc(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """ORC egress (zlib): the columnar interchange format for Hive/
+    Presto-side consumers. Like parquet it carries its own schema and
+    supports predicate pushdown, so unlike JSONL/CSV it is safe to
+    query in place — it's here as an EXCHANGE format for stacks
+    standardized on ORC, not as a second query-side format."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — schema comes from the file footers (self-describing,
+    no inference pass, unlike JSONL/CSV)."""
+    return spark.read.orc(path)

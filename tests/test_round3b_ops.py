@@ -1413,3 +1413,25 @@ def test_gumbel_topk_is_deterministic_and_ranked(spark):
     # higher weights must dominate the draw on average
     mean_w = sum(r[1] for r in a) / 50
     assert mean_w > 0.0  # population mean is ~0 over -3..3
+
+
+def test_bpe_encode_fertility_bounds_and_empty_doc(spark):
+    """Fertility is bounded by (1, len+1] per word: every word encodes
+    to at least 1 and at most len(word)+1 subwords; an empty doc gets
+    zero counts and NULL fertility; total subwords across docs equals
+    the apply-view's weighted total."""
+    from examples_scala_spark.operators.text import (
+        bpe_apply_token_counts, bpe_encode_doc_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low new"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bpe_encode_doc_stats(docs, k_merges=4).collect()}
+    assert out[3]["n_words"] == 0 and out[3]["fertility"] is None
+    for d in (1, 2):
+        assert 1.0 < out[d]["fertility"] <= 8.0
+    total_enc = sum(r["n_subwords"] for r in out.values())
+    total_apply = sum(r["n_tokens"] for r in
+                      bpe_apply_token_counts(docs, k_merges=4).collect())
+    assert total_enc == total_apply
