@@ -36,12 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # the ~50 budget, so after r5 every registry name has a green row in
 # some CORRECTNESS_r*.json. The auto-rotation still front-loads
 # anything the budget misses next round (_ordered_names ranks
-# no-history first). The five late-round-5 additions
-# (bmp_thumbnail_stats, wav_frame_features, media_dedup_by_chunks,
-# grouped_kfold_assign, winnow_fingerprint_pairs) deliberately sit
-# OUTSIDE the head — the r6 rotation fronts them as the only
-# never-evaluated names.
-# tools/verify_local.py checks ALL entries every time; 222/222 pass
+# no-history first). The late-round-5 additions (bmp_thumbnail_stats,
+# wav_frame_features, media_dedup_by_chunks, grouped_kfold_assign,
+# winnow_fingerprint_pairs, and the continuation-session family:
+# substring_dedup_rewrite, bpe_train_merges / bpe_apply_token_counts /
+# bpe_encode_doc_stats, dsir_importance_weights / dsir_resample_topk,
+# pipeline_curation_v4, orc_roundtrip) deliberately sit OUTSIDE the
+# head — the r6 rotation fronts them as the only never-evaluated
+# names.
+# tools/verify_local.py checks ALL entries every time; 230/230 pass
 # at sf0.01 — including under the driver-identical vanilla session
 # (tools/verify_local.py --vanilla).
 PRIORITY = [
