@@ -206,35 +206,8 @@ def dsir_importance(docs: DataFrame, target, n_buckets: int = 512,
     scoring join broadcasts them, and the bucket-count normalizers
     ride in as broadcast single-row aggregates — no driver collect,
     no shuffle wider than the (doc, bucket) count."""
-    grams = F.expr(
-        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1), "
-        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) "
-        "ELSE CAST(array() AS array<string>) END")
-    w = docs.select(
-        F.col(id_col), target.alias("tgt"),
-        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
-         .alias("ws"))
-    f = w.select(
-        F.col(id_col), "tgt",
-        F.explode(F.concat(F.col("ws"), grams)).alias("feat"))
-    fb = (f.select(
-            F.col(id_col), "tgt",
-            (F.expr("CAST(conv(substr(md5(feat), 1, 15), 16, 10) AS BIGINT)")
-             % n_buckets).alias("b"))
-          .groupBy(id_col, "tgt", "b")
-          .agg(F.count("*").cast("long").alias("cnt")))
-    raw = fb.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
-    tgt = (fb.filter("tgt").groupBy("b")
-           .agg(F.sum("cnt").cast("long").alias("c_t")))
-    n_r = raw.agg(F.sum("c_r").cast("long").alias("n_r"))
-    n_t = tgt.agg(F.sum("c_t").cast("long").alias("n_t"))
-    units = lambda c, n: F.round(  # noqa: E731
-        F.log((c + F.lit(1)).cast("double")
-              / (n + F.lit(n_buckets)).cast("double")) * 1e9).cast("long")
-    lp = (raw.join(tgt, "b", "left")
-          .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
-          .select("b", (units(F.coalesce("c_t", F.lit(0)), F.col("n_t"))
-                        - units(F.col("c_r"), F.col("n_r"))).alias("du")))
+    fb = _dsir_doc_buckets(docs, target, n_buckets, text_col, id_col)
+    lp = dsir_model_from_buckets(fb, n_buckets)
     sc = (fb.join(F.broadcast(lp), "b")
           .groupBy(id_col)
           .agg(F.sum("cnt").cast("long").alias("n_feats"),
@@ -281,3 +254,49 @@ def gumbel_topk(weights: DataFrame, k: int = 100,
             .select(id_col, weight_col,
                     F.round(F.col("units") / 1e9, 6).alias("score"),
                     "rnk"))
+
+
+def _dsir_grams_expr() -> F.Column:
+    return F.expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) "
+        "ELSE CAST(array() AS array<string>) END")
+
+
+def _dsir_doc_buckets(docs: DataFrame, target, n_buckets: int,
+                      text_col: str, id_col: str) -> DataFrame:
+    """(doc, bucket) feature counts: word unigrams + bigrams, 60-bit
+    md5 hashed into n_buckets."""
+    w = docs.select(
+        F.col(id_col), target.alias("tgt"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+         .alias("ws"))
+    f = w.select(
+        F.col(id_col), "tgt",
+        F.explode(F.concat(F.col("ws"), _dsir_grams_expr())).alias("feat"))
+    return (f.select(
+              F.col(id_col), "tgt",
+              (F.expr("CAST(conv(substr(md5(feat), 1, 15), 16, 10) "
+                      "AS BIGINT)") % n_buckets).alias("b"))
+            .groupBy(id_col, "tgt", "b")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def dsir_model_from_buckets(fb: DataFrame, n_buckets: int) -> DataFrame:
+    """The frozen DSIR model: per bucket, the nano-unit ln-prob delta
+    du = ln p_target - ln p_raw (Laplace-smoothed, each ln rounded
+    once). <= n_buckets rows — broadcastable into a batch scoring
+    join, or collectable into a map literal for a STATELESS streaming
+    gate (see queries.stream_curation_gate)."""
+    raw = fb.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_r"))
+    tgt = (fb.filter("tgt").groupBy("b")
+           .agg(F.sum("cnt").cast("long").alias("c_t")))
+    n_r = raw.agg(F.sum("c_r").cast("long").alias("n_r"))
+    n_t = tgt.agg(F.sum("c_t").cast("long").alias("n_t"))
+    units = lambda c, n: F.round(  # noqa: E731
+        F.log((c + F.lit(1)).cast("double")
+              / (n + F.lit(n_buckets)).cast("double")) * 1e9).cast("long")
+    return (raw.join(tgt, "b", "left")
+            .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
+            .select("b", (units(F.coalesce("c_t", F.lit(0)), F.col("n_t"))
+                          - units(F.col("c_r"), F.col("n_r"))).alias("du")))

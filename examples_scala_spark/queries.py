@@ -6108,6 +6108,64 @@ def events_scd2_enrich(spark, sf_dir):
 
 
 @register(
+    "stream_curation_gate",
+    f"""
+    SELECT doc_id, n_feats, logweight
+    FROM ({_dsir_sql()}) WHERE logweight > 0""",
+    "streaming", "llm", "sampling",
+)
+def stream_curation_gate(spark, sf_dir):
+    """Online data curation: documents replayed as a bounded stream
+    and scored per-row against a FROZEN DSIR model (trained in batch
+    on the same corpus), keeping in-domain-leaning docs
+    (logweight > 0). The production pattern for filtering a live
+    crawl: the <= 512-row model collects ONCE into a map literal that
+    ships inside the task binary, so the streaming query is entirely
+    STATELESS and shuffle-free — per-row tokenize, hash, map-lookup
+    fold, filter. No stream-side state store, no stream-static join,
+    nothing to checkpoint beyond source offsets; at any stream rate
+    the cost is pure scan CPU. Oracle = the batch DSIR weights with
+    the same gate."""
+    import tempfile
+
+    from .operators.sampling import (_dsir_doc_buckets,
+                                     dsir_model_from_buckets)
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fb = _dsir_doc_buckets(docs, F.col("lang") == "de", 512,
+                           "text", "doc_id")
+    model = dsir_model_from_buckets(fb, 512).collect()  # <= 512 rows
+    du_map = F.create_map(
+        *[F.lit(x) for r in model for x in (r["b"], r["du"])])
+
+    d = tempfile.mkdtemp(prefix="sgs_gate_")
+    (docs.select("doc_id", "text").repartition(4)
+     .write.mode("overwrite").parquet(d))
+    src = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) "
+        "ELSE CAST(array() AS array<string>) END")
+    feats = (src
+             .select("doc_id",
+                     F.expr("regexp_extract_all(lower(text), "
+                            "'[a-z0-9]+', 0)").alias("ws"))
+             .select("doc_id", F.concat(F.col("ws"), grams).alias("fs")))
+    bucket = lambda f: (  # noqa: E731
+        F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % 512)
+    units = F.aggregate(
+        "fs", F.lit(0).cast("long"),
+        lambda acc, f: acc + F.coalesce(F.element_at(du_map, bucket(f)),
+                                        F.lit(0).cast("long")))
+    scored = feats.select(
+        "doc_id", F.size("fs").cast("long").alias("n_feats"),
+        F.round(units / 1e9, 6).alias("logweight"))
+    out = scored.filter(F.col("logweight") > 0)
+    return _run_to_memory(spark, out, "stream_curation_gate_result")
+
+
+@register(
     "stream_trending_tokens",
     """
     WITH toks AS (

@@ -1435,3 +1435,42 @@ def test_bpe_encode_fertility_bounds_and_empty_doc(spark):
     total_apply = sum(r["n_tokens"] for r in
                       bpe_apply_token_counts(docs, k_merges=4).collect())
     assert total_enc == total_apply
+
+
+def test_substring_dedup_rewrite_random_corpus_bruteforce(spark):
+    """Adversarial check: 40 random docs over a 2-letter alphabet with
+    L=5 produce dense, heavily-overlapping duplicated windows (seam
+    merges, same-doc repeats, whole-doc wipeouts); the operator must
+    match a position-set brute force exactly on every doc."""
+    import random
+
+    from examples_scala_spark.operators.dedup import substring_dedup_rewrite
+
+    rng = random.Random(20260814)
+    L = 5
+    docs = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(3, 40))))
+            for i in range(40)]
+
+    occ: dict[str, list] = {}
+    for did, t in docs:
+        for i in range(len(t) - L + 1):
+            occ.setdefault(t[i:i + L], []).append((did, i))
+    removed: dict[int, set] = {did: set() for did, _ in docs}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for did, i in sorted(lst)[1:]:
+                removed[did].update(range(i, i + L))
+    want = {}
+    for did, t in docs:
+        dead = removed[did]
+        keep = "".join(ch for p, ch in enumerate(t) if p not in dead)
+        ps = sorted(dead)
+        spans = sum(1 for j, p in enumerate(ps)
+                    if j == 0 or p - ps[j - 1] > 1)
+        want[did] = (keep, len(ps), spans)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_chars_removed"],
+                         r["n_dup_spans"])
+           for r in substring_dedup_rewrite(df, L=L).collect()}
+    assert got == want
