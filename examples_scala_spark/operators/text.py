@@ -8,7 +8,7 @@ these run at parquet-scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword lists per language for the n-gram/stopword
@@ -325,6 +325,79 @@ def bpe_encode_doc_stats(docs: DataFrame, k_merges: int = 12,
                     F.round(F.col("n_subwords")
                             / F.col("n_words").cast("double"), 6)
                      .alias("fertility")))
+
+
+def langid_ngram_confusion(docs: DataFrame, k_lang: int = 100,
+                           k_doc: int = 30, penalty: int = 100,
+                           text_col: str = "text",
+                           lang_col: str = "lang",
+                           id_col: str = "doc_id") -> DataFrame:
+    """TRAINED language identification (Cavnar & Trenkle 1994,
+    "N-Gram-Based Text Categorization" — the classic rank-profile
+    method behind textcat/langid): build each language's top-k_lang
+    char-3-gram rank profile from the corpus' own labels, classify
+    every doc by out-of-place distance from its top-k_doc profile
+    (missing gram = `penalty`), and emit the confusion matrix
+    (lang, pred_lang, n_docs). The trained upgrade of the marker-word
+    heuristic `lang_id` — all ranks and distances are integers, so
+    the result is engine-exact with deterministic (count DESC, gram)
+    tie-breaks throughout.
+
+    Scale shape: one corpus-sized explode -> (doc, gram) count ->
+    per-doc rank window (partitioned by doc, top-30 kept). The
+    language profiles are a languages x k_lang table (tiny) that
+    BROADCASTS into the scoring join; scoring fans each doc's 30
+    grams out by |langs| (bounded constant), aggregates per
+    (doc, lang), and argmins with min(struct). No all-corpus window,
+    no driver collect."""
+    # same scan-parallelism note as substring_dup_stats: per-char
+    # 3-gram slicing is CPU far above the cost of shipping the text
+    # once — don't let one small parquet file serialize the explode
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # hoist lower() out of the per-gram lambda: inside transform() it
+    # would re-lowercase the whole doc once PER GRAM (~500x per doc —
+    # the same duplicated-computed-expression trap the
+    # InferFiltersFromGenerate exclusion exists for)
+    grams = (docs.repartition(par)
+             .select(F.col(id_col), F.col(lang_col).alias("true_lang"),
+                     F.lower(F.col(text_col)).alias("__lt"))
+             .select(F.col(id_col), "true_lang",
+                     F.explode(F.expr(
+                         "CASE WHEN length(__lt) >= 3 THEN "
+                         "transform(sequence(1, length(__lt) - 2), "
+                         "i -> substring(__lt, i, 3)) "
+                         "ELSE CAST(array() AS array<string>) END"))
+                      .alias("g")))
+    doc_cnt = grams.groupBy(id_col, "true_lang", "g").agg(
+        F.count("*").alias("c")).localCheckpoint(eager=False)
+    wd = Window.partitionBy(id_col).orderBy(F.desc("c"), "g")
+    doc_prof = (doc_cnt
+                .withColumn("doc_rank", F.row_number().over(wd))
+                .filter(F.col("doc_rank") <= k_doc)
+                .select(id_col, "true_lang", "g", "doc_rank"))
+    # the language models re-aggregate the (doc, gram) counts — the
+    # expensive explode+count runs ONCE and feeds both profiles
+    lang_cnt = doc_cnt.groupBy(F.col("true_lang").alias("lang"), "g").agg(
+        F.sum("c").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+    lang_prof = (lang_cnt
+                 .withColumn("lang_rank", F.row_number().over(wl))
+                 .filter(F.col("lang_rank") <= k_lang)
+                 .select("lang", "g", "lang_rank"))
+    langs = lang_prof.select("lang").distinct()
+    dist = (doc_prof.crossJoin(F.broadcast(langs))
+            .join(F.broadcast(lang_prof), ["lang", "g"], "left")
+            .groupBy(id_col, "true_lang", "lang")
+            .agg(F.sum(F.coalesce(
+                F.abs(F.col("doc_rank") - F.col("lang_rank")),
+                F.lit(penalty))).cast("long").alias("d")))
+    pred = (dist.groupBy(id_col, "true_lang")
+            .agg(F.min(F.struct(F.col("d"), F.col("lang"))).alias("m"))
+            .select(id_col, "true_lang", F.col("m.lang").alias("pred_lang")))
+    base = docs.select(F.col(id_col), F.col(lang_col).alias("true_lang"))
+    return (base.join(pred.select(id_col, "pred_lang"), id_col, "left")
+            .groupBy(F.col("true_lang").alias("lang"), "pred_lang")
+            .agg(F.count("*").cast("long").alias("n_docs")))
 
 
 URL_RE = r"https?://[^\s]+"

@@ -6108,6 +6108,58 @@ def events_scd2_enrich(spark, sf_dir):
 
 
 @register(
+    "langid_ngram_profiles",
+    """
+    WITH gr AS (
+      SELECT doc_id, lang AS true_lang,
+             substring(lower(text), i, 3) AS g
+      FROM (SELECT doc_id, lang, text,
+                   unnest(generate_series(1, length(text) - 2)) AS i
+            FROM documents WHERE length(text) >= 3)),
+    dc AS (SELECT doc_id, true_lang, g, count(*) AS c
+           FROM gr GROUP BY 1, 2, 3),
+    dp AS (SELECT doc_id, true_lang, g, doc_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, g) AS doc_rank FROM dc)
+           WHERE doc_rank <= 30),
+    lc AS (SELECT true_lang AS lang, g, count(*) AS c
+           FROM gr GROUP BY 1, 2),
+    lp AS (SELECT lang, g, lang_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY c DESC, g) AS lang_rank FROM lc)
+           WHERE lang_rank <= 100),
+    ls AS (SELECT DISTINCT lang FROM lp),
+    dist AS (
+      SELECT dp.doc_id, dp.true_lang, ls.lang,
+             sum(coalesce(abs(dp.doc_rank - lp.lang_rank),
+                          100))::BIGINT AS d
+      FROM dp CROSS JOIN ls
+      LEFT JOIN lp ON lp.lang = ls.lang AND lp.g = dp.g
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY d, lang) AS r FROM dist)
+      WHERE r = 1)
+    SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n_docs
+    FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2""",
+    "llm", "text",
+)
+def langid_ngram_profiles(spark, sf_dir):
+    """Trained language ID (operators/text.py:langid_ngram_confusion
+    — Cavnar & Trenkle 1994 rank profiles): per-lang top-100
+    char-3-gram profiles trained from the corpus' own labels, docs
+    classified by out-of-place distance from their top-30 profile
+    (missing gram = 100), confusion matrix out. All-integer ranks and
+    distances; the language profiles broadcast into the scoring join;
+    the only corpus-sized shuffles are the (doc, gram) count and the
+    per-doc rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.langid_ngram_confusion(docs)
+
+
+@register(
     "stream_curation_gate",
     f"""
     SELECT doc_id, n_feats, logweight

@@ -97,7 +97,8 @@ def test_gate_ordering_invariants():
                 "bpe_train_merges", "dsir_importance_weights",
                 "bpe_apply_token_counts", "dsir_resample_topk",
                 "pipeline_curation_v4", "bpe_encode_doc_stats",
-                "orc_roundtrip", "stream_curation_gate"}
+                "orc_roundtrip", "stream_curation_gate",
+                "langid_ngram_profiles"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         if n in deferred:

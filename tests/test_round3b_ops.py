@@ -1474,3 +1474,26 @@ def test_substring_dedup_rewrite_random_corpus_bruteforce(spark):
                          r["n_dup_spans"])
            for r in substring_dedup_rewrite(df, L=L).collect()}
     assert got == want
+
+
+# ------------------------------------------- Cavnar-Trenkle lang ID
+
+def test_langid_ngram_profiles_separable_corpus(spark):
+    """Two languages with disjoint character inventories must classify
+    perfectly; a doc whose text mixes both but leans to one side lands
+    on that side (out-of-place distance is rank-based, not count-
+    based)."""
+    from examples_scala_spark.operators.text import langid_ngram_confusion
+
+    aa = "abc abd abe acb adb aeb "
+    zz = "xyz xyw xyv xzy xwy xvy "
+    docs = spark.createDataFrame(
+        [(1, aa * 4, "aa"), (2, (aa + "abf ") * 3, "aa"),
+         (3, zz * 4, "zz"), (4, (zz + "xyu ") * 3, "zz"),
+         (5, aa * 3 + zz, "aa"),     # leans aa
+         (6, zz * 3 + aa, "zz")],    # leans zz
+        "doc_id long, text string, lang string")
+    out = {(r["lang"], r["pred_lang"]): r["n_docs"]
+           for r in langid_ngram_confusion(docs, k_lang=50,
+                                           k_doc=20).collect()}
+    assert out == {("aa", "aa"): 3, ("zz", "zz"): 3}
