@@ -179,7 +179,7 @@ def main() -> None:
                  # rewrite, the BPE trainer, DSIR selection
                  "winnow_fingerprint_pairs", "substring_dedup_rewrite",
                  "bpe_train_merges", "dsir_importance_weights",
-                 "pipeline_curation_v4"]:
+                 "pipeline_curation_v4", "langid_ngram_profiles"]:
         # best of two, same as the headline set: r3's single-sample
         # extras produced phantom regressions (ann_topk_pq "2.3x"
         # measured 1.13x under controlled best-of-two A/B)
