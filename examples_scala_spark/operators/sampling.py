@@ -206,7 +206,11 @@ def dsir_importance(docs: DataFrame, target, n_buckets: int = 512,
     scoring join broadcasts them, and the bucket-count normalizers
     ride in as broadcast single-row aggregates — no driver collect,
     no shuffle wider than the (doc, bucket) count."""
-    fb = _dsir_doc_buckets(docs, target, n_buckets, text_col, id_col)
+    # the (doc, bucket) counts feed the raw model, the target model,
+    # both normalizers AND the scoring join — materialize once or the
+    # corpus-sized explode re-runs four times (4 corpus scans at 100 TB)
+    fb = _dsir_doc_buckets(docs, target, n_buckets, text_col,
+                           id_col).localCheckpoint(eager=False)
     lp = dsir_model_from_buckets(fb, n_buckets)
     sc = (fb.join(F.broadcast(lp), "b")
           .groupBy(id_col)
@@ -296,7 +300,7 @@ def dsir_model_from_buckets(fb: DataFrame, n_buckets: int) -> DataFrame:
     units = lambda c, n: F.round(  # noqa: E731
         F.log((c + F.lit(1)).cast("double")
               / (n + F.lit(n_buckets)).cast("double")) * 1e9).cast("long")
-    return (raw.join(tgt, "b", "left")
+    return (raw.join(F.broadcast(tgt), "b", "left")
             .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
             .select("b", (units(F.coalesce("c_t", F.lit(0)), F.col("n_t"))
                           - units(F.col("c_r"), F.col("n_r"))).alias("du")))

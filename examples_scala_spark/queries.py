@@ -6185,7 +6185,7 @@ def stream_curation_gate(spark, sf_dir):
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     fb = _dsir_doc_buckets(docs, F.col("lang") == "de", 512,
-                           "text", "doc_id")
+                           "text", "doc_id").localCheckpoint(eager=False)
     model = dsir_model_from_buckets(fb, 512).collect()  # <= 512 rows
     du_map = F.create_map(
         *[F.lit(x) for r in model for x in (r["b"], r["du"])])
