@@ -172,7 +172,11 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
         f"array_distinct(transform("
         f"sequence(1, greatest(size(hs) - {w} + 1, 1)), "
         f"j -> array_min(slice(hs, j, {w}))))")
-    toks = docs.select(
+    # per-gram md5 + window minima are CPU far above the cost of one
+    # text shuffle — don't inherit a single small file's one task
+    # (same note as substring_dup_stats)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
          .alias("wd"))

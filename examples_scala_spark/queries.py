@@ -2065,7 +2065,11 @@ def winnow_fingerprint_pairs(spark, sf_dir):
     Per-doc fingerprint counts ride along the join rows (max() in the
     pair aggregate), so no per-doc size table is joined back."""
     docs = _t(spark, sf_dir, "documents")
-    f = text.winnow_fingerprints(docs, k=3, w=4)
+    # the in-scan selection (per-gram md5 + window minima) is the
+    # dominant CPU and feeds the hot-fp filter plus BOTH sides of the
+    # pair self-join — materialize once (was 4 corpus scans)
+    f = text.winnow_fingerprints(docs, k=3, w=4).localCheckpoint(
+        eager=False)
     hot = (f.groupBy("fp")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter(F.col("nd") > 50).select("fp"))
