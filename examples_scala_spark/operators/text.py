@@ -249,22 +249,35 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
         "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) "
         "ELSE CAST(array() AS array<struct<a: string, b: string>>) END")
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, k_merges + 1):
-        top = (vocab
-               .select("c", F.split(F.trim("sym"), " ").alias("s"))
-               .select("c", F.explode(pair_expr).alias("p"))
-               .groupBy("p.a", "p.b")
-               .agg(F.sum("c").cast("long").alias("pc"))
-               .orderBy(F.desc("pc"), "a", "b")
-               .limit(1).collect())
-        if not top:
-            break
-        a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
-        merges.append((rank, a, b, pc))
-        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-        vocab = (vocab.withColumn(
-            "sym", F.replace(F.replace("sym", pat, rep), pat, rep))
-            .localCheckpoint())
+    # size the K rounds' shuffles to the VOCAB volume, not the session
+    # default (same principle as the connected-components loop): every
+    # round's pair aggregate moves vocab-sized data, and at test scale
+    # 32-partition shuffles x 12 rounds is task-scheduling overhead.
+    # The vocab-row clamp restores the session setting at real scale.
+    spark = docs.sparkSession
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_vocab = vocab.count()  # materialized by the checkpoint
+    loop_sp = max(8, min(int(prev_sp), (n_vocab + 99_999) // 100_000))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        for rank in range(1, k_merges + 1):
+            top = (vocab
+                   .select("c", F.split(F.trim("sym"), " ").alias("s"))
+                   .select("c", F.explode(pair_expr).alias("p"))
+                   .groupBy("p.a", "p.b")
+                   .agg(F.sum("c").cast("long").alias("pc"))
+                   .orderBy(F.desc("pc"), "a", "b")
+                   .limit(1).collect())
+            if not top:
+                break
+            a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
+            merges.append((rank, a, b, pc))
+            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            vocab = (vocab.withColumn(
+                "sym", F.replace(F.replace("sym", pat, rep), pat, rep))
+                .localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return merges, vocab
 
 
