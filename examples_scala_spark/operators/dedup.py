@@ -526,6 +526,108 @@ def substring_dedup_rewrite(docs: DataFrame, L: int = 30,
     return out.unionByName(short)
 
 
+def substring_dedup_incremental(history: DataFrame, incoming: DataFrame,
+                                L: int = 30, text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Incremental ExactSubstr rewriting: clean an INCOMING batch
+    against an immutable already-ingested HISTORY — the production
+    shape of substring_dedup_rewrite, where yesterday's corpus never
+    re-scans. An incoming window is removed iff its hash exists
+    anywhere in history, or it duplicates within the incoming batch
+    and is not the batch-first occurrence.
+
+    When history ids precede incoming ids, this equals the FULL
+    corpus rewrite restricted to the incoming docs (history holds
+    every cross-batch first occurrence) — which is exactly how the
+    oracle checks it.
+
+    Scale shape: history contributes ONLY its distinct window-hash
+    index (a join against 8-byte longs — in production a persisted,
+    bucketed table appended per batch); the incoming batch pays the
+    same hash-explode + keep-first aggregate as the batch operator,
+    but sized to the DELTA, not the corpus. The rebuild fold is
+    shared with substring_dedup_rewrite."""
+    hist_idx = (_window_hashes(history, L, text_col, id_col)
+                .select("g").distinct())
+    pos = _window_hashes(incoming, L, text_col, id_col) \
+        .localCheckpoint(eager=False)
+    in_hist = pos.join(hist_idx, "g", "leftsemi").select(id_col, "i")
+    batch_firsts = (pos.join(hist_idx, "g", "left_anti")
+                    .groupBy("g")
+                    .agg(F.count("*").alias("c"),
+                         F.min(F.struct(F.col(id_col).alias("d"),
+                                        F.col("i").alias("i")))
+                          .alias("first"))
+                    .filter(F.col("c") >= 2)
+                    .select("g", "first"))
+    in_batch = (pos.join(batch_firsts, "g")
+                .filter(~((F.col(id_col) == F.col("first.d"))
+                          & (F.col("i") == F.col("first.i"))))
+                .select(id_col, "i"))
+    removed = in_hist.unionByName(in_batch).distinct()
+    return _rebuild_from_removals(incoming, removed, L, text_col, id_col)
+
+
+def _window_hashes(docs: DataFrame, L: int, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(doc_id, i, g): 60-bit hash of every length-L window, offsets
+    1-based — shared by the batch and incremental rewrite operators."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("n"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    eligible = base.filter(F.col("n") >= L).repartition(par)
+    return eligible.select(
+        F.col(id_col), "t", "n",
+        F.posexplode(F.expr(
+            f"transform(sequence(1L, n - {L - 1}L), "
+            f"i -> CAST(conv(substr(md5(substring(t, i, {L})), 1, 15), "
+            f"16, 10) AS BIGINT))"))).select(
+        F.col(id_col), (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("col").alias("g"))
+
+
+def _rebuild_from_removals(docs: DataFrame, removed: DataFrame, L: int,
+                           text_col: str, id_col: str) -> DataFrame:
+    """Rebuild every doc's text from its removal offsets with the
+    sorted-offset interval-union fold (see substring_dedup_rewrite)."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("n"))
+    starts = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("i")).alias("ss"))
+    E = L - 1
+    rebuilt = F.expr(f"""
+      aggregate(
+        ss,
+        named_struct('cov', 0L, 'out', '', 'rm', 0L, 'sp', 0L),
+        (st, s) -> named_struct(
+          'cov', greatest(st.cov, s + {E}L),
+          'out', CASE WHEN s > st.cov + 1
+                 THEN concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
+                                               CAST(s - 1 - st.cov AS INT)))
+                 ELSE st.out END,
+          'rm', st.rm + greatest(s + {E}L, st.cov) - greatest(s - 1L, st.cov),
+          'sp', st.sp + CASE WHEN s > st.cov + 1 OR st.cov = 0L
+                        THEN 1L ELSE 0L END),
+        st -> named_struct(
+          'cov', st.cov,
+          'out', concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
+                                          CAST(n - st.cov AS INT))),
+          'rm', st.rm, 'sp', st.sp))""")
+    cleaned = (base.join(starts, id_col, "left")
+               .select(F.col(id_col), "t",
+                       F.when(F.col("ss").isNull(), None)
+                        .otherwise(rebuilt).alias("st")))
+    return cleaned.select(
+        F.col(id_col),
+        F.coalesce(F.col("st.out"), F.col("t")).alias("clean_text"),
+        F.coalesce(F.col("st.rm"), F.lit(0)).cast("bigint")
+         .alias("n_chars_removed"),
+        F.coalesce(F.col("st.sp"), F.lit(0)).cast("bigint")
+         .alias("n_dup_spans"))
+
+
 def setsim_prefix_join(docs: DataFrame, n: int = 3,
                        t_num: int = 1, t_den: int = 2,
                        text_col: str = "text",

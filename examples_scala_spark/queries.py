@@ -2369,6 +2369,36 @@ def substring_dedup_rewrite(spark, sf_dir):
     return dedup.substring_dedup_rewrite(docs, L=30)
 
 
+def _substring_incremental_sql() -> str:
+    rewrite = REGISTRY["substring_dedup_rewrite"].oracle
+    return f"""
+    SELECT * FROM ({rewrite})
+    WHERE doc_id >= (SELECT count(*) * 4 // 5 FROM documents)"""
+
+
+@register(
+    "substring_dedup_incremental",
+    _substring_incremental_sql(),
+    "llm", "dedup", "incremental",
+)
+def substring_dedup_incremental(spark, sf_dir):
+    """Incremental ExactSubstr rewrite (operators/dedup.py:
+    substring_dedup_incremental): the last 20% of docs (by id) arrive
+    as a new batch and are cleaned against the first 80% — history
+    contributes only its DISTINCT window-hash index (8-byte longs; in
+    production a persisted bucketed table appended per batch), so the
+    per-batch cost is sized to the delta. Because history ids precede
+    incoming ids, the result must equal the full-corpus rewrite
+    restricted to the incoming docs — the oracle IS that restriction,
+    so any divergence between the incremental index path and the
+    batch semantics hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.count() * 4 // 5  # bounded: one scalar
+    history = docs.filter(F.col("doc_id") < t)
+    incoming = docs.filter(F.col("doc_id") >= t)
+    return dedup.substring_dedup_incremental(history, incoming, L=30)
+
+
 def _curation_v4_sql() -> str:
     rewrite = REGISTRY["substring_dedup_rewrite"].oracle
     return f"""

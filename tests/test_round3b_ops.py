@@ -1497,3 +1497,27 @@ def test_langid_ngram_profiles_separable_corpus(spark):
            for r in langid_ngram_confusion(docs, k_lang=50,
                                            k_doc=20).collect()}
     assert out == {("aa", "aa"): 3, ("zz", "zz"): 3}
+
+
+def test_substring_dedup_incremental_equals_batch_restriction(spark):
+    """On the random adversarial corpus, cleaning the second half
+    incrementally against the first half must equal the full-corpus
+    rewrite restricted to the second half — and a batch window hash
+    never seen in history with a unique hash in-batch survives."""
+    import random
+
+    from examples_scala_spark.operators.dedup import (
+        substring_dedup_incremental, substring_dedup_rewrite)
+
+    rng = random.Random(99)
+    docs = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(3, 40))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {r["doc_id"]: tuple(r)[1:] for r in
+            substring_dedup_rewrite(df, L=5).collect()
+            if r["doc_id"] >= 20}
+    inc = {r["doc_id"]: tuple(r)[1:] for r in
+           substring_dedup_incremental(
+               df.filter("doc_id < 20"), df.filter("doc_id >= 20"),
+               L=5).collect()}
+    assert inc == full
