@@ -150,31 +150,43 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
         F.col(id_col).alias("id"), F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)
 
-    for _ in range(iterations):
-        with_deg = ranks.join(degrees, ranks.id == degrees.src, "left").select(
-            "id", "rank", "deg")
-        # dangling mass as a broadcast 1-row aggregate, NOT a driver
-        # .first(): keeps each round ONE job (the eager checkpoint)
-        # instead of two — the scalar never leaves the cluster
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
-        contribs = (
-            sym.join(with_deg, sym.src == with_deg.id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
-        ranks = (
-            nodes.select(F.col(id_col).alias("id"))
-            .join(contribs, F.col("id") == F.col("dst"), "left")
-            .crossJoin(F.broadcast(dangling))
-            .select("id",
-                    (F.lit((1.0 - damping) / n)
-                     + F.lit(damping) * F.col("dm") / n
-                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                     ).alias("rank"))
-            .localCheckpoint(eager=True)
-        )
+    # size the rounds' shuffles to the iterated volume (same scoped
+    # clamp as connected_components — at real scale it returns the
+    # session setting)
+    spark = nodes.sparkSession
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = sym.count()
+    loop_sp = max(8, min(int(prev_sp), (n_edges + 499_999) // 500_000))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        for _ in range(iterations):
+            with_deg = ranks.join(degrees, ranks.id == degrees.src,
+                                  "left").select("id", "rank", "deg")
+            # dangling mass as a broadcast 1-row aggregate, NOT a driver
+            # .first(): keeps each round ONE job (the eager checkpoint)
+            # instead of two — the scalar never leaves the cluster
+            dangling = (
+                with_deg.filter(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+            contribs = (
+                sym.join(with_deg, sym.src == with_deg.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            )
+            ranks = (
+                nodes.select(F.col(id_col).alias("id"))
+                .join(contribs, F.col("id") == F.col("dst"), "left")
+                .crossJoin(F.broadcast(dangling))
+                .select("id",
+                        (F.lit((1.0 - damping) / n)
+                         + F.lit(damping) * F.col("dm") / n
+                         + F.lit(damping)
+                         * F.coalesce(F.col("contrib"), F.lit(0.0))
+                         ).alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return ranks
 
 def triangle_stats(nodes: DataFrame, edges: DataFrame,
