@@ -2369,6 +2369,144 @@ def substring_dedup_rewrite(spark, sf_dir):
     return dedup.substring_dedup_rewrite(docs, L=30)
 
 
+@register(
+    "doc_trigram_backoff_ppl",
+    r"""
+    WITH t AS (SELECT count(*) * 4 // 5 AS thr FROM documents),
+    hw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents, t WHERE doc_id < thr),
+    ow AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents, t WHERE doc_id >= thr),
+    uni AS (SELECT u AS wd, count(*)::BIGINT AS c FROM (
+              SELECT unnest(w) AS u FROM hw) GROUP BY 1),
+    nv AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+    bi AS (SELECT b, count(*)::BIGINT AS c FROM (
+             SELECT w[i] || ' ' || w[i + 1] AS b
+             FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                   FROM hw)) GROUP BY 1),
+    tri AS (SELECT tr, count(*)::BIGINT AS c FROM (
+              SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tr
+              FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+                    FROM hw)) GROUP BY 1),
+    ot AS (
+      SELECT doc_id, tr, w12, w23, w2, w3, count(*)::BIGINT AS cnt
+      FROM (SELECT doc_id,
+                   w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tr,
+                   w[i] || ' ' || w[i + 1] AS w12,
+                   w[i + 1] || ' ' || w[i + 2] AS w23,
+                   w[i + 1] AS w2, w[i + 2] AS w3
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - 2)) AS i
+                  FROM ow))
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    sc AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n_trigrams,
+             sum(cnt * CASE
+               WHEN t3.c IS NOT NULL
+                 THEN round(ln(t3.c::DOUBLE / b12.c) * 1e9)::BIGINT
+               WHEN b23.c IS NOT NULL
+                 THEN round(ln(b23.c::DOUBLE / u2.c) * 1e9)::BIGINT
+                      - 916290732
+               ELSE round(ln((coalesce(u3.c, 0) + 1)::DOUBLE
+                             / (nv.n + nv.v)) * 1e9)::BIGINT
+                    - 1832581464
+             END)::BIGINT AS units
+      FROM ot
+      LEFT JOIN tri t3 ON t3.tr = ot.tr
+      LEFT JOIN bi b12 ON b12.b = ot.w12
+      LEFT JOIN bi b23 ON b23.b = ot.w23
+      LEFT JOIN uni u2 ON u2.wd = ot.w2
+      LEFT JOIN uni u3 ON u3.wd = ot.w3
+      CROSS JOIN nv
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(sc.n_trigrams, 0)::BIGINT AS n_trigrams,
+           round(-sc.units / sc.n_trigrams::DOUBLE / 1e9, 6)
+             AS avg_neg_logscore
+    FROM documents d CROSS JOIN t LEFT JOIN sc USING (doc_id)
+    WHERE d.doc_id >= t.thr""",
+    "llm", "text",
+)
+def doc_trigram_backoff_ppl(spark, sf_dir):
+    """Held-out stupid-backoff trigram scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the backoff
+    scheme DESIGNED for distributed count-table LMs): train trigram/
+    bigram/unigram counts on the first 80% of docs, score the held-out
+    20% with S(w3|w1w2) = c123/c12, backing off x0.4 to c23/c2, then
+    x0.4^2 to the (+1-smoothed) unigram floor — unlike the
+    self-scored bigram LM, unseen n-grams genuinely occur here, so
+    every backoff tier executes. Per-tier ln is rounded once to
+    nano-units (exact integer per-doc sums; the 0.4 penalties are the
+    integer constants round(ln .4 * 1e9)). Plan: count tables are
+    plain aggregates; scoring is five LEFT equi-joins on n-gram keys
+    (sort-merge at scale — Brants' point is precisely that these
+    tables shard) plus a broadcast 1-row (N, V) aggregate."""
+    t = _t(spark, sf_dir, "documents")
+    thr = t.count() * 4 // 5  # bounded: one scalar
+    words = t.select("doc_id",
+                     F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    hw = words.filter(F.col("doc_id") < thr)
+    ow = words.filter(F.col("doc_id") >= thr)
+    uni = (hw.select(F.explode("w").alias("wd"))
+           .groupBy("wd").agg(F.count("*").cast("long").alias("c")))
+    nv = uni.agg(F.sum("c").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("v"))
+    def grams(df, k):
+        return df.select(F.explode(F.expr(
+            f"CASE WHEN size(w) >= {k} THEN transform("
+            f"sequence(1, size(w) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(w, i, {k}))) "
+            f"ELSE CAST(array() AS array<string>) END")).alias("g"))
+    bi = grams(hw, 2).groupBy(F.col("g").alias("b")).agg(
+        F.count("*").cast("long").alias("c"))
+    tri = grams(hw, 3).groupBy(F.col("g").alias("tr")).agg(
+        F.count("*").cast("long").alias("c"))
+    ot = (ow.select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(w) >= 3 THEN transform("
+            "sequence(1, size(w) - 2), i -> named_struct("
+            "'tr', concat_ws(' ', slice(w, i, 3)), "
+            "'w12', concat_ws(' ', slice(w, i, 2)), "
+            "'w23', concat_ws(' ', slice(w, i + 1, 2)), "
+            "'w2', element_at(w, i + 1), "
+            "'w3', element_at(w, i + 2))) "
+            "ELSE CAST(array() AS array<struct<tr: string, w12: string, "
+            "w23: string, w2: string, w3: string>>) END")).alias("p"))
+          .select("doc_id", "p.tr", "p.w12", "p.w23", "p.w2", "p.w3")
+          .groupBy("doc_id", "tr", "w12", "w23", "w2", "w3")
+          .agg(F.count("*").cast("long").alias("cnt")))
+    t3 = tri.select(F.col("tr"), F.col("c").alias("c123"))
+    b12 = bi.select(F.col("b").alias("w12"), F.col("c").alias("c12"))
+    b23 = bi.select(F.col("b").alias("w23"), F.col("c").alias("c23"))
+    u2 = uni.select(F.col("wd").alias("w2"), F.col("c").alias("c2"))
+    u3 = uni.select(F.col("wd").alias("w3"), F.col("c").alias("c3"))
+    LB = -916290732
+    units = (F.when(F.col("c123").isNotNull(),
+                    F.round(F.log(F.col("c123").cast("double")
+                                  / F.col("c12")) * 1e9).cast("long"))
+             .when(F.col("c23").isNotNull(),
+                   F.round(F.log(F.col("c23").cast("double")
+                                 / F.col("c2")) * 1e9).cast("long")
+                   + F.lit(LB))
+             .otherwise(
+                 F.round(F.log((F.coalesce("c3", F.lit(0)) + 1)
+                               .cast("double")
+                               / (F.col("n") + F.col("v"))) * 1e9)
+                 .cast("long") + F.lit(2 * LB)))
+    sc = (ot.join(t3, "tr", "left").join(b12, "w12", "left")
+          .join(b23, "w23", "left").join(u2, "w2", "left")
+          .join(u3, "w3", "left").crossJoin(F.broadcast(nv))
+          .groupBy("doc_id")
+          .agg(F.sum("cnt").cast("long").alias("n_trigrams"),
+               F.sum(F.col("cnt") * units).cast("long").alias("units")))
+    return (ow.select("doc_id").join(sc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_trigrams", F.lit(0)).cast("bigint")
+                     .alias("n_trigrams"),
+                    F.round(-F.col("units")
+                            / F.col("n_trigrams").cast("double")
+                            / 1e9, 6).alias("avg_neg_logscore")))
+
+
 def _substring_incremental_sql() -> str:
     rewrite = REGISTRY["substring_dedup_rewrite"].oracle
     return f"""
