@@ -30,6 +30,11 @@ SAMPLE = [
     # closed-form early-firing replay, envelope bounds)
     "ann_topk_pq", "ann_topk_ivfpq", "stream_early_firing",
     "doc_compression_ratio", "embedding_top_pc",
+    # round-5 continuation representatives: the ExactSubstr rewrite
+    # (fold-vs-charwise oracle), the BPE trainer (iterative argmax),
+    # and DSIR (nano-unit LLR sums)
+    "substring_dedup_rewrite", "bpe_train_merges",
+    "dsir_importance_weights",
 ]
 
 
