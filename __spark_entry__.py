@@ -41,10 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # winnow_fingerprint_pairs, and the continuation-session family:
 # substring_dedup_rewrite, bpe_train_merges / bpe_apply_token_counts /
 # bpe_encode_doc_stats, dsir_importance_weights / dsir_resample_topk,
-# pipeline_curation_v4, orc_roundtrip) deliberately sit OUTSIDE the
-# head — the r6 rotation fronts them as the only never-evaluated
-# names.
-# tools/verify_local.py checks ALL entries every time; 230/230 pass
+# pipeline_curation_v4, orc_roundtrip, stream_curation_gate,
+# langid_ngram_profiles, substring_dedup_incremental,
+# doc_trigram_backoff_ppl — 17 names) deliberately sit OUTSIDE the
+# head; they exceed what the r6 auto-rotation can reach past this
+# ~98-name head, so round 6's FIRST action is to rewrite PRIORITY
+# with them in front (ROADMAP.md "Round-6 FIRST ACTION").
+# tools/verify_local.py checks ALL entries every time; 234/234 pass
 # at sf0.01 — including under the driver-identical vanilla session
 # (tools/verify_local.py --vanilla).
 PRIORITY = [
