@@ -401,3 +401,44 @@ def test_wav_codec_roundtrip_property(n, rate, seed):
     got_rate, ch, got = decode_wav(data)
     assert (got_rate, ch) == (rate, 1)
     assert np.array_equal(got, s)
+
+
+# ------------------------------------------- BPE double-replace merge
+
+def _greedy_merge(sym: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping pair merge —
+    Sennrich's substitution semantics."""
+    out, i = [], 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc", "_"]),
+                  min_size=0, max_size=30),
+    pair=st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "_"]),
+                   st.sampled_from(["a", "b", "c", "ab", "bc", "_"])),
+)
+@settings(max_examples=500, deadline=None)
+def test_bpe_double_replace_equals_greedy_merge(syms, pair):
+    """The trainer substitutes ' a b ' -> ' ab ' with TWO string
+    replace passes (operators/text.py:_bpe_loop). A single pass
+    consumes the shared separator space between back-to-back
+    occurrences and skips every other one; the claim — proven here
+    over all small symbol strings including multi-char symbols that
+    embed the pair's characters — is that two passes reproduce greedy
+    left-to-right merging exactly, and a third pass changes nothing."""
+    a, b = pair
+    s = " " + " ".join(syms) + " " if syms else "  "
+    pat, rep = f" {a} {b} ", f" {a}{b} "
+    once = s.replace(pat, rep)
+    twice = once.replace(pat, rep)
+    got = twice.split()
+    assert got == _greedy_merge(syms, a, b)
+    assert twice.replace(pat, rep) == twice  # idempotent after two
