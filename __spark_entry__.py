@@ -43,11 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # bpe_encode_doc_stats, dsir_importance_weights / dsir_resample_topk,
 # pipeline_curation_v4, orc_roundtrip, stream_curation_gate,
 # langid_ngram_profiles, substring_dedup_incremental,
-# doc_trigram_backoff_ppl — 17 names) deliberately sit OUTSIDE the
+# doc_trigram_backoff_ppl, mixture_waterfill_alloc — 18 names)
+# deliberately sit OUTSIDE the
 # head; they exceed what the r6 auto-rotation can reach past this
 # ~98-name head, so round 6's FIRST action is to rewrite PRIORITY
 # with them in front (ROADMAP.md "Round-6 FIRST ACTION").
-# tools/verify_local.py checks ALL entries every time; 234/234 pass
+# tools/verify_local.py checks ALL entries every time; 235/235 pass
 # at sf0.01 — including under the driver-identical vanilla session
 # (tools/verify_local.py --vanilla).
 PRIORITY = [

@@ -2507,6 +2507,94 @@ def doc_trigram_backoff_ppl(spark, sf_dir):
                             / 1e9, 6).alias("avg_neg_logscore")))
 
 
+@register(
+    "mixture_waterfill_alloc",
+    r"""
+    WITH s AS (
+      SELECT source,
+             sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n
+      FROM documents GROUP BY source),
+    t AS (SELECT sum(n)::BIGINT AS tn, count(*)::BIGINT AS m FROM s),
+    r AS (
+      SELECT s.source, s.n, t.tn, t.m, t.tn // 2 AS b,
+             row_number() OVER (ORDER BY s.n, s.source) AS j,
+             sum(s.n) OVER (ORDER BY s.n, s.source
+                            ROWS UNBOUNDED PRECEDING) AS pn
+      FROM s, t),
+    k AS (
+      SELECT coalesce(max(CASE WHEN n * (m - j + 1) <= b - (pn - n)
+                          THEN j END), 0) AS kk
+      FROM r),
+    lam AS (
+      SELECT k.kk,
+             (SELECT b FROM r LIMIT 1) AS b,
+             coalesce((SELECT pn FROM r, k WHERE j = k.kk), 0) AS snk,
+             (SELECT m FROM r LIMIT 1) AS m
+      FROM k)
+    SELECT r.source, r.n AS n_tokens,
+           r.j <= lam.kk AS capped,
+           CASE WHEN r.j <= lam.kk THEN r.n::DOUBLE
+                ELSE round((lam.b - lam.snk)::DOUBLE
+                           / (lam.m - lam.kk), 6) END AS alloc_tokens,
+           CASE WHEN r.j <= lam.kk THEN 1.0
+                ELSE round((lam.b - lam.snk)::DOUBLE
+                           / (lam.m - lam.kk) / r.n, 6) END AS rate
+    FROM r, lam""",
+    "llm", "sampling", "mixture",
+)
+def mixture_waterfill_alloc(spark, sf_dir):
+    """Capped water-filling mixture allocation — the exact-budget form
+    of dataset mixing (the Pile/Dolma-style recipe: spend EXACTLY a
+    token budget B = half the corpus, giving every source an equal
+    share except sources too small to fill theirs, whose surplus is
+    redistributed): allocation_s = min(n_s, lambda) with lambda chosen
+    so the total hits B. Solved in one pass over the per-source token
+    table: sort ascending, exact INTEGER threshold tests
+    n_j * (m - j + 1) <= B - prefix_{j-1} find the capped prefix, and
+    lambda is a single division of exact integers, so both engines
+    emit identical doubles. The global sort window runs over the
+    per-source AGGREGATE — bounded by the source catalog (~100s of
+    rows at any corpus scale), not the corpus; the only corpus-sized
+    stage is the token count."""
+    docs = _t(spark, sf_dir, "documents")
+    s = (docs.select("source",
+                     F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                      .cast("long").alias("nt"))
+         .groupBy("source").agg(F.sum("nt").cast("long").alias("n")))
+    tot = s.agg(F.sum("n").cast("long").alias("tn"),
+                F.count("*").cast("long").alias("m"))
+    w = Window.orderBy("n", "source")
+    r = (s.crossJoin(F.broadcast(tot))
+         .withColumn("b", (F.col("tn") / 2).cast("long"))
+         .withColumn("j", F.row_number().over(w).cast("long"))
+         .withColumn("pn", F.sum("n").over(
+             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+             .cast("long"))
+         .localCheckpoint(eager=False))
+    k = r.agg(F.coalesce(F.max(F.when(
+            F.col("n") * (F.col("m") - F.col("j") + 1)
+            <= F.col("b") - (F.col("pn") - F.col("n")), F.col("j"))),
+            F.lit(0)).cast("long").alias("kk"))
+    snk = (r.join(F.broadcast(k), F.col("j") == F.col("kk"))
+           .agg(F.coalesce(F.max("pn"), F.lit(0)).cast("long")
+                .alias("snk")))
+    lam_num = F.col("b") - F.coalesce(F.col("snk"), F.lit(0))
+    out = (r.crossJoin(F.broadcast(k)).crossJoin(F.broadcast(snk))
+           .select(
+               "source", F.col("n").alias("n_tokens"),
+               (F.col("j") <= F.col("kk")).alias("capped"),
+               F.when(F.col("j") <= F.col("kk"),
+                      F.col("n").cast("double"))
+                .otherwise(F.round(lam_num.cast("double")
+                                   / (F.col("m") - F.col("kk")), 6))
+                .alias("alloc_tokens"),
+               F.when(F.col("j") <= F.col("kk"), F.lit(1.0))
+                .otherwise(F.round(lam_num.cast("double")
+                                   / (F.col("m") - F.col("kk"))
+                                   / F.col("n"), 6)).alias("rate")))
+    return out
+
+
 def _substring_incremental_sql() -> str:
     rewrite = REGISTRY["substring_dedup_rewrite"].oracle
     return f"""

@@ -1521,3 +1521,37 @@ def test_substring_dedup_incremental_equals_batch_restriction(spark):
                df.filter("doc_id < 20"), df.filter("doc_id >= 20"),
                L=5).collect()}
     assert inc == full
+
+
+def test_mixture_waterfill_exact_budget_and_caps(spark):
+    """Water-filling invariants on a forced-redistribution corpus:
+    tiny sources keep everything (rate 1), big sources share one
+    common lambda, and the total allocation hits the budget B = half
+    the corpus tokens to within rounding."""
+    from examples_scala_spark.queries import REGISTRY
+    import tempfile, os
+
+    rows = []
+    did = 0
+    for src, words in (("tiny", 10), ("small", 40),
+                       ("big1", 400), ("big2", 600)):
+        for _ in range(5):
+            rows.append((did, " ".join(["w"] * words), "en", src,
+                         words * 2))
+            did += 1
+    d = tempfile.mkdtemp(prefix="sgs_wf_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in
+           REGISTRY["mixture_waterfill_alloc"].fn(spark, d).collect()}
+    total = sum(r["n_tokens"] for r in out.values())
+    B = total // 2
+    assert out["tiny"]["capped"] and out["tiny"]["rate"] == 1.0
+    assert out["small"]["capped"]
+    assert not out["big1"]["capped"] and not out["big2"]["capped"]
+    # uncapped sources share one lambda
+    assert out["big1"]["alloc_tokens"] == out["big2"]["alloc_tokens"]
+    got = sum(r["alloc_tokens"] for r in out.values())
+    assert abs(got - B) < 1e-3
