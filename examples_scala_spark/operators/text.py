@@ -213,13 +213,21 @@ def bpe_train_merges(docs: DataFrame, k_merges: int = 12,
     rounds 1..k-1. Per round exactly ONE driver collect of exactly
     ONE row (the argmax pair) — bounded by construction.
 
-    Merge substitution is string replace on the space-joined symbol
-    string, applied twice: a single left-to-right replace of
-    ' a b ' -> ' ab ' consumes the shared separator space between
-    back-to-back occurrences and skips every other one; the second
-    pass catches the survivors (they are flanked by merged tokens
-    after pass one, so no occurrence can share a boundary again) —
-    equivalent to Sennrich's non-consuming lookaround re.sub.
+    Merge substitution is ONE string replace per round on a
+    DOUBLE-space-joined symbol string: with tokens separated by two
+    spaces, the pattern ' a  b ' consumes the inner delimiter fully
+    but only ONE space of each outer delimiter, so the scan resumes
+    with the neighbour's delimiter intact and back-to-back
+    occurrences (including self-pair runs ' a  a  a  a  a ') merge
+    exactly greedily left-to-right — Sennrich's substitution
+    semantics, with no lookaround (so the DuckDB oracle's RE2-free
+    replace() mirrors it verbatim). A single-space join needs two
+    passes and STILL mis-merges self-pair runs of length >= 5 (the
+    second pass re-pairs the stranded middle symbol with the wrong
+    neighbour) — caught by hypothesis in
+    tests/test_properties.py::test_bpe_single_replace_equals_greedy_merge,
+    which now proves the doubled-separator form equal to greedy
+    merging over all small symbol strings.
     """
     merges, _ = _bpe_loop(docs, k_merges, text_col, marker)
     return docs.sparkSession.createDataFrame(
@@ -240,9 +248,9 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
     vocab = (words.groupBy("w")
              .agg(F.count("*").cast("long").alias("c"))
              .select("w", "c",
-                     F.concat(F.lit(" "),
-                              F.regexp_replace("w", "(.)", "$1 "),
-                              F.lit(marker + " ")).alias("sym"))
+                     F.concat(F.lit("  "),
+                              F.regexp_replace("w", "(.)", "$1  "),
+                              F.lit(marker + "  ")).alias("sym"))
              .localCheckpoint())
     pair_expr = F.expr(
         "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), "
@@ -262,7 +270,7 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
         for rank in range(1, k_merges + 1):
             top = (vocab
-                   .select("c", F.split(F.trim("sym"), " ").alias("s"))
+                   .select("c", F.split(F.trim("sym"), "  ").alias("s"))
                    .select("c", F.explode(pair_expr).alias("p"))
                    .groupBy("p.a", "p.b")
                    .agg(F.sum("c").cast("long").alias("pc"))
@@ -272,9 +280,9 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
                 break
             a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
             merges.append((rank, a, b, pc))
-            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            pat, rep = F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             vocab = (vocab.withColumn(
-                "sym", F.replace(F.replace("sym", pat, rep), pat, rep))
+                "sym", F.replace("sym", pat, rep))
                 .localCheckpoint())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
@@ -297,7 +305,7 @@ def bpe_apply_token_counts(docs: DataFrame, k_merges: int = 12,
     _, vocab = _bpe_loop(docs, k_merges, text_col, marker)
     return (vocab
             .select("w", "c",
-                    F.explode(F.split(F.trim("sym"), " ")).alias("token"))
+                    F.explode(F.split(F.trim("sym"), "  ")).alias("token"))
             .groupBy("token")
             .agg(F.sum("c").cast("long").alias("n_tokens"),
                  F.count_distinct("w").cast("long").alias("n_words")))
@@ -322,7 +330,7 @@ def bpe_encode_doc_stats(docs: DataFrame, k_merges: int = 12,
     vocab state already IS every distinct word's segmentation."""
     _, vocab = _bpe_loop(docs, k_merges, text_col, marker)
     seg = vocab.select(
-        "w", F.size(F.split(F.trim("sym"), " ")).cast("long")
+        "w", F.size(F.split(F.trim("sym"), "  ")).cast("long")
              .alias("n_sub"))
     dw = docs.select(
         F.col(id_col),

@@ -2156,20 +2156,24 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False,
                     encode: bool = False) -> str:
     """Unrolled-CTE twin of operators/text.py:bpe_train_merges — one
     (pair-count, argmax, rewrite) CTE triple per merge round, the same
-    double-replace substitution, the same (count DESC, left, right)
-    tie-break. Generated, not handwritten, so K stays in one place.
-    With apply=True the final select explodes the post-merge vocab
-    into subword usage counts instead of emitting the merge table."""
+    single-replace substitution over DOUBLE-space-joined symbols (the
+    doubled separator makes one left-to-right replace exactly greedy,
+    self-pair runs included — see _bpe_loop's docstring), the same
+    (count DESC, left, right) tie-break. Generated, not handwritten,
+    so K stays in one place. With apply=True the final select explodes
+    the post-merge vocab into subword usage counts instead of emitting
+    the merge table."""
     sql = [r"""
     WITH v0 AS MATERIALIZED (
       SELECT w, count(*)::BIGINT AS c,
-             ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '_ ' AS sym
+             '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '_  '
+               AS sym
       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                    AS w
             FROM documents)
       GROUP BY w)"""]
     for r in range(1, k + 1):
-        pat = (f"' ' || (SELECT a FROM m{r}) || ' ' || "
+        pat = (f"' ' || (SELECT a FROM m{r}) || '  ' || "
                f"(SELECT b FROM m{r}) || ' '")
         rep = (f"' ' || (SELECT a FROM m{r}) || "
                f"(SELECT b FROM m{r}) || ' '")
@@ -2178,19 +2182,18 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False,
       SELECT a, b, sum(c)::BIGINT AS pc FROM (
         SELECT c, s[i] AS a, s[i + 1] AS b FROM (
           SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
-          FROM (SELECT c, string_split(trim(sym), ' ') AS s
+          FROM (SELECT c, string_split(trim(sym), '  ') AS s
                 FROM v{r - 1})))
       GROUP BY a, b)
     , m{r} AS MATERIALIZED (
         SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1)
     , v{r} AS MATERIALIZED (SELECT w, c,
-                      replace(replace(sym, {pat}, {rep}), {pat}, {rep})
-                        AS sym
+                      replace(sym, {pat}, {rep}) AS sym
                FROM v{r - 1})""")
     if encode:
         sql.append(f"""
     , seg AS MATERIALIZED (
-      SELECT w, len(string_split(trim(sym), ' '))::BIGINT AS n_sub
+      SELECT w, len(string_split(trim(sym), '  '))::BIGINT AS n_sub
       FROM v{k})
     , dw AS (
       SELECT doc_id,
@@ -2211,7 +2214,7 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False,
     SELECT token, sum(c)::BIGINT AS n_tokens,
            count(DISTINCT w)::BIGINT AS n_words
     FROM (SELECT w, c,
-                 unnest(string_split(trim(sym), ' ')) AS token
+                 unnest(string_split(trim(sym), '  ')) AS token
           FROM v{k})
     GROUP BY token""")
         return "".join(sql)
@@ -10456,3 +10459,4 @@ def events_runs_test(spark, sf_dir):
         F.col("n0").cast("bigint").alias("n_below"),
         F.round((F.col("runs").cast("double") - mean) / F.sqrt(var), 6)
          .alias("z"))
+

@@ -6,7 +6,7 @@ this arithmetic."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -420,25 +420,29 @@ def _greedy_merge(sym: list[str], a: str, b: str) -> list[str]:
 
 
 @given(
-    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc", "_"]),
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc", "_", "aa"]),
                   min_size=0, max_size=30),
-    pair=st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "_"]),
-                   st.sampled_from(["a", "b", "c", "ab", "bc", "_"])),
+    pair=st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "_", "aa"]),
+                   st.sampled_from(["a", "b", "c", "ab", "bc", "_", "aa"])),
 )
 @settings(max_examples=500, deadline=None)
-def test_bpe_double_replace_equals_greedy_merge(syms, pair):
-    """The trainer substitutes ' a b ' -> ' ab ' with TWO string
-    replace passes (operators/text.py:_bpe_loop). A single pass
-    consumes the shared separator space between back-to-back
-    occurrences and skips every other one; the claim — proven here
-    over all small symbol strings including multi-char symbols that
-    embed the pair's characters — is that two passes reproduce greedy
-    left-to-right merging exactly, and a third pass changes nothing."""
+@example(syms=["a", "a", "a", "a", "a"], pair=("a", "a"))
+def test_bpe_single_replace_equals_greedy_merge(syms, pair):
+    """The trainer substitutes ' a  b ' -> ' ab ' with ONE string
+    replace pass over DOUBLE-space-joined symbols
+    (operators/text.py:_bpe_loop): each match consumes the inner
+    delimiter fully but only one space of each outer delimiter, so
+    back-to-back occurrences stay matchable and the left-to-right
+    scan IS greedy merging. The superseded single-space double-replace
+    form mis-merged self-pair runs >= 5 (hypothesis found
+    ['a']*5 + (a,a) -> [aa, a, aa] instead of greedy [aa, aa, a] —
+    kept as the explicit @example). Proven here over all small symbol
+    strings, including multi-char symbols embedding the pair's
+    characters; a second pass must change nothing."""
     a, b = pair
-    s = " " + " ".join(syms) + " " if syms else "  "
-    pat, rep = f" {a} {b} ", f" {a}{b} "
+    s = "  " + "  ".join(syms) + "  " if syms else "    "
+    pat, rep = f" {a}  {b} ", f" {a}{b} "
     once = s.replace(pat, rep)
-    twice = once.replace(pat, rep)
-    got = twice.split()
+    got = [t for t in once.split(" ") if t]
     assert got == _greedy_merge(syms, a, b)
-    assert twice.replace(pat, rep) == twice  # idempotent after two
+    assert once.replace(pat, rep) == once  # idempotent after one

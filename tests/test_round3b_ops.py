@@ -1304,6 +1304,20 @@ def test_bpe_train_merges_matches_sennrich_reference(spark):
     m = bpe_train_merges(tiny, k_merges=5).collect()
     assert [(r["left_sym"], r["right_sym"]) for r in m] == [("a", "_")]
 
+    # self-pair stress: words that are odd runs of one character force
+    # (a, a) merges where the superseded double-replace substitution
+    # diverged from greedy merging (runs >= 5 left the stranded middle
+    # symbol mis-paired) — the doubled-separator single replace must
+    # track the greedy reference through every round
+    runs = ["aaaaa aaaaaaa aa", "aaaaa aaaaa b", "aaaaaaa baab"]
+    rdocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(runs)], "doc_id long, text string")
+    got_runs = [(r["merge_rank"], r["left_sym"], r["right_sym"],
+                 r["pair_count"])
+                for r in bpe_train_merges(rdocs, k_merges=6)
+                .orderBy("merge_rank").collect()]
+    assert got_runs == ref_merges(runs, 6)
+
 
 # ------------------------------------------------ DSIR importance
 
