@@ -10460,3 +10460,174 @@ def events_runs_test(spark, sf_dir):
         F.round((F.col("runs").cast("double") - mean) / F.sqrt(var), 6)
          .alias("z"))
 
+
+# ======================================================================
+# Round-5 continuation, session 3: privacy audit, table maintenance,
+# corpus novelty. Deferred to the round-6 gate rotation like the other
+# continuation additions (ROADMAP.md "Round-6 FIRST ACTION").
+# ======================================================================
+
+@register(
+    "kanon_risk_audit",
+    """
+    WITH cls AS (
+      SELECT c_mktsegment, c_nationkey,
+             floor(c_acctbal / 2000)::BIGINT AS bal_band,
+             count(*)::BIGINT AS sz
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT c_mktsegment,
+           sum(sz)::BIGINT AS n_customers,
+           count(*)::BIGINT AS n_classes,
+           min(sz)::BIGINT AS min_class_size,
+           sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+           sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_below_k,
+           round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::DOUBLE
+                 / sum(sz)::DOUBLE, 6) AS pct_below_k
+    FROM cls GROUP BY c_mktsegment""",
+    "llm", "privacy", "diagnostics",
+)
+def kanon_risk_audit(spark, sf_dir):
+    """k-anonymity risk audit (Sweeney 2002) over the quasi-identifier
+    triple (nation, market segment, $2000 account-balance band): a
+    release is k-anonymous when every equivalence class under the QI
+    has at least k members. Reports, per market segment, the class
+    census plus the records at risk — singletons (uniquely
+    re-identifiable under the prosecutor model) and members of
+    classes below k=5 — the audit a training-data pipeline runs
+    BEFORE exporting structured records, complementing the text-side
+    PII scrub (`scrub_audit_by_source`). Two hash aggregations, both
+    with map-side partials; class keys are bounded by the QI domain
+    (nations x segments x bands), so the second aggregate is tiny at
+    any corpus scale. All counts exact integers; the single division
+    happens once per output row."""
+    cust = _t(spark, sf_dir, "customer")
+    cls = (cust.groupBy(
+               "c_mktsegment", "c_nationkey",
+               F.floor(F.col("c_acctbal") / 2000).cast("long")
+                .alias("bal_band"))
+           .agg(F.count("*").cast("long").alias("sz")))
+    return (cls.groupBy("c_mktsegment")
+            .agg(F.sum("sz").cast("long").alias("n_customers"),
+                 F.count("*").cast("long").alias("n_classes"),
+                 F.min("sz").cast("long").alias("min_class_size"),
+                 F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_singletons"),
+                 F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+                  .cast("long").alias("n_below_k"))
+            .select("c_mktsegment", "n_customers", "n_classes",
+                    "min_class_size", "n_singletons", "n_below_k",
+                    F.round(F.col("n_below_k").cast("double")
+                            / F.col("n_customers").cast("double"), 6)
+                     .alias("pct_below_k")))
+
+
+@register(
+    "compaction_bin_packing",
+    """
+    WITH files AS (
+      SELECT source, (doc_id // 50)::BIGINT AS file_id,
+             sum(n_chars)::BIGINT AS bytes
+      FROM documents GROUP BY 1, 2),
+    staged AS (
+      SELECT source, file_id, bytes,
+             coalesce(sum(bytes) OVER (
+               PARTITION BY source ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cum_before
+      FROM files)
+    SELECT source, (cum_before // 65536)::BIGINT AS bin,
+           count(*)::BIGINT AS n_files,
+           sum(bytes)::BIGINT AS bin_bytes,
+           min(file_id)::BIGINT AS first_file,
+           max(file_id)::BIGINT AS last_file
+    FROM staged GROUP BY 1, 2""",
+    "llm", "maintenance",
+)
+def compaction_bin_packing(spark, sf_dir):
+    """Small-file compaction planning at metadata cost (the OPTIMIZE /
+    bin-packing half of table maintenance, alongside
+    `partition_backfill` and `zorder_clustered_scan`): each ingestion
+    batch of 50 doc_ids lands one fragment per source partition, so
+    the per-(source, batch) byte totals ARE the file manifest; files
+    are then packed, in file order, into 64 KiB target bins via a
+    running prefix sum — bin = floor(bytes_before / target), the
+    sequential accumulate-to-target strategy Delta/Iceberg OPTIMIZE
+    uses, computed as one window over file METADATA (never the data).
+    The plan: one corpus-sized aggregate with map-side partials, then
+    a per-source-partitioned window and a final tiny aggregate — at
+    100 TB the window input is the file catalog (millions of rows,
+    range-partitioned by source), not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    files = (docs.groupBy(
+                 "source",
+                 F.floor(F.col("doc_id") / 50).cast("long")
+                  .alias("file_id"))
+             .agg(F.sum("n_chars").cast("long").alias("bytes")))
+    w = Window.partitionBy("source").orderBy("file_id")
+    staged = files.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bytes").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).cast("long"))
+    return (staged
+            .withColumn("bin", F.floor(F.col("cum_before") / 65536)
+                        .cast("long"))
+            .groupBy("source", "bin")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum("bytes").cast("long").alias("bin_bytes"),
+                 F.min("file_id").cast("long").alias("first_file"),
+                 F.max("file_id").cast("long").alias("last_file")))
+
+
+@register(
+    "doc_ngram_novelty",
+    _SHINGLES_CTE + """,
+    f AS (
+      SELECT doc_id, shingle,
+             min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM sh)
+    SELECT doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                     END)::DOUBLE / count(*)::DOUBLE, 6) AS novelty
+    FROM f GROUP BY doc_id""",
+    "llm", "text", "dedup",
+)
+def doc_ngram_novelty(spark, sf_dir):
+    """Ingestion-order n-gram novelty: for each document, the fraction
+    of its distinct word 3-shingles never seen in any EARLIER doc
+    (doc_id = arrival order) — the forward-growing-corpus counterpart
+    of the dup-ratio family: novelty ~1 marks genuinely new material,
+    ~0 marks recombinations of known text (near-dup or boilerplate),
+    and the corpus-level novelty decay is the diminishing-returns
+    curve of continued crawling. Skew-immune formulation: instead of
+    windowing or joining on the shingle key (a hot shingle in
+    millions of docs would funnel its rows to one task), the novel
+    count per doc is read off the first-occurrence table itself —
+    groupBy(shingle).min(doc_id) collapses hot keys map-side, then
+    groupBy(first_doc).count() is doc-bounded, and a final doc-keyed
+    join attaches the per-doc denominator. Every shuffle has partial
+    aggregation; the shingle explode is materialized once
+    (localCheckpoint) for its two consumers. Oracle uses the direct
+    window formulation over the same shingle set."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3, distinct=True) \
+        .localCheckpoint(eager=False)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"))
+    novel = (sh.groupBy("shingle")
+             .agg(F.min("doc_id").alias("first_doc"))
+             .groupBy("first_doc")
+             .agg(F.count("*").cast("long").alias("n_novel")))
+    return (per_doc.join(novel,
+                         per_doc.doc_id == novel.first_doc, "left")
+            .select(per_doc.doc_id,
+                    "n_shingles",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                     .alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel").cast("double")
+                                / F.col("n_shingles").cast("double"),
+                                6)))

@@ -104,7 +104,9 @@ def test_gate_ordering_invariants():
                 "pipeline_curation_v4", "bpe_encode_doc_stats",
                 "orc_roundtrip", "stream_curation_gate",
                 "langid_ngram_profiles", "substring_dedup_incremental",
-                "doc_trigram_backoff_ppl", "mixture_waterfill_alloc"}
+                "doc_trigram_backoff_ppl", "mixture_waterfill_alloc",
+                "kanon_risk_audit", "compaction_bin_packing",
+                "doc_ngram_novelty"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         if n in deferred:

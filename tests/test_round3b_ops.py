@@ -1569,3 +1569,126 @@ def test_mixture_waterfill_exact_budget_and_caps(spark):
     assert out["big1"]["alloc_tokens"] == out["big2"]["alloc_tokens"]
     got = sum(r["alloc_tokens"] for r in out.values())
     assert abs(got - B) < 1e-3
+
+
+# ---------------------------------------- round-5 session-3 additions
+
+def _write_tbl(spark, rows, schema, name):
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="sgs_s3_")
+    spark.createDataFrame(rows, schema).write.mode("overwrite") \
+        .parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_kanon_risk_audit_class_census(spark):
+    """Hand-built QI classes: one k>=5 class, one class of 3, two
+    singletons across two segments — the census, singleton, and
+    below-k record counts must match exact hand counts."""
+    from examples_scala_spark.queries import REGISTRY
+
+    rows = []
+    ck = 0
+    # segment A / nation 1 / band 0 (bal 100): 6 members (safe class)
+    for _ in range(6):
+        rows.append((ck, f"c{ck}", 1, 100.0, "A")); ck += 1
+    # segment A / nation 2 / band 0: 3 members (below k=5)
+    for _ in range(3):
+        rows.append((ck, f"c{ck}", 2, 150.0, "A")); ck += 1
+    # segment A / nation 2 / band 1 (bal 2500): singleton
+    rows.append((ck, f"c{ck}", 2, 2500.0, "A")); ck += 1
+    # segment B / nation 3 / band -1 (bal -500): singleton
+    rows.append((ck, f"c{ck}", 3, -500.0, "B")); ck += 1
+    d = _write_tbl(
+        spark, rows,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string", "customer")
+    out = {r["c_mktsegment"]: r for r in
+           REGISTRY["kanon_risk_audit"].fn(spark, d).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_customers"], a["n_classes"]) == (10, 3)
+    assert a["min_class_size"] == 1
+    assert a["n_singletons"] == 1
+    assert a["n_below_k"] == 4          # 3-member class + singleton
+    assert abs(a["pct_below_k"] - 0.4) < 1e-9
+    assert (b["n_customers"], b["n_classes"]) == (1, 1)
+    assert b["n_singletons"] == 1 and b["n_below_k"] == 1
+    assert b["pct_below_k"] == 1.0
+
+
+def test_compaction_bin_packing_matches_sequential_packer(spark):
+    """The bin assignment must equal a pure-Python sequential
+    accumulate-to-target packer over the same (source, file) manifest,
+    including an oversized file occupying its own span."""
+    from examples_scala_spark.queries import REGISTRY
+
+    # doc_id // 50 = file id; craft three sources with known file
+    # sizes incl. one > target (65536)
+    sizes = {("s1", 0): 30000, ("s1", 1): 30000, ("s1", 2): 30000,
+             ("s1", 3): 70000, ("s1", 4): 10000,
+             ("s2", 0): 65536, ("s2", 1): 1,
+             ("s3", 0): 5}
+    rows = []
+    did = 0
+    for (src, fid), byts in sorted(sizes.items()):
+        # one doc per (source, file): doc_id in [fid*50, fid*50+49]
+        # must be unused by other sources -> give each source its own
+        # offset within the 50-wide batch
+        off = {"s1": 0, "s2": 1, "s3": 2}[src]
+        rows.append((fid * 50 + off, "x", "en", src, byts))
+        did += 1
+    d = _write_tbl(
+        spark, rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long", "documents")
+    out = {(r["source"], r["bin"]): r for r in
+           REGISTRY["compaction_bin_packing"].fn(spark, d).collect()}
+
+    # reference packer
+    import collections
+    ref = collections.defaultdict(lambda: [0, 0, None, None])
+    cum = collections.defaultdict(int)
+    for (src, fid), byts in sorted(sizes.items()):
+        b = cum[src] // 65536
+        e = ref[(src, b)]
+        e[0] += 1
+        e[1] += byts
+        e[2] = fid if e[2] is None else min(e[2], fid)
+        e[3] = fid if e[3] is None else max(e[3], fid)
+        cum[src] += byts
+    assert set(out) == set(ref)
+    for key, (nf, bb, f0, f1) in ref.items():
+        r = out[key]
+        assert (r["n_files"], r["bin_bytes"], r["first_file"],
+                r["last_file"]) == (nf, bb, f0, f1), key
+    # the oversized s1 file 3 starts bin 1 and pushes file 4 to bin 2
+    assert out[("s1", 1)]["first_file"] == 3
+    assert out[("s1", 2)]["first_file"] == 4
+
+
+def test_doc_ngram_novelty_first_occurrence_semantics(spark):
+    """doc0 introduces everything (novelty 1), an exact duplicate
+    later scores 0, a half-new doc scores its new-shingle fraction,
+    and sub-3-word docs are absent from the output."""
+    from examples_scala_spark.queries import REGISTRY
+
+    rows = [
+        (0, "the quick brown fox jumps", "en", "s", 25),
+        (1, "the quick brown fox jumps", "en", "s", 25),   # dup -> 0
+        (2, "the quick brown cat sleeps now", "en", "s", 30),
+        (3, "too short", "en", "s", 9),                    # no shingles
+    ]
+    d = _write_tbl(
+        spark, rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long", "documents")
+    out = {r["doc_id"]: r for r in
+           REGISTRY["doc_ngram_novelty"].fn(spark, d).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_shingles"] == 3 and out[0]["novelty"] == 1.0
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    # doc2 shingles: "the quick brown" (seen), "quick brown cat",
+    # "brown cat sleeps", "cat sleeps now" (3 new of 4)
+    assert out[2]["n_shingles"] == 4 and out[2]["n_novel"] == 3
+    assert abs(out[2]["novelty"] - 0.75) < 1e-9
