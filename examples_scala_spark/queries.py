@@ -10631,3 +10631,282 @@ def doc_ngram_novelty(spark, sf_dir):
                         F.round(F.col("n_novel").cast("double")
                                 / F.col("n_shingles").cast("double"),
                                 6)))
+
+
+# ======================================================================
+# Round-5 continuation, session 3 (batch 2): retrieval ranking quality,
+# quality-score calibration, differentially-private release. Deferred
+# to the round-6 gate rotation (ROADMAP.md "Round-6 FIRST ACTION").
+# ======================================================================
+
+def _dcg_term_nanos(rel: int, pos: int) -> int:
+    """Pre-folded DCG term rel/log2(pos+1) in integer nano-units.
+
+    Computed ONCE here in Python and injected as literals into BOTH
+    the Spark plan and the DuckDB oracle, so no runtime libm log2
+    call can diverge between engines (the libm-1-ulp caveat in
+    COVERAGE.md) and per-query DCG sums are order-free integer adds."""
+    import math
+    return round(rel / math.log2(pos + 1) * 1e9)
+
+
+# reciprocal ranks as exact shared literals (round(1/p, 6))
+_MRR_CONST = {1: 1.0, 2: 0.5, 3: 0.333333, 4: 0.25, 5: 0.2}
+
+
+def _ndcg_sql() -> str:
+    term = " ".join(
+        f"WHEN t_rank = {r} AND s_rank = {p} "
+        f"THEN {_dcg_term_nanos(6 - r, p)}"
+        for r in range(1, 6) for p in range(1, 6))
+    ideal = " ".join(
+        f"WHEN {r} THEN {_dcg_term_nanos(6 - r, r)}" for r in range(1, 6))
+    mrr = " ".join(
+        f"WHEN {p} THEN {_MRR_CONST[p]}" for p in range(1, 6))
+    return f"""
+    WITH brute AS ({_BRUTE_TOPK_SQL}),
+    lsh AS ({_lsh_topk_sql()}),
+    j AS (
+      SELECT l.query_id, l.rank AS s_rank, b.rank AS t_rank
+      FROM lsh l LEFT JOIN brute b
+        ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id),
+    sys AS (
+      SELECT query_id,
+             count(*)::BIGINT AS n_results,
+             count(t_rank)::BIGINT AS n_hits,
+             sum(CASE {term} ELSE 0 END)::BIGINT AS dcg_nanos,
+             min(CASE WHEN t_rank IS NOT NULL THEN s_rank END) AS first_hit
+      FROM j GROUP BY query_id),
+    ideal AS (
+      SELECT query_id,
+             sum(CASE rank {ideal} ELSE 0 END)::BIGINT AS idcg_nanos
+      FROM brute GROUP BY query_id)
+    SELECT i.query_id,
+           coalesce(n_results, 0)::BIGINT AS n_results,
+           coalesce(n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(dcg_nanos, 0)::DOUBLE / idcg_nanos, 6)
+             AS ndcg_at_5,
+           coalesce(CASE first_hit {mrr} END, 0.0) AS mrr_at_5
+    FROM ideal i LEFT JOIN sys ON i.query_id = sys.query_id"""
+
+
+@register("ann_ndcg_mrr", _ndcg_sql(), "llm", "similarity")
+def ann_ndcg_mrr(spark, sf_dir):
+    """Ranking-quality evaluation of the ANN path: per-query nDCG@5
+    and MRR@5 of the hyperplane-LSH top-k against the exact
+    brute-force top-k as graded ground truth (truth rank r earns
+    relevance 6-r). Complements `ann_recall_lsh` (set overlap) with
+    ORDER-sensitive metrics — the pair a production retrieval stack
+    tunes num_planes/nprobe against. All DCG discounts are pre-folded
+    integer nano-unit literals shared by both engines (no runtime
+    log2), so per-query sums are order-free; reciprocal ranks are the
+    same five shared literals. Plan: both top-k builders are
+    query-set-bounded (broadcast queries, per-partition local top-k);
+    the truth join is broadcast-sized; everything after the top-k is
+    ~k rows per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = similarity.brute_force_topk(emb, k=5, query_mod=50)
+    lshr = similarity.lsh_topk(emb, k=5, query_mod=50,
+                               num_planes=8, dim=64)
+    j = (lshr.select("query_id", "neighbor_id",
+                     F.col("rank").alias("s_rank"))
+         .join(brute.select("query_id", "neighbor_id",
+                            F.col("rank").alias("t_rank")),
+               ["query_id", "neighbor_id"], "left"))
+    term = None
+    for r in range(1, 6):
+        for p in range(1, 6):
+            cond = (F.col("t_rank") == r) & (F.col("s_rank") == p)
+            val = F.lit(_dcg_term_nanos(6 - r, p))
+            term = F.when(cond, val) if term is None else term.when(cond, val)
+    sys_stats = (j.select(
+        "query_id", "s_rank", "t_rank",
+        F.coalesce(term, F.lit(0)).cast("long").alias("term_nanos"))
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_results"),
+             F.count("t_rank").cast("long").alias("n_hits"),
+             F.sum("term_nanos").cast("long").alias("dcg_nanos"),
+             F.min(F.when(F.col("t_rank").isNotNull(),
+                          F.col("s_rank"))).alias("first_hit")))
+    ideal_term = None
+    for r in range(1, 6):
+        c = F.col("rank") == r
+        v = F.lit(_dcg_term_nanos(6 - r, r))
+        ideal_term = (F.when(c, v) if ideal_term is None
+                      else ideal_term.when(c, v))
+    ideal = (brute.select("query_id",
+                          F.coalesce(ideal_term, F.lit(0)).cast("long")
+                           .alias("it"))
+             .groupBy("query_id")
+             .agg(F.sum("it").cast("long").alias("idcg_nanos")))
+    mrr = None
+    for p in range(1, 6):
+        c = F.col("first_hit") == p
+        v = F.lit(_MRR_CONST[p])
+        mrr = F.when(c, v) if mrr is None else mrr.when(c, v)
+    return (ideal.join(sys_stats, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_results", F.lit(0)).cast("long")
+                     .alias("n_results"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    F.round(F.coalesce("dcg_nanos", F.lit(0))
+                            .cast("double") / F.col("idcg_nanos"), 6)
+                     .alias("ndcg_at_5"),
+                    F.coalesce(mrr, F.lit(0.0)).alias("mrr_at_5")))
+
+
+def _calibration_sql() -> str:
+    stop = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in text.STOPWORDS)
+    return f"""
+    WITH f AS (
+      SELECT length(text)::BIGINT AS n_chars,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+             ({stop})::BIGINT AS n_stop
+      FROM documents),
+    lab AS (
+      SELECT least(n_chars // 100, 19)::BIGINT AS band,
+             (CASE WHEN round(
+               (CASE WHEN n_words >= 10 AND n_words <= 100000
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                      AND (n_chars - (n_words - 1)) / n_words <= 10
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_punct / n_chars < 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_stop / n_words > 0.01 THEN 0.25 ELSE 0.0 END),
+               2) >= 0.75 THEN 1 ELSE 0 END)::BIGINT AS y
+      FROM f),
+    bands AS (
+      SELECT band, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+      FROM lab GROUP BY band),
+    seg AS (
+      SELECT bi.band AS i, bj.band AS j,
+             sum(bm.n)::BIGINT AS seg_n, sum(bm.pos)::BIGINT AS seg_pos
+      FROM bands bi
+      JOIN bands bj ON bi.band <= bj.band
+      JOIN bands bm ON bm.band >= bi.band AND bm.band <= bj.band
+      GROUP BY bi.band, bj.band),
+    inner_min AS (
+      SELECT b.band, s.i,
+             min(s.seg_pos::DOUBLE / s.seg_n) AS m
+      FROM bands b JOIN seg s ON s.i <= b.band AND s.j >= b.band
+      GROUP BY b.band, s.i),
+    fit AS (
+      SELECT band, max(m) AS cal FROM inner_min GROUP BY band)
+    SELECT b.band,
+           b.n AS n_docs, b.pos AS n_pos,
+           round(b.pos::DOUBLE / b.n, 6) AS rate,
+           round(cal, 6) AS calibrated
+    FROM bands b JOIN fit USING (band)"""
+
+
+@register("quality_calibration_isotonic", _calibration_sql(),
+          "llm", "text", "diagnostics")
+def quality_calibration_isotonic(spark, sf_dir):
+    """Isotonic (monotone) calibration of a cheap curation signal:
+    P(high composite quality | document-length band) fit by isotonic
+    regression over the 20 length bands — the reliability-curve
+    smoothing a pipeline applies before thresholding a cheap feature
+    against an expensive gold label (Zadrozny & Elkan 2002). Uses the
+    minimax characterization (equivalent to pool-adjacent-violators,
+    pinned by test): cal(b) = max_{i<=b} min_{j>=b} mean(y over bands
+    i..j). The corpus is touched by exactly ONE narrow scan + hash
+    aggregate down to <=20 (band, n, pos) rows; the O(B^3) minimax
+    runs on that catalog-sized table via broadcast range self-joins
+    (BroadcastNestedLoopJoin over <=20-row sides — size-invariant at
+    any corpus scale). Segment means are single exact-integer
+    divisions, identical in both engines; no summation-order
+    sensitivity anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    band = F.least(F.floor(F.length(t) / 100).cast("long"), F.lit(19))
+    y = F.when(text.quality_score_col(t) >= 0.75, 1).otherwise(0)
+    bands = (docs.select(band.alias("band"), y.alias("y"))
+             .groupBy("band")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("y").cast("long").alias("pos")))
+    bands = bands.localCheckpoint(eager=False)
+    bi = bands.select(F.col("band").alias("i"))
+    bj = bands.select(F.col("band").alias("j"))
+    bm = bands.select(F.col("band").alias("m"),
+                      F.col("n").alias("mn"), F.col("pos").alias("mpos"))
+    seg = (bi.join(bj, F.col("i") <= F.col("j"))
+           .join(bm, (F.col("m") >= F.col("i")) & (F.col("m") <= F.col("j")))
+           .groupBy("i", "j")
+           .agg(F.sum("mn").cast("long").alias("seg_n"),
+                F.sum("mpos").cast("long").alias("seg_pos")))
+    tgt = bands.select(F.col("band").alias("tband"))
+    inner = (tgt.join(seg, (F.col("i") <= F.col("tband"))
+                      & (F.col("j") >= F.col("tband")))
+             .groupBy("tband", "i")
+             .agg(F.min(F.col("seg_pos").cast("double")
+                        / F.col("seg_n")).alias("m")))
+    fit = (inner.groupBy("tband").agg(F.max("m").alias("cal"))
+           .withColumnRenamed("tband", "band"))
+    return (bands.join(fit, "band")
+            .select("band",
+                    F.col("n").alias("n_docs"),
+                    F.col("pos").alias("n_pos"),
+                    F.round(F.col("pos").cast("double") / F.col("n"), 6)
+                     .alias("rate"),
+                    F.round("cal", 6).alias("calibrated")))
+
+
+@register(
+    "dp_noised_histogram",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 86400)::BIGINT AS day,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    n AS (
+      SELECT event_type, day, c,
+             (('0x' || substr(md5('dp:' || event_type || ':'
+                                  || day::VARCHAR), 1, 13))::BIGINT + 1)
+               / 4503599627370498.0 - 0.5 AS s
+      FROM cells),
+    rel AS (
+      SELECT event_type, day,
+             round(c + round(-sign(s) * ln(1.0 - 2 * abs(s)) * 1e9)::BIGINT
+                   / 1e9, 6) AS noisy_count
+      FROM n)
+    SELECT event_type, day, noisy_count
+    FROM rel WHERE noisy_count >= 10.0""",
+    "llm", "privacy", "diagnostics",
+)
+def dp_noised_histogram(spark, sf_dir):
+    """Differentially-private histogram release (Dwork 2006): daily
+    event-type counts with Laplace(1/eps) noise at eps=1 (sensitivity
+    1 for user-level add/remove at one event), then partition
+    selection — cells whose NOISY count falls below tau=10 are
+    suppressed, so the released table never confirms the existence of
+    small groups (the companion of `kanon_risk_audit` for count
+    releases). Noise is the inverse-CDF transform of a 52-bit
+    md5-derived uniform per cell key — deterministic, engine-neutral,
+    no RNG — and is rounded once to integer nano-units (the
+    `gumbel_topk` convention) so the release is bit-stable. One hash
+    aggregate with map-side partials; noise is a narrow projection on
+    the cell table (bounded by event_types x days, not the corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000").cast("long") / 86400)
+        .cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("c")))
+    two52 = 4_503_599_627_370_496
+    u = ((F.expr("CAST(conv(substr(md5(concat('dp:', event_type, ':', "
+                 "CAST(day AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+          + 1) / F.lit(float(two52 + 2)))
+    s = u - 0.5
+    nanos = F.round(-F.signum(s) * F.log(F.lit(1.0) - 2 * F.abs(s))
+                    * 1e9).cast("long")
+    return (cells
+            .select("event_type", "day",
+                    F.round(F.col("c") + nanos / F.lit(1e9), 6)
+                     .alias("noisy_count"))
+            .filter(F.col("noisy_count") >= 10.0))

@@ -106,7 +106,8 @@ def test_gate_ordering_invariants():
                 "langid_ngram_profiles", "substring_dedup_incremental",
                 "doc_trigram_backoff_ppl", "mixture_waterfill_alloc",
                 "kanon_risk_audit", "compaction_bin_packing",
-                "doc_ngram_novelty"}
+                "doc_ngram_novelty", "ann_ndcg_mrr",
+                "quality_calibration_isotonic", "dp_noised_histogram"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         if n in deferred:

@@ -1692,3 +1692,183 @@ def test_doc_ngram_novelty_first_occurrence_semantics(spark):
     # "brown cat sleeps", "cat sleeps now" (3 new of 4)
     assert out[2]["n_shingles"] == 4 and out[2]["n_novel"] == 3
     assert abs(out[2]["novelty"] - 0.75) < 1e-9
+
+
+def _pav_isotonic(bands):
+    """Reference pool-adjacent-violators over (band, n, pos) rows
+    sorted by band: merge adjacent blocks while a block's rate exceeds
+    its successor's; return {band: fitted_rate}."""
+    blocks = [[[b], n, pos] for b, n, pos in sorted(bands)]
+    i = 0
+    while i + 1 < len(blocks):
+        l, r = blocks[i], blocks[i + 1]
+        if l[2] * r[1] > r[2] * l[1]:      # rate_l > rate_r, exact
+            blocks[i] = [l[0] + r[0], l[1] + r[1], l[2] + r[2]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    out = {}
+    for members, n, pos in blocks:
+        for b in members:
+            out[b] = pos / n
+    return out
+
+
+def test_isotonic_calibration_equals_pav_on_crafted_bands(spark):
+    """Hand-built corpus with non-monotone per-band high-quality rates
+    [1.0, 0.25, 0.5] — the minimax formulation must pool all three
+    blocks exactly like pool-adjacent-violators (7/12 everywhere)."""
+    from examples_scala_spark.queries import REGISTRY
+
+    good = "the cat sat on the mat with the dog and the bird now"
+    # score 1.0: 13 words, mean word len ~3.1, no punct, stopwords
+    bad = " ".join(["a!"] * 40)
+    # score 0.5: punct ratio 1/3 and mean word len 2 break two rules
+    def sized(base, lo):
+        s = base
+        while len(s) < lo:
+            s = s + " " + base
+        return s
+
+    rows = []
+    did = 0
+    # band 0 (<100 chars): 4 good
+    for _ in range(4):
+        rows.append((did, good, "en", "s", len(good))); did += 1
+    # band 1 (100-199): 1 good (doubled sentence), 3 bad
+    g1 = sized(good, 100)
+    assert 100 <= len(g1) < 200
+    b1 = sized(bad, 100)[:119]
+    for txt in (g1, b1, b1, b1):
+        rows.append((did, txt, "en", "s", len(txt))); did += 1
+    # band 2 (200-299): 2 good, 2 bad
+    g2 = sized(good, 200)
+    b2 = sized(bad, 200)[:239]
+    assert 200 <= len(g2) < 300
+    for txt in (g2, g2, b2, b2):
+        rows.append((did, txt, "en", "s", len(txt))); did += 1
+    d = _write_tbl(
+        spark, rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long", "documents")
+    out = {r["band"]: r for r in
+           REGISTRY["quality_calibration_isotonic"].fn(spark, d).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["rate"] == 1.0 and out[1]["rate"] == 0.25 \
+        and out[2]["rate"] == 0.5
+    ref = _pav_isotonic([(b, out[b]["n_docs"], out[b]["n_pos"])
+                         for b in out])
+    for b in out:
+        assert abs(out[b]["calibrated"] - round(ref[b], 6)) < 1e-9, b
+    # pooled value is 7/12 for every band
+    assert abs(out[1]["calibrated"] - round(7 / 12, 6)) < 1e-9
+
+
+def test_isotonic_calibration_pav_parity_on_testdata(spark):
+    """On the real sf0.001 corpus the minimax fit must equal PAV run
+    on the query's own band census, and be non-decreasing in band."""
+    from examples_scala_spark.queries import REGISTRY
+
+    rows = REGISTRY["quality_calibration_isotonic"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    ref = _pav_isotonic([(r["band"], r["n_docs"], r["n_pos"])
+                         for r in rows])
+    ordered = sorted(rows, key=lambda r: r["band"])
+    for r in ordered:
+        assert abs(r["calibrated"] - round(ref[r["band"]], 6)) < 1e-9
+    cals = [r["calibrated"] for r in ordered]
+    assert cals == sorted(cals)
+
+
+def test_ann_ndcg_mrr_matches_independent_recompute(spark):
+    """nDCG@5 / MRR@5 recomputed in pure Python (math.log2) from the
+    two top-k builders' own outputs must match the query's pre-folded
+    nano-unit arithmetic at sf0.001."""
+    import math
+
+    from examples_scala_spark.operators import similarity
+    from examples_scala_spark.queries import REGISTRY, _t
+
+    sf = "/root/testdata/sf0.001"
+    emb = _t(spark, sf, "embeddings")
+    brute = similarity.brute_force_topk(emb, k=5, query_mod=50).collect()
+    lshr = similarity.lsh_topk(emb, k=5, query_mod=50, num_planes=8,
+                               dim=64).collect()
+    truth = {}
+    for r in brute:
+        truth[(r["query_id"], r["neighbor_id"])] = r["rank"]
+    idcg = {}
+    for r in brute:
+        idcg[r["query_id"]] = idcg.get(r["query_id"], 0) + round(
+            (6 - r["rank"]) / math.log2(r["rank"] + 1) * 1e9)
+    stats = {q: {"dcg": 0, "first": None, "n": 0, "hits": 0}
+             for q in idcg}
+    for r in lshr:
+        st = stats[r["query_id"]]
+        st["n"] += 1
+        t = truth.get((r["query_id"], r["neighbor_id"]))
+        if t is not None:
+            st["hits"] += 1
+            st["dcg"] += round((6 - t) / math.log2(r["rank"] + 1) * 1e9)
+            if st["first"] is None or r["rank"] < st["first"]:
+                st["first"] = r["rank"]
+    out = {r["query_id"]: r for r in
+           REGISTRY["ann_ndcg_mrr"].fn(spark, sf).collect()}
+    assert set(out) == set(idcg)
+    mrr_const = {1: 1.0, 2: 0.5, 3: 0.333333, 4: 0.25, 5: 0.2}
+    for q, st in stats.items():
+        r = out[q]
+        assert r["n_results"] == st["n"] and r["n_hits"] == st["hits"], q
+        assert abs(r["ndcg_at_5"] - round(st["dcg"] / idcg[q], 6)) < 1e-9
+        want_mrr = mrr_const.get(st["first"], 0.0)
+        assert r["mrr_at_5"] == want_mrr, q
+        assert 0.0 <= r["ndcg_at_5"] <= 1.0
+    # a perfectly-ranked query (if any) must score exactly 1.0
+    perfect = [q for q, st in stats.items()
+               if st["dcg"] == idcg[q]]
+    for q in perfect:
+        assert out[q]["ndcg_at_5"] == 1.0
+
+
+def test_dp_noised_histogram_matches_python_mechanism(spark):
+    """Full release recomputed from the raw parquet with hashlib md5 +
+    math.log: identical cell set and noisy counts, and no released
+    cell below the tau=10 partition-selection threshold."""
+    import collections
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from examples_scala_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    tb = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "ts"])
+    ets = tb.column("event_type").to_pylist()
+    # pyarrow surfaces the column as timestamp[us]: int64 = epoch us
+    tss = tb.column("ts").cast("int64").to_pylist()
+    cells = collections.Counter(
+        (e, t // 1_000_000 // 86400) for e, t in zip(ets, tss))
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    ref = {}
+    for (e, day), c in cells.items():
+        h = hashlib.md5(f"dp:{e}:{day}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 1) / 4503599627370498.0
+        s = u - 0.5
+        sgn = (s > 0) - (s < 0)
+        noise = -sgn * math.log(1.0 - 2 * abs(s))
+        nanos = half_away(noise * 1e9)
+        noisy = half_away((c + nanos / 1e9) * 1e6) / 1e6
+        if noisy >= 10.0:
+            ref[(e, day)] = noisy
+    out = {(r["event_type"], r["day"]): r["noisy_count"] for r in
+           REGISTRY["dp_noised_histogram"].fn(spark, sf).collect()}
+    assert out == ref
+    assert ref and all(v >= 10.0 for v in out.values())
+    # suppression is real: at least one cell fell below tau
+    assert len(ref) < len(cells)
