@@ -10910,3 +10910,194 @@ def dp_noised_histogram(spark, sf_dir):
                     F.round(F.col("c") + nanos / F.lit(1e9), 6)
                      .alias("noisy_count"))
             .filter(F.col("noisy_count") >= 10.0))
+
+
+_GOPHER_KEEP_CTE = """
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnts AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS top_cnt,
+             sum(len(w) * cnt)::BIGINT AS n_chars,
+             sum(CASE WHEN w IN ('the', 'and', 'of', 'to', 'a')
+                      THEN cnt ELSE 0 END)::BIGINT AS stop_cnt,
+             sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                      THEN cnt ELSE 0 END)::BIGINT AS alpha_cnt
+      FROM cnts GROUP BY doc_id),
+    gkeep AS (
+      SELECT doc_id,
+             (n_words >= 30 AND n_words <= 100000
+              AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+              AND stop_cnt >= 2
+              AND 5 * alpha_cnt >= 4 * n_words
+              AND 10 * top_cnt <= n_words
+              AND 5 * n_distinct >= 2 * n_words) AS keep_b
+      FROM per)"""
+
+
+def _kappa_sql() -> str:
+    stop = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in text.STOPWORDS)
+    return f"""
+    WITH {_GOPHER_KEEP_CTE},
+    qf AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct,
+             ({stop})::BIGINT AS n_stop
+      FROM documents),
+    qa AS (
+      SELECT doc_id,
+             (round(
+               (CASE WHEN n_words >= 10 AND n_words <= 100000
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                      AND (n_chars - (n_words - 1)) / n_words <= 10
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_punct / n_chars < 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_stop / n_words > 0.01 THEN 0.25 ELSE 0.0 END),
+               2) >= 0.75) AS keep_a
+      FROM qf),
+    cm AS (
+      SELECT count(*)::BIGINT AS n,
+             sum((keep_a AND keep_b)::INT)::BIGINT AS n11,
+             sum((keep_a AND NOT keep_b)::INT)::BIGINT AS n10,
+             sum((NOT keep_a AND keep_b)::INT)::BIGINT AS n01,
+             sum((NOT keep_a AND NOT keep_b)::INT)::BIGINT AS n00
+      FROM qa JOIN gkeep USING (doc_id))
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00)::DOUBLE / n, 6) AS po,
+           round(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n), 6)
+             AS pe,
+           round((n * (n11 + n00)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)))::DOUBLE
+                 / (n * n
+                    - ((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00))), 6) AS kappa
+    FROM cm"""
+
+
+@register("rater_agreement_kappa", _kappa_sql(),
+          "llm", "text", "diagnostics")
+def rater_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa (1960) between the engine's two document-quality
+    raters — the composite heuristic score (keep when >= 0.75) and
+    the six-rule Gopher suite (keep when all rules pass) — the
+    chance-corrected agreement statistic a curation pipeline uses to
+    decide whether two cheap filters are interchangeable or
+    complementary (kappa ~1: redundant; ~0: independent). The whole
+    confusion matrix reduces to five exact BIGINT counts; po, pe, and
+    kappa are single divisions of integer cross-products (kappa =
+    (n*agree - cross) / (n^2 - cross)), so no float summation order
+    exists anywhere. Plan: the Gopher side is the usual explode +
+    two-level doc-keyed aggregate; the heuristic side is a narrow
+    scan; one doc_id-keyed join, then a single-row total aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    gk = (text.gopher_quality_flags(docs)
+          .select("doc_id", F.col("keep").alias("keep_b")))
+    qa = docs.select(
+        "doc_id",
+        (text.quality_score_col(F.col("text")) >= 0.75).alias("keep_a"))
+    cm = (qa.join(gk, "doc_id")
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum(F.when(F.col("keep_a") & F.col("keep_b"), 1)
+                     .otherwise(0)).cast("long").alias("n11"),
+               F.sum(F.when(F.col("keep_a") & ~F.col("keep_b"), 1)
+                     .otherwise(0)).cast("long").alias("n10"),
+               F.sum(F.when(~F.col("keep_a") & F.col("keep_b"), 1)
+                     .otherwise(0)).cast("long").alias("n01"),
+               F.sum(F.when(~F.col("keep_a") & ~F.col("keep_b"), 1)
+                     .otherwise(0)).cast("long").alias("n00")))
+    n, n11, n10 = F.col("n"), F.col("n11"), F.col("n10")
+    n01, n00 = F.col("n01"), F.col("n00")
+    cross = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    return cm.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round((n11 + n00).cast("double") / n, 6).alias("po"),
+        F.round(cross.cast("double") / (n * n), 6).alias("pe"),
+        F.round((n * (n11 + n00) - cross).cast("double")
+                / (n * n - cross), 6).alias("kappa"))
+
+
+@register(
+    "embedding_int8_quant",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(v))) - 1 AS dim,
+             unnest(v) AS x
+      FROM e),
+    p AS (
+      SELECT dim, count(*)::BIGINT AS n_vals, min(x) AS mn, max(x) AS mx,
+             (max(x) - min(x)) / 255.0 AS scale
+      FROM el GROUP BY dim),
+    q AS (
+      SELECT el.dim, x,
+             CASE WHEN scale = 0 THEN mn
+                  ELSE mn + least(greatest(round((x - mn) / scale), 0),
+                                  255) * scale
+             END AS xhat
+      FROM el JOIN p USING (dim)),
+    u AS (
+      SELECT dim,
+             sum(round((x - xhat) * (x - xhat) * 1e12)::BIGINT)::BIGINT
+               AS err_units
+      FROM q GROUP BY dim)
+    SELECT p.dim::BIGINT AS dim, n_vals,
+           round(mn, 6) AS mn, round(mx, 6) AS mx,
+           round(scale, 9) AS scale,
+           err_units,
+           round(err_units::DOUBLE / n_vals / 1e12, 12) AS mse
+    FROM p JOIN u USING (dim)""",
+    "llm", "similarity", "diagnostics",
+)
+def embedding_int8_quant(spark, sf_dir):
+    """Per-dimension asymmetric uint8 quantization calibration for the
+    embedding store — the 4x-compression step an ANN serving layer
+    applies before indexing at 100 TB: per-dim [min, max] from a
+    corpus pass, scale = range/255, then the reconstruction MSE of
+    round-to-nearest affine quantization, measured exactly. Per-
+    element squared errors are rounded once to 1e-12 units and summed
+    as BIGINT (order-free; bounded ~scale^2/4 per element); min/max
+    are exact float32-in-double comparisons; the per-dim parameter
+    table (64 rows) broadcasts back onto the exploded elements.
+    Degenerate constant dimensions quantize to themselves (scale 0
+    guard, identical in both engines). Plan: one explode, two
+    dim-keyed partial aggregates, one broadcast join — linear in
+    corpus cells, no driver-side math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    p = (el.groupBy("dim")
+         .agg(F.count("*").cast("long").alias("n_vals"),
+              F.min("x").alias("mn"), F.max("x").alias("mx"))
+         .withColumn("scale", (F.col("mx") - F.col("mn")) / 255.0))
+    j = el.join(F.broadcast(p), "dim")
+    qv = F.least(F.greatest(
+        F.round((F.col("x") - F.col("mn")) / F.col("scale")),
+        F.lit(0.0)), F.lit(255.0))
+    xhat = F.when(F.col("scale") == 0, F.col("mn")) \
+        .otherwise(F.col("mn") + qv * F.col("scale"))
+    u = (j.select("dim", ((F.col("x") - xhat) * (F.col("x") - xhat))
+                  .alias("e2"))
+         .select("dim", F.round(F.col("e2") * 1e12).cast("long")
+                 .alias("eu"))
+         .groupBy("dim").agg(F.sum("eu").cast("long").alias("err_units")))
+    return (p.join(u, "dim")
+            .select(F.col("dim").cast("long").alias("dim"), "n_vals",
+                    F.round("mn", 6).alias("mn"),
+                    F.round("mx", 6).alias("mx"),
+                    F.round("scale", 9).alias("scale"),
+                    "err_units",
+                    F.round(F.col("err_units").cast("double")
+                            / F.col("n_vals") / 1e12, 12).alias("mse")))

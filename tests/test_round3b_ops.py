@@ -1872,3 +1872,74 @@ def test_dp_noised_histogram_matches_python_mechanism(spark):
     assert ref and all(v >= 10.0 for v in out.values())
     # suppression is real: at least one cell fell below tau
     assert len(ref) < len(cells)
+
+
+def test_rater_agreement_kappa_hand_confusion_matrix(spark):
+    """Crafted corpus with a known 2x2 confusion matrix between the
+    composite-score rater and the Gopher rater; kappa must equal the
+    closed form on exact integer counts."""
+    from examples_scala_spark.queries import REGISTRY
+
+    # Rater A (composite >= 0.75) and rater B (all 6 Gopher rules).
+    # 30 distinct words (ttr 1.0, dominance 1/30), two stopwords,
+    # mean word len 5.8, no punct -> A = 1.0 and all Gopher rules pass
+    both = "the and " + " ".join(f"word{i:02d}" for i in range(28))
+    a_only = "the quick brown fox jumps over the lazy sleeping dog"
+    # A: 10 words, mean len ~4, no punct, stopwords -> 1.0
+    # B: fails word_count (<30) -> keep_b = False
+    neither = "zz zz zz zz"                       # both reject
+    rows = []
+    did = 0
+    for _ in range(4):
+        rows.append((did, both, "en", "s", len(both))); did += 1
+    for _ in range(3):
+        rows.append((did, a_only, "en", "s", len(a_only))); did += 1
+    for _ in range(3):
+        rows.append((did, neither, "en", "s", len(neither))); did += 1
+    d = _write_tbl(
+        spark, rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long", "documents")
+    [r] = REGISTRY["rater_agreement_kappa"].fn(spark, d).collect()
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) \
+        == (10, 4, 3, 0, 3)
+    po = 7 / 10
+    pe = (7 * 4 + 3 * 6) / 100
+    kappa = (po - pe) / (1 - pe)
+    assert abs(r["po"] - round(po, 6)) < 1e-9
+    assert abs(r["pe"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round(kappa, 6)) < 1e-9
+
+
+def test_embedding_int8_quant_matches_numpy(spark):
+    """Per-dim scale/minmax and the exact nano-unit error sums must
+    match a numpy recompute of the same affine uint8 quantizer on
+    sf0.001."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from examples_scala_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    vs = pq.read_table(f"{sf}/embeddings.parquet",
+                       columns=["embedding"]).column("embedding")
+    m = np.array(vs.to_pylist(), dtype=np.float64)   # float32 -> exact
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    scale = (mx - mn) / 255.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = np.clip(np.round((m - mn) / scale), 0, 255)
+    xhat = np.where(scale == 0, mn, mn + q * scale)
+    units = np.round((m - xhat) ** 2 * 1e12).astype(np.int64).sum(axis=0)
+    out = {r["dim"]: r for r in
+           REGISTRY["embedding_int8_quant"].fn(spark, sf).collect()}
+    assert set(out) == set(range(m.shape[1]))
+    for d in out:
+        r = out[d]
+        assert r["n_vals"] == m.shape[0]
+        assert abs(r["mn"] - round(mn[d], 6)) < 1e-9
+        assert abs(r["mx"] - round(mx[d], 6)) < 1e-9
+        assert abs(r["scale"] - round(scale[d], 9)) < 1e-12
+        assert r["err_units"] == units[d], d
+        # quantization error is bounded by (scale/2)^2 per element
+        assert r["err_units"] <= m.shape[0] * (scale[d] / 2) ** 2 * 1e12 \
+            * 1.000001
