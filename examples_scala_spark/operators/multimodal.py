@@ -411,6 +411,44 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
         "r_sum bigint, g_sum bigint, b_sum bigint, first_row_r_sum bigint")
 
 
+def bmp_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) over TRULY DECODED pixels —
+    the image counterpart of text MinHash for near-dup detection at
+    training-data scale: decode (decode_bmp), grayscale as the exact
+    integer channel sum r+g+b (monotone in mean — no float luma),
+    integer-midpoint resample to a (grid+1) x grid thumbnail
+    (resample_nearest), then bit (x, y) = gray[y][x+1] > gray[y][x]
+    for a grid*grid bitmap. Emitted as two 32-bit halves
+    (dhash_hi = rows grid/2..grid-1, dhash_lo = rows 0..grid/2-1) so
+    both fit signed 64-bit in every engine and double as 2 blocking
+    bands. Payload bytes never leave the scan stage; only
+    (doc_id, hi, lo) flows out."""
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["media"]):
+                _w, _h, px = decode_bmp(bytes(payload))
+                t = resample_nearest(px, grid + 1, grid).astype(np.int64)
+                gray = t.sum(axis=-1)
+                bits = gray[:, 1:] > gray[:, :-1]          # (grid, grid)
+                half = grid // 2
+                lo = hi = 0
+                for oy in range(half):
+                    for ox in range(grid):
+                        lo |= int(bits[oy, ox]) << (oy * grid + ox)
+                for oy in range(half, grid):
+                    for ox in range(grid):
+                        hi |= int(bits[oy, ox]) << ((oy - half) * grid + ox)
+                rows.append((int(d), hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi",
+                                              "dhash_lo"])
+
+    return media.mapInPandas(
+        hashes, "doc_id bigint, dhash_hi bigint, dhash_lo bigint")
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 24) -> DataFrame:
     """Frame sampling plan for video rows: one output row per sampled
     frame index — posexplode of a frame-index sequence, JVM-side."""

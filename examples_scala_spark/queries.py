@@ -11101,3 +11101,139 @@ def embedding_int8_quant(spark, sf_dir):
                     "err_units",
                     F.round(F.col("err_units").cast("double")
                             / F.col("n_vals") / 1e12, 12).alias("mse")))
+
+
+@register(
+    "bmp_dhash_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+      FROM documents),
+    ox AS (SELECT doc_id, w, h, unnest(range(0, 9)) AS ox FROM d),
+    oxy AS (SELECT doc_id, w, h, ox, unnest(range(0, 8)) AS oy FROM ox),
+    g AS (
+      SELECT doc_id, ox, oy,
+             (doc_id + 7 * (((2 * ox + 1) * w) // 18)
+                     + 13 * (((2 * oy + 1) * h) // 16)) % 256
+             + (2 * doc_id + 3 * (((2 * ox + 1) * w) // 18)
+                           + 5 * (((2 * oy + 1) * h) // 16)) % 256
+             + (doc_id + (((2 * ox + 1) * w) // 18)
+                         * (((2 * oy + 1) * h) // 16)) % 256 AS gray
+      FROM oxy),
+    b AS (
+      SELECT l.doc_id, l.ox, l.oy,
+             CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+      FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.oy = l.oy
+                       AND r.ox = l.ox + 1
+      WHERE l.ox < 8),
+    hsh AS (
+      SELECT doc_id,
+             sum(CASE WHEN oy >= 4 AND bit = 1
+                      THEN 1::BIGINT << ((oy - 4) * 8 + ox)
+                      ELSE 0 END)::BIGINT AS dhash_hi,
+             sum(CASE WHEN oy < 4 AND bit = 1
+                      THEN 1::BIGINT << (oy * 8 + ox)
+                      ELSE 0 END)::BIGINT AS dhash_lo
+      FROM b GROUP BY doc_id),
+    grp AS (
+      SELECT dhash_hi, dhash_lo, count(*)::BIGINT AS group_n,
+             min(doc_id)::BIGINT AS canonical_id
+      FROM hsh GROUP BY 1, 2)
+    SELECT h.doc_id, h.dhash_hi, h.dhash_lo, group_n, canonical_id,
+           h.doc_id != canonical_id AS is_dup
+    FROM hsh h JOIN grp USING (dhash_hi, dhash_lo)""",
+    "llm", "multimodal", "dedup",
+)
+def bmp_dhash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup — the multimodal counterpart of
+    exact_dedup: each asset's TRULY DECODED pixels (decode_bmp) are
+    grayscaled (exact integer r+g+b), integer-midpoint-resampled to
+    9x8, and difference-hashed (dHash, Krawetz 2013: bit = right
+    neighbor brighter) into two 32-bit halves; assets sharing the
+    64-bit hash form a duplicate group with the min-id canonical —
+    robust to uniform brightness shifts, which the +d term in the
+    synthetic pixel function exercises for real. The oracle
+    recomputes every bit from the closed-form pixel function composed
+    with the midpoint source mapping, so any decoder, grayscale,
+    resample, or bit-packing error hash-fails. Plan: hash in the
+    Arrow decode scan (payloads never shuffle — only 3 longs/asset
+    leave it), then group stats via an unordered window over the ONE
+    hash-keyed shuffle (a groupBy+self-join would duplicate the
+    decode subtree into both join inputs and decode twice) —
+    corpus-linear, the exact shape of exact_dedup at 100 TB; the two
+    halves double as Hamming-blocking bands for a near-pair variant."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = multimodal.bmp_dhash(multimodal.bmp_media_table(docs))
+    grp = Window.partitionBy("dhash_hi", "dhash_lo")
+    return (hs.select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.count("*").over(grp).cast("long").alias("group_n"),
+        F.min("doc_id").over(grp).cast("long").alias("canonical_id"))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id")))
+
+
+@register(
+    "ann_recall_truncated",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+             v[1:32] AS tv,
+             sqrt(list_dot_product(v[1:32], v[1:32])) AS tnorm
+      FROM e),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
+             tv AS qtv, tnorm AS qtnorm
+      FROM n WHERE vec_id % 50 = 0),
+    fr AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, v) / (qnorm * norm) DESC,
+                        vec_id) AS rank
+      FROM n, q WHERE vec_id != query_id),
+    tr AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qtv, tv) / (qtnorm * tnorm) DESC,
+                        vec_id) AS rank
+      FROM n, q WHERE vec_id != query_id)
+    SELECT f.query_id,
+           count(t.neighbor_id)::BIGINT AS hits,
+           round(count(t.neighbor_id) / 5.0, 6) AS recall
+    FROM (SELECT * FROM fr WHERE rank <= 5) f
+    LEFT JOIN (SELECT * FROM tr WHERE rank <= 5) t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id""",
+    "llm", "similarity",
+)
+def ann_recall_truncated(spark, sf_dir):
+    """Matryoshka-style truncated-dimension retrieval quality
+    (Kusupati et al. 2022): recall@5 of exact cosine top-5 computed
+    on the FIRST 32 of 64 dimensions against the full-dimension
+    truth — the measurement a serving layer makes before halving its
+    ANN index footprint (the dimension-truncation counterpart of
+    embedding_int8_quant's precision-truncation MSE). Both rankings
+    use the deterministic (cos DESC, id) tie-break on exact
+    float32-in-double folds, so the top-5 SETS are engine-identical
+    and the per-query hit count is an exact integer. Plan: two
+    broadcast-query brute-force top-k passes over one corpus scan
+    each, then a k-row-per-query join — no corpus-sized shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    full = similarity.brute_force_topk(emb, k=5, query_mod=50)
+    trunc = similarity.brute_force_topk(
+        emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")),
+        k=5, query_mod=50)
+    hits = (full.select("query_id", "neighbor_id")
+            .join(trunc.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("hits")))
+    return (full.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+                    F.round(F.coalesce("hits", F.lit(0)) / 5.0, 6)
+                    .alias("recall")))

@@ -108,7 +108,8 @@ def test_gate_ordering_invariants():
                 "kanon_risk_audit", "compaction_bin_packing",
                 "doc_ngram_novelty", "ann_ndcg_mrr",
                 "quality_calibration_isotonic", "dp_noised_histogram",
-                "rater_agreement_kappa", "embedding_int8_quant"}
+                "rater_agreement_kappa", "embedding_int8_quant",
+                "bmp_dhash_dedup", "ann_recall_truncated"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         if n in deferred:

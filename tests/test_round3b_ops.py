@@ -1943,3 +1943,112 @@ def test_embedding_int8_quant_matches_numpy(spark):
         # quantization error is bounded by (scale/2)^2 per element
         assert r["err_units"] <= m.shape[0] * (scale[d] / 2) ** 2 * 1e12 \
             * 1.000001
+
+
+def test_bmp_dhash_matches_numpy_recompute(spark):
+    """Every (hi, lo) dHash half on sf0.001 must equal an independent
+    numpy recompute: synth pixel formula -> integer midpoint resample
+    to 9x8 -> r+g+b grayscale -> right-neighbor-brighter bits."""
+    import pyarrow.parquet as pq
+
+    from examples_scala_spark.queries import REGISTRY
+
+    ids = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+
+    def ref(d):
+        w, h = 8 + d % 9, 5 + d % 7
+        X, Y = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack([(d + 7 * X + 13 * Y) % 256,
+                       (2 * d + 3 * X + 5 * Y) % 256,
+                       (d + X * Y) % 256], -1)
+        sx = ((2 * np.arange(9) + 1) * w) // 18
+        sy = ((2 * np.arange(8) + 1) * h) // 16
+        g = px[np.ix_(sy, sx)].sum(-1)
+        bits = (g[:, 1:] > g[:, :-1]).astype(int)
+        lo = sum(int(bits[oy, ox]) << (oy * 8 + ox)
+                 for oy in range(4) for ox in range(8))
+        hi = sum(int(bits[oy, ox]) << ((oy - 4) * 8 + ox)
+                 for oy in range(4, 8) for ox in range(8))
+        return hi, lo
+
+    want = {d: ref(int(d)) for d in ids}
+    out = {r["doc_id"]: r for r in
+           REGISTRY["bmp_dhash_dedup"].fn(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == set(want)
+    from collections import Counter, defaultdict
+    grp = Counter(want.values())
+    canon = defaultdict(lambda: 1 << 62)
+    for d, hv in want.items():
+        canon[hv] = min(canon[hv], d)
+    for d, r in out.items():
+        hv = (r["dhash_hi"], r["dhash_lo"])
+        assert hv == want[d], d
+        assert r["group_n"] == grp[hv]
+        assert r["canonical_id"] == canon[hv]
+        assert r["is_dup"] == (d != canon[hv])
+
+
+def test_bmp_dhash_brightness_invariant_on_real_bytes(spark):
+    """The perceptual property itself, on REAL encoded payloads (no
+    synth formula): a uniform +25-per-channel brightening leaves the
+    dHash unchanged, while forcing the gradient between the two
+    top-left SAMPLED pixels in either direction pins bit 0 to each
+    value (so at least one variant differs from the base)."""
+    from examples_scala_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(20, 200, size=(12, 17, 3)).astype(np.uint8)
+    bright = (base.astype(np.int64) + 25).astype(np.uint8)
+    # bit (ox=0, oy=0) for 17x12 compares thumbnail columns 0 and 1,
+    # which sample SOURCE x=((2*0+1)*17)//18=0 and x=((2*1+1)*17)//18=2
+    # at y=((2*0+1)*12)//16=0 (x=1 is never sampled).
+    up, down = base.copy(), base.copy()
+    up[0, 0], up[0, 2] = 0, 255      # right sampled neighbor brighter: bit=1
+    down[0, 0], down[0, 2] = 255, 0  # right sampled neighbor darker:  bit=0
+    rows = [(0, bytearray(mm.encode_bmp(base)), "image/bmp", 0),
+            (1, bytearray(mm.encode_bmp(bright)), "image/bmp", 0),
+            (2, bytearray(mm.encode_bmp(up)), "image/bmp", 0),
+            (3, bytearray(mm.encode_bmp(down)), "image/bmp", 0)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"])
+           for r in mm.bmp_dhash(media).collect()}
+    assert out[0] == out[1], "uniform brightening changed the dHash"
+    assert out[2][1] & 1 == 1, "brighter sampled neighbor must set bit 0"
+    assert out[3][1] & 1 == 0, "darker sampled neighbor must clear bit 0"
+    assert out[2] != out[3], "opposite gradients must hash differently"
+
+
+def test_ann_recall_truncated_matches_numpy(spark):
+    """Per-query hit counts on sf0.001 must equal a numpy recompute
+    of both exact top-5 sets (full 64-dim vs first-32-dim cosine,
+    ties broken by id)."""
+    import pyarrow.parquet as pq
+
+    from examples_scala_spark.queries import REGISTRY
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist())
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    def topk(mat):
+        norms = np.sqrt((mat * mat).sum(1))
+        sets = {}
+        for qi in np.where(ids % 50 == 0)[0]:
+            cos = mat @ mat[qi] / (norms * norms[qi])
+            order = sorted((-(cos[j]), ids[j]) for j in range(len(ids))
+                           if ids[j] != ids[qi])
+            sets[int(ids[qi])] = {nid for _, nid in order[:5]}
+        return sets
+
+    fullk, trunck = topk(m), topk(m[:, :32])
+    out = {r["query_id"]: r for r in
+           REGISTRY["ann_recall_truncated"].fn(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == set(fullk)
+    for q in fullk:
+        hits = len(fullk[q] & trunck[q])
+        assert out[q]["hits"] == hits, q
+        assert abs(out[q]["recall"] - round(hits / 5.0, 6)) < 1e-9
