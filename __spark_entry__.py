@@ -21,64 +21,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The per-round correctness gate evaluates queries in dict order with a
-# bounded budget (~50 per round). Rounds 1-4 proved 170 distinct
-# queries, 170 green in latest status, 0 failures. Round 5 finishes
-# the burn-down (VERDICT r4 #1): the head is exactly the 41 queries
-# never driver-evaluated in r1-r4 (the round-3 analytics tail, in the
-# order the r4 rotation established), followed by this round's
-# additions and re-proves — the multi-batch early-firing replay
-# (VERDICT r4 #2), the 64-record-Arrow-chunk stateful re-prove
-# (VERDICT r4 #4), the real BMP-pixel and WAV-PCM decode queries
-# (VERDICT r4 #8 + its audio counterpart), and re-proves of the two
-# rewritten plans (part_skyline's departitioned running max,
-# segment_overlap_hll's 3-shuffle form — both already in the 41) plus
-# embedding_top_pc (adaptive-convergence operator change). 41 + 5 fits
-# the ~50 budget, so after r5 every registry name has a green row in
-# some CORRECTNESS_r*.json. The auto-rotation still front-loads
-# anything the budget misses next round (_ordered_names ranks
-# no-history first). The late-round-5 additions (bmp_thumbnail_stats,
-# wav_frame_features, media_dedup_by_chunks, grouped_kfold_assign,
-# winnow_fingerprint_pairs, and the continuation-session family:
-# substring_dedup_rewrite, bpe_train_merges / bpe_apply_token_counts /
-# bpe_encode_doc_stats, dsir_importance_weights / dsir_resample_topk,
-# pipeline_curation_v4, orc_roundtrip, stream_curation_gate,
-# langid_ngram_profiles, substring_dedup_incremental,
-# doc_trigram_backoff_ppl, mixture_waterfill_alloc — 18 names)
-# deliberately sit OUTSIDE the
-# head; they exceed what the r6 auto-rotation can reach past this
-# ~98-name head, so round 6's FIRST action is to rewrite PRIORITY
-# with them in front (ROADMAP.md "Round-6 FIRST ACTION").
-# tools/verify_local.py checks ALL entries every time; 235/235 pass
-# at sf0.01 — including under the driver-identical vanilla session
-# (tools/verify_local.py --vanilla).
+# bounded budget (~50 per round). Rounds 1-5 proved 217 distinct
+# queries, 217 green in latest status, 0 failures. Round 6 executes
+# VERDICT r5 #1 (ROADMAP "Round-6 FIRST ACTION"): the head is exactly
+# the 28 registry names with no driver row in any CORRECTNESS_r*.json
+# (the late-round-5 additions that sat past the old ~98-name head),
+# followed by fresh rows for the two plan rewrites whose last driver
+# rows predate them (VERDICT r5 #4: doc_repetition_stats'
+# zero-exchange form, dedup_clusters' edge-touched CC with loop-scoped
+# shuffles), then ~20 previously-proven high-value names to fill the
+# ~50 budget. 28 + 2 + 20 = 50. After the r6 gate, every one of the
+# 245 registry names has a green row in some CORRECTNESS_r*.json.
+# The registry is FROZEN at 245 this round (VERDICT r5 #2) until the
+# evidence debt is zero. tools/verify_local.py checks ALL entries
+# every time — 245/245 pass at sf0.01, including under the
+# driver-identical vanilla session (tools/verify_local.py --vanilla).
 PRIORITY = [
-    "ann_topk_lsh_multiprobe", "stratified_split_alloc",
-    "sliding_distinct_users", "purchase_touch_attribution",
-    "events_mad_anomalies", "revenue_pareto_abc", "event_type_transitions",
-    "minhash_accuracy", "lsh_precision_recall", "gopher_quality_flags",
-    "events_trend_ols", "neardup_triangle_stats", "setsim_jaccard_prefix",
-    "part_skyline", "user_lifecycle_states", "inverted_index_postings",
-    "mutual_information_bands", "doc_containment_pairs",
-    "doc_bigram_logppl", "segment_overlap_hll", "part_neighbors_cosine",
-    "source_token_entropy", "events_decayed_counts", "events_psi_drift",
-    "benford_price_audit", "clickstream_top_paths", "source_zipf_slope",
-    "order_cohort_ltv", "part_demand_abc_xyz", "pipeline_curation_v3",
-    "supplier_return_wilson", "events_burst_minutes",
-    "lineitem_quantity_equidepth", "funnel_time_percentiles",
-    "lsh_band_sweep", "events_chi2_independence", "gopher_rule_overlap",
-    "quality_signal_correlation", "events_value_autocorr",
-    "user_activity_gini", "events_runs_test",
-    # --- round-5 additions and re-proves ---
+    # --- the 28 never-driver-evaluated names (registry order) ---
+    "winnow_fingerprint_pairs", "dsir_importance_weights",
+    "bpe_train_merges", "dsir_resample_topk", "bpe_encode_doc_stats",
+    "bpe_apply_token_counts", "substring_dedup_rewrite",
+    "doc_trigram_backoff_ppl", "mixture_waterfill_alloc",
+    "substring_dedup_incremental", "pipeline_curation_v4",
+    "bmp_thumbnail_stats", "grouped_kfold_assign",
+    "media_dedup_by_chunks", "orc_roundtrip", "langid_ngram_profiles",
+    "stream_curation_gate", "wav_frame_features", "kanon_risk_audit",
+    "compaction_bin_packing", "doc_ngram_novelty", "ann_ndcg_mrr",
+    "quality_calibration_isotonic", "dp_noised_histogram",
+    "rater_agreement_kappa", "embedding_int8_quant", "bmp_dhash_dedup",
+    "ann_recall_truncated",
+    # --- fresh rows for the two rewritten plans (VERDICT r5 #4) ---
+    "doc_repetition_stats", "dedup_clusters",
+    # --- previously-proven high-value fill to the ~50 budget ---
+    "w_avg_temp", "rolling_max_by", "asof_smoke_alert",
+    "q1_pricing_summary", "q5_local_supplier", "dedup_exact",
+    "minhash_lsh_pairs", "ann_topk_bruteforce", "quality_score",
     "stream_early_firing_multibatch", "stream_delta_alerts_smallbatch",
     "bmp_decode_stats", "wav_decode_stats", "embedding_top_pc",
-    # decode_media now routes real BMP/WAV payloads — re-prove the
-    # two queries that share its code path
-    "media_meta", "frame_sample",
-    # the sample-bound LSH tuning diagnostic and the RRF hybrid
-    # retrieval composition (new r5) — head is exactly the ~50 budget
-    "lsh_tuning_sampled", "hybrid_retrieval_rrf",
-    # --- previously-proven high-value head (beyond the ~50 budget;
-    # kept for rotation stability) ---
+    "pipeline_curation_v3", "setsim_jaccard_prefix",
+    "ann_topk_lsh_multiprobe", "segment_overlap_hll", "part_skyline",
+    "hybrid_retrieval_rrf",
+    # --- beyond the ~50 budget; kept for rotation stability ---
     "stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
     "doc_compression_ratio", "stream_delta_alerts",
     "events_cusum_drift", "stream_cusum_drift", "ab_test_zscores",

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import scoped_shuffle_partitions
+
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id",
@@ -68,11 +70,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # scale the edge count drives the clamp back up to the session
     # setting, so a cluster run is unaffected.
     spark = nodes.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = sym.count()  # already materialized — near-free
-    loop_sp = max(8, min(int(prev_sp), (n_edges + 499_999) // 500_000))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    with scoped_shuffle_partitions(spark, n_edges):
         for _ in range(max_iterations):
             # neighbor minimum: per dst, the smallest label among srcs
             neighbor_min = (
@@ -101,8 +100,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             labels = stepped.select("id", "component")
             if changed == 0:
                 break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     # isolated nodes (never iterated) are their own component
     return (all_nodes.join(labels, "id", "left")
             .select("id", F.coalesce("component", F.col("id"))
@@ -154,11 +151,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     # clamp as connected_components — at real scale it returns the
     # session setting)
     spark = nodes.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = sym.count()
-    loop_sp = max(8, min(int(prev_sp), (n_edges + 499_999) // 500_000))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    with scoped_shuffle_partitions(spark, n_edges):
         for _ in range(iterations):
             with_deg = ranks.join(degrees, ranks.id == degrees.src,
                                   "left").select("id", "rank", "deg")
@@ -185,8 +179,6 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
                          ).alias("rank"))
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return ranks
 
 def triangle_stats(nodes: DataFrame, edges: DataFrame,

@@ -184,7 +184,10 @@ def decode_media(media: DataFrame) -> DataFrame:
     features only) so downstream stages never re-shuffle the heavy
     binary column."""
     def decode_one(m: bytes, t: str) -> tuple[int, int, int]:
-        if t == "image/bmp":
+        # magic-byte guards (ADVICE r5): a malformed/stub payload
+        # falls back to _fake_decode instead of aborting the whole
+        # mapInPandas stage with a decoder ValueError
+        if t == "image/bmp" and bytes(m[:2]) == b"BM":
             w, h, _ = decode_bmp(bytes(m))
             return w, h, 1
         if t == "audio/wav" and bytes(m[:4]) == b"RIFF":

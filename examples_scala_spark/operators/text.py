@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import scoped_shuffle_partitions
+
 # tiny deterministic stopword lists per language for the n-gram/stopword
 # voting heuristic; enough for a synthetic-corpus heuristic and exactly
 # reproducible in the oracle.
@@ -263,11 +265,9 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
     # 32-partition shuffles x 12 rounds is task-scheduling overhead.
     # The vocab-row clamp restores the session setting at real scale.
     spark = docs.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_vocab = vocab.count()  # materialized by the checkpoint
-    loop_sp = max(8, min(int(prev_sp), (n_vocab + 99_999) // 100_000))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    with scoped_shuffle_partitions(spark, n_vocab,
+                                   rows_per_partition=100_000):
         for rank in range(1, k_merges + 1):
             top = (vocab
                    .select("c", F.split(F.trim("sym"), "  ").alias("s"))
@@ -284,8 +284,6 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
             vocab = (vocab.withColumn(
                 "sym", F.replace("sym", pat, rep))
                 .localCheckpoint())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return merges, vocab
 
 

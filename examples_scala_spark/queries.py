@@ -3076,7 +3076,9 @@ def stream_early_firing(spark, sf_dir):
     return _run_to_memory(spark, out, "stream_early_firing_result")
 
 
-def _staged_events_stream_quartile(spark, sf_dir, n_files: int = 4):
+def _staged_events_stream_quartile(spark, sf_dir, n_files: int = 4,
+                                   assert_tick_ms: int | None = None,
+                                   assert_key_expr: str | None = None):
     """Stage events as n_files EQUAL-COUNT time-quantile parquet files
     (file k = the k-th quartile of the (ts, event_id) total order) and
     stream them one per micro-batch in order. Unlike
@@ -3085,7 +3087,14 @@ def _staged_events_stream_quartile(spark, sf_dir, n_files: int = 4):
     boundaries here are a closed form — bucket = (rank-1)*n // N — so
     a SQL oracle can recompute the exact per-batch watermark
     trajectory. Replay scaffolding only: the global row_number is a
-    single-partition sort, bounded by the replay corpus by design."""
+    single-partition sort, bounded by the replay corpus by design.
+
+    assert_tick_ms/assert_key_expr (ADVICE r5): when set, assert the
+    two corpus invariants the multibatch closed-form oracle depends on
+    — every key has rows in every bucket, and consecutive-bucket
+    watermark jumps exceed the tick interval — against the ACTUAL
+    staged buckets, so a fixture/corpus change invalidates the oracle
+    loudly here instead of silently drifting."""
     import glob
     import os
     import shutil
@@ -3103,6 +3112,24 @@ def _staged_events_stream_quartile(spark, sf_dir, n_files: int = 4):
          # materialize once: the per-bucket writes below would
          # otherwise re-run the global sort n_files times
          .localCheckpoint(eager=True))
+    if assert_tick_ms is not None:
+        per = (b.withColumn("k", F.expr(assert_key_expr))
+               .groupBy("bucket")
+               .agg(F.max(F.expr("ts div 1000")).alias("mx"),
+                    F.countDistinct("k").alias("nk"))
+               .orderBy("bucket").collect())
+        n_keys = (b.select(F.expr(assert_key_expr).alias("k"))
+                  .distinct().count())
+        assert len(per) == n_files and all(r["nk"] == n_keys for r in per), (
+            f"multibatch oracle invariant broken: not every key appears in "
+            f"every bucket ({[(r['bucket'], r['nk']) for r in per]} vs "
+            f"{n_keys} keys) — the fires-every-batch closed form no longer "
+            f"models the replay; restage or fix the oracle")
+        jumps = [per[k]["mx"] - per[k - 1]["mx"] for k in range(1, len(per))]
+        assert min(jumps) > assert_tick_ms, (
+            f"multibatch oracle invariant broken: consecutive-bucket "
+            f"watermark jumps {jumps} do not all exceed the tick interval "
+            f"{assert_tick_ms} ms — partial-fire attribution would diverge")
     work = tempfile.mkdtemp(prefix="sgs_qstage_work_")
     d = tempfile.mkdtemp(prefix="sgs_qstaged_")
     base = 1_700_000_000
@@ -3179,12 +3206,15 @@ def stream_early_firing_multibatch(spark, sf_dir):
     The fires-every-batch model is exact for this corpus because every
     key has data in every quartile AND consecutive-quartile watermark
     jumps (~10^4 min) dwarf the tick interval, so every keyed timer
-    has expired by the next batch — both properties verified at
-    sf0.001/0.01/0.1."""
+    has expired by the next batch — both properties ASSERTED against
+    the actual staged buckets at stage time (ADVICE r5), so a corpus
+    change fails loudly instead of silently drifting the oracle."""
     tune(spark)
     from .streaming.timers import early_firing_window_counts
 
-    src = _staged_events_stream_quartile(spark, sf_dir, n_files=4)
+    src = _staged_events_stream_quartile(
+        spark, sf_dir, n_files=4, assert_tick_ms=600_000,
+        assert_key_expr="(user_id % 10) + 1")
     readings = src.select(
         F.concat(F.lit("sensor_"),
                  ((F.col("user_id") % 10) + 1).cast("string")).alias("id"),
@@ -4879,7 +4909,15 @@ def media_dedup_by_chunks(spark, sf_dir):
     shared prefixes), by design; shifted edits are the text/minhash
     family's job. Scale shape: the join carries only (doc_id, hash)
     pairs and is linear in true chunk collisions; content-addressed
-    hashes make hot buckets genuine duplication, not skew."""
+    hashes make hot buckets genuine duplication, not skew.
+
+    Oracle note (ADVICE r5, same invariant as media_chunks): the Spark
+    side chunks the UTF-8-ENCODED binary by BYTES while the oracle
+    chunks the source text by CHARACTERS — equal only because the
+    corpus is ASCII (octet_length(text) == length(text) for every
+    doc, asserted during design and re-checked by
+    test_media_oracle_ascii_invariant). A non-ASCII fixture must
+    switch the oracle to encode()+byte substring."""
     from .operators.multimodal import chunk_media, media_table
     docs = _t(spark, sf_dir, "documents")
     ch = (chunk_media(media_table(docs), chunk_bytes=64)

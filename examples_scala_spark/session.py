@@ -16,8 +16,42 @@ builder applies the settings we want on every session:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, rows: int,
+                              rows_per_partition: int = 500_000,
+                              floor: int = 8):
+    """Clamp spark.sql.shuffle.partitions to the iterated volume for a
+    driver-side loop (connected components, PageRank, BPE), restoring
+    the session value after. At test scale this kills per-round
+    task-scheduling overhead; at cluster scale the row count drives the
+    clamp back up to the session setting, so a real run is unaffected.
+
+    Guards (ADVICE r5): if the session value is non-numeric (e.g.
+    'auto' on some runtimes) the clamp is skipped entirely rather than
+    raising. Note the setting is session-global while held — callers
+    should not run concurrent queries on the same session inside the
+    scope (no registry query does; streaming replays use their own
+    bounded sessions)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        sess = int(prev)
+    except (TypeError, ValueError):
+        yield
+        return
+    target = max(floor, min(sess,
+                            (rows + rows_per_partition - 1)
+                            // rows_per_partition))
+    try:
+        spark.conf.set(key, str(target))
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def tune(spark: SparkSession) -> SparkSession:

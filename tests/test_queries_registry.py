@@ -78,6 +78,21 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_media_oracle_ascii_invariant(duck):
+    """media_chunks / media_dedup_by_chunks oracles chunk TEXT by
+    characters while the Spark side chunks the UTF-8 binary by bytes;
+    equality requires an all-ASCII corpus (ADVICE r5). Assert it here
+    so a non-ASCII fixture fails loudly at test time, not as a
+    confusing gate hash mismatch."""
+    bad = duck.sql("SELECT count(*) FROM documents "
+                   "WHERE octet_length(encode(text)) != length(text)"
+                   ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} non-ASCII documents: the media_* byte-vs-char oracle "
+        f"invariant no longer holds — switch the oracles to "
+        f"encode()+byte substring")
+
+
 def test_gate_ordering_invariants():
     """__spark_entry__ ordering: PRIORITY names must exist, the full
     ordering must cover the registry exactly once, and never-checked
@@ -91,38 +106,16 @@ def test_gate_ordering_invariants():
     names = list(e.queries())
     assert sorted(names) == sorted(REGISTRY)
     assert names[:len(e.PRIORITY)] == e.PRIORITY
-    # round 5: every never-driver-evaluated query (per the recorded
-    # CORRECTNESS history) sits inside the ~50 budget OR is one of
-    # the five late-round-5 additions deliberately left to the r6
-    # rotation — which must front them immediately after the head
+    # round 6: the deferred set is EMPTY (VERDICT r5 #1) — every
+    # never-driver-evaluated query (per the recorded CORRECTNESS
+    # history) must sit inside the ~50 budget, with the two
+    # rewritten-plan re-proves (VERDICT r5 #4) right behind them
     hist0 = e._gate_history()
-    deferred = {"bmp_thumbnail_stats", "wav_frame_features",
-                "media_dedup_by_chunks", "grouped_kfold_assign",
-                "winnow_fingerprint_pairs", "substring_dedup_rewrite",
-                "bpe_train_merges", "dsir_importance_weights",
-                "bpe_apply_token_counts", "dsir_resample_topk",
-                "pipeline_curation_v4", "bpe_encode_doc_stats",
-                "orc_roundtrip", "stream_curation_gate",
-                "langid_ngram_profiles", "substring_dedup_incremental",
-                "doc_trigram_backoff_ppl", "mixture_waterfill_alloc",
-                "kanon_risk_audit", "compaction_bin_packing",
-                "doc_ngram_novelty", "ann_ndcg_mrr",
-                "quality_calibration_isotonic", "dp_noised_histogram",
-                "rater_agreement_kappa", "embedding_int8_quant",
-                "bmp_dhash_dedup", "ann_recall_truncated"}
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
-        if n in deferred:
-            assert names.index(n) < len(e.PRIORITY) + len(deferred), (
-                f"deferred {n} not fronted by the rotation")
-        else:
-            assert names.index(n) < 50, f"never-evaluated {n} outside budget"
-    for canary in ("stream_early_firing_multibatch",
-                   "stream_delta_alerts_smallbatch", "bmp_decode_stats",
-                   "wav_decode_stats", "lsh_tuning_sampled",
-                   "hybrid_retrieval_rrf", "embedding_top_pc",
-                   "part_skyline", "segment_overlap_hll"):
-        assert names.index(canary) < 50
+        assert names.index(n) < 50, f"never-evaluated {n} outside budget"
+    for canary in ("doc_repetition_stats", "dedup_clusters"):
+        assert names.index(canary) < 50, f"re-prove {canary} outside budget"
     hist = e._gate_history()
     tail = names[len(e.PRIORITY):]
     seen_passed = False
