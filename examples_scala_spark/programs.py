@@ -504,6 +504,83 @@ def idempotent_sink(spark):
             .agg(F.max_by("temp", "ts").alias("temp")))
 
 
+# ------------------------------------------------- beyond-parity flagship
+
+# corpus the batch layer trains the frozen curation model on; sf0.001
+# keeps program startup ~seconds (the production analogue is the last
+# curated snapshot)
+CURATION_CORPUS = "/root/testdata/sf0.001"
+
+
+@program("curation_v4",
+         "beyond-parity flagship; batch twin queries.py:"
+         "pipeline_curation_v4 (reference chapter-1 demo role)")
+def curation_v4(spark):
+    """Live LLM-data curation — the streaming face of the curation-v4
+    recipe (rewrite -> gate -> DSIR -> Gumbel). At startup the BATCH
+    layer trains the 512-bucket DSIR importance model on the corpus
+    against the 'de' target (the corpus-level ExactSubstr rewrite
+    lives in that layer too: pipeline_curation_v4 full,
+    substring_dedup_incremental per batch). The STREAM then scores a
+    rate-source 'crawl' (replaying corpus texts) entirely STATELESSLY
+    per row: boilerplate gate (len >= 50) -> frozen-model logweight
+    (map-literal fold, no state store, no stream-static join) ->
+    deterministic Gumbel selection key; in-domain docs
+    (logweight > 0) flow to the sink with their selection score —
+    downstream, a per-window top-k over `score` is the online
+    Gumbel-top-k draw."""
+    from .operators.sampling import (_dsir_doc_buckets,
+                                     dsir_model_from_buckets)
+    from .sources.tables import load_table
+
+    docs = load_table(spark, CURATION_CORPUS, "documents")
+    fb = _dsir_doc_buckets(docs, F.col("lang") == "de", 512,
+                           "text", "doc_id").localCheckpoint(eager=False)
+    model = dsir_model_from_buckets(fb, 512).collect()  # <= 512 rows
+    du_map = F.create_map(
+        *[F.lit(x) for r in model for x in (r["b"], r["du"])])
+    sample = (docs.orderBy("doc_id").limit(256)
+              .select("text", "lang").collect())  # bounded replay pool
+    texts = F.array(*[F.lit(r["text"]) for r in sample])
+    langs = F.array(*[F.lit(r["lang"]) for r in sample])
+
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 50).load())
+    idx = (F.col("value") % len(sample) + 1).cast("int")
+    doc = rate.select(F.col("value").alias("doc_id"),
+                      F.element_at(texts, idx).alias("text"),
+                      F.element_at(langs, idx).alias("lang"))
+    gated = doc.filter(F.length("text") >= 50)
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) "
+        "ELSE CAST(array() AS array<string>) END")
+    feats = (gated
+             .select("doc_id", "lang",
+                     F.expr("regexp_extract_all(lower(text), "
+                            "'[a-z0-9]+', 0)").alias("ws"))
+             .select("doc_id", "lang",
+                     F.concat(F.col("ws"), grams).alias("fs")))
+    bucket = lambda f: (  # noqa: E731
+        F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % 512)
+    units = F.aggregate(
+        "fs", F.lit(0).cast("long"),
+        lambda acc, f: acc + F.coalesce(F.element_at(du_map, bucket(f)),
+                                        F.lit(0).cast("long")))
+    # same md5-uniform Gumbel noise as operators/sampling.py:gumbel_topk
+    gumbel = F.round(-F.log(-F.log(
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("gumbel:"),
+                           F.col("doc_id").cast("string"))), 1, 13),
+            16, 10).cast("long") + 1)
+        / F.lit(4503599627370498.0))) * 1e9).cast("long")
+    scored = feats.select(
+        "doc_id", "lang", F.size("fs").cast("long").alias("n_feats"),
+        F.round(units / 1e9, 6).alias("logweight"),
+        F.round((units + gumbel) / 1e9, 6).alias("score"))
+    return scored.filter(F.col("logweight") > 0)
+
+
 # ------------------------------------------------------------------ runner
 
 def run_program(spark: SparkSession, name: str, duration: int = 10,
