@@ -525,3 +525,53 @@ def test_length_weighted_sample_is_length_biased_and_on_rate(spark, sf_dir):
     assert sample_mean > corpus_mean
     for r in rows[:10]:
         assert abs(r.p_inclusion * r.ht_weight - 1.0) < 1e-12
+
+
+def test_scoped_shuffle_partitions_guard(spark):
+    """ADVICE r5: the loop clamp must (a) clamp to the volume and
+    restore the session value, (b) skip entirely — no raise, no
+    mutation — when the session value is non-numeric (e.g. 'auto'),
+    and (c) restore on exception."""
+    from examples_scala_spark.session import scoped_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        with scoped_shuffle_partitions(spark, rows=1_000_000,
+                                       rows_per_partition=500_000):
+            assert spark.conf.get(key) == "8"  # floor dominates 2
+        assert spark.conf.get(key) == "32"
+        # big volume: clamp returns the session setting
+        with scoped_shuffle_partitions(spark, rows=500_000_000):
+            assert spark.conf.get(key) == "32"
+        # non-numeric session value: guard skips the clamp entirely
+        # (this Spark build rejects 'auto' at set-time, so exercise
+        # the guard through a stub conf as such a runtime would show)
+        class _StubConf:
+            def __init__(self):
+                self.sets = []
+
+            def get(self, k):
+                return "auto"
+
+            def set(self, k, v):
+                self.sets.append((k, v))
+
+        class _StubSpark:
+            conf = _StubConf()
+
+        stub = _StubSpark()
+        with scoped_shuffle_partitions(stub, rows=10):
+            pass
+        assert stub.conf.sets == []  # no mutation, no raise
+        # exception inside the scope still restores
+        spark.conf.set(key, "32")
+        try:
+            with scoped_shuffle_partitions(spark, rows=10):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == "32"
+    finally:
+        spark.conf.set(key, prev)
