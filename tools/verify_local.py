@@ -2,7 +2,15 @@
 query on Spark AND its DuckDB oracle, compare row count, column names,
 and an order-insensitive value hash.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--vanilla] [--gate-order]
+           [--head N] [sf_dir] [query ...]
+
+--vanilla     use the driver-identical default SparkSession
+--gate-order  evaluate in __spark_entry__.queries() order (the
+              driver's order) instead of registration order
+--head N      only the first N of that order — with --gate-order and
+              --vanilla this is an exact dress-rehearsal of the
+              driver's per-round correctness gate (budget ~50)
 """
 
 from __future__ import annotations
@@ -42,9 +50,23 @@ def main() -> int:
     # repo tuning at session level — each query still calls tune()
     # internally, which is the contract being verified)
     vanilla = "--vanilla" in args
-    args = [a for a in args if a != "--vanilla"]
+    gate_order = "--gate-order" in args
+    head = None
+    if "--head" in args:
+        head = int(args[args.index("--head") + 1])
+        args.remove(str(head))
+    args = [a for a in args if a not in ("--vanilla", "--gate-order",
+                                         "--head")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:] or list(REGISTRY)
+    if args[1:]:
+        names = args[1:]
+    elif gate_order:
+        import __spark_entry__ as entry
+        names = list(entry.queries())
+    else:
+        names = list(REGISTRY)
+    if head is not None:
+        names = names[:head]
 
     con = duckdb.connect()
     for t in TABLES:
