@@ -44,3 +44,16 @@ def test_program_count_covers_reference_mains():
     # 20 runnable concept programs in the reference (SURVEY §2/§3);
     # the registry must not silently shrink
     assert len(programs.PROGRAMS) >= 20
+
+
+def test_curation_v4_program_is_stateless(spark):
+    """The flagship live gate must stay a stateless per-row pipeline:
+    no aggregation, no stream-static join, no state store — the frozen
+    model ships as a map literal inside the projection. A stateful
+    node appearing here means someone broke the production pattern."""
+    df = programs.PROGRAMS["curation_v4"].build(spark)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for node in ("Aggregate", "Join", "FlatMapGroupsWithState",
+                 "TransformWithState", "Deduplicate"):
+        assert node not in plan, f"stateful/shuffling node {node} in:\n{plan}"
+    assert df.isStreaming
