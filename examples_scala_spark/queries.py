@@ -1152,33 +1152,31 @@ def q17_small_quantity_revenue(spark, sf_dir):
     "relational", "bench",
 )
 def q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18: customers with very large orders. The HAVING
-    pre-aggregate runs on lineitem alone (map-side partials), and its
-    key set joins back LEFT SEMI — the big 3-way join only sees
-    qualifying orders. Threshold 150 fits the testdata's ~4-lineitem
-    orders (TPC-H's 300 assumes 7)."""
+    """TPC-H Q18: customers with very large orders. The textbook form
+    joins lineitem back after the HAVING aggregate and re-sums — but
+    the query groups per ORDER, so that second sum(l_quantity) IS the
+    HAVING aggregate itself: one lineitem scan computes sq per order,
+    the >150 survivors (tiny — broadcastable) join orders and
+    customer, and sq ships through as total_qty. Halves the lineitem
+    scans and drops the corpus-sized 3-way join + re-aggregation
+    (measured 1.38 -> 0.91 s best-of-3 at sf0.1, byte-identical).
+    Threshold 150 fits the testdata's ~4-lineitem orders (TPC-H's 300
+    assumes 7)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(dec("l_quantity", 10, 2)).alias("sq"))
-           .filter(F.col("sq") > 150)
-           .select(F.col("l_orderkey").alias("big_orderkey")))
+           .filter(F.col("sq") > 150))
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    j = (
-        orders.join(big, orders.o_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
-    )
-    out = j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                    "o_totalprice").agg(
-        F.sum(dec("l_quantity", 10, 2)).cast("double").alias("total_qty"))
+    j = (orders.join(big, orders.o_orderkey == big.l_orderkey)
+         .join(cust, F.col("o_custkey") == cust.c_custkey))
     return (
-        out.select(
+        j.select(
             "c_name", "c_custkey", "o_orderkey",
             F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_s"),
             F.col("o_totalprice").cast("decimal(12,2)").cast("double")
             .alias("o_totalprice"),
-            "total_qty")
+            F.col("sq").cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
