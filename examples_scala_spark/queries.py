@@ -1055,14 +1055,17 @@ def q14_promo_effect(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15: supplier(s) with max quarterly revenue. The revenue
-    CTE computes once; the max is a broadcast scalar (1 row), not a
-    sort — ties are all returned, and DECIMAL sums make the equality
-    exact on both engines."""
+    CTE computes once — literally: the supplier-sized aggregate is
+    lazily checkpointed so the max branch and the join branch share
+    ONE lineitem scan (was two; r6 plan fix, byte-identical). The max
+    is a broadcast scalar (1 row), not a sort — ties are all returned,
+    and DECIMAL sums make the equality exact on both engines."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01 00:00:00")
         & (F.col("l_shipdate") < "1997-04-01 00:00:00"))
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).alias("total_revenue"))
+        .localCheckpoint(eager=False))
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supp = _t(spark, sf_dir, "supplier")
     return (
@@ -4246,7 +4249,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     becomes a partkey aggregate joined back on (partkey, exact-decimal
     cost equality). One wide stage builds ps; the part filter and the
     min-cost table are both small and broadcast, so the join-back adds
-    no shuffle at 100 TB."""
+    no shuffle at 100 TB. The filtered (part, supplier) table is
+    lazily checkpointed so the min-cost branch and the join-back share
+    ONE derived-partsupp computation (was two full lineitem
+    scans+aggs; r6 plan fix, byte-identical, 1.13 -> 0.99 s)."""
     ps = _derived_ps(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -4260,8 +4266,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     parts = (_t(spark, sf_dir, "part")
              .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
              .select("p_partkey", "p_name"))
-    withp = europe.join(F.broadcast(parts),
-                        europe.ps_partkey == parts.p_partkey)
+    withp = (europe.join(F.broadcast(parts),
+                         europe.ps_partkey == parts.p_partkey)
+             .localCheckpoint(eager=False))
     mc = (withp.groupBy("ps_partkey")
           .agg(F.min("ps_supplycost").alias("mincost")))
     return (withp.join(F.broadcast(mc), "ps_partkey")
@@ -4295,7 +4302,10 @@ def q11_important_stock(spark, sf_dir):
     value*10000 > total in integer-scaled decimal — no float
     summation anywhere until the final output cast. The nation total
     rides along as a broadcast scalar (the scalar-subquery shape of
-    the reference query)."""
+    the reference query) — computed FROM the checkpointed per-part
+    aggregate (total = sum of byp.val, exact in decimal), so the
+    derived-partsupp chain runs once instead of twice (r6 plan fix,
+    byte-identical)."""
     ps = _derived_ps(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier")
     nat = (_t(spark, sf_dir, "nation")
@@ -4308,8 +4318,9 @@ def q11_important_stock(spark, sf_dir):
                  .select("ps_partkey",
                          (F.col("ps_supplycost") * F.col("ps_availqty"))
                          .alias("val")))
-    byp = in_nation.groupBy("ps_partkey").agg(F.sum("val").alias("val"))
-    tot = in_nation.agg(F.sum("val").alias("total"))
+    byp = (in_nation.groupBy("ps_partkey").agg(F.sum("val").alias("val"))
+           .localCheckpoint(eager=False))
+    tot = byp.agg(F.sum("val").alias("total"))
     return (byp.crossJoin(F.broadcast(tot))
             .filter(F.col("val") * 10000 > F.col("total"))
             .select("ps_partkey",
