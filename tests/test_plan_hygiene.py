@@ -49,6 +49,16 @@ def test_dimension_joins_broadcast(spark, sf_dir, name):
     assert "BroadcastHashJoin" in plan, name
 
 
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """r6 rewrite guard: q18 reuses the HAVING aggregate as total_qty
+    (the group is per-order), so the plan must scan lineitem exactly
+    once — a second scan means someone reintroduced the textbook
+    re-join + re-aggregation."""
+    plan = explain_str(REGISTRY["q18_large_volume_customer"].fn(
+        spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
 @pytest.mark.parametrize("name,frag", [
     ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
     ("q6_forecast_revenue", "GreaterThanOrEqual(l_shipdate"),
