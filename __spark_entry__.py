@@ -21,37 +21,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The per-round correctness gate evaluates queries in dict order with a
-# bounded budget (~50 per round). Rounds 1-5 proved 217 distinct
-# queries, 217 green in latest status, 0 failures. Round 6 executes
-# VERDICT r5 #1 (ROADMAP "Round-6 FIRST ACTION"): the head is exactly
-# the 28 registry names with no driver row in any CORRECTNESS_r*.json
-# (the late-round-5 additions that sat past the old ~98-name head),
-# followed by fresh rows for the two plan rewrites whose last driver
-# rows predate them (VERDICT r5 #4: doc_repetition_stats'
-# zero-exchange form, dedup_clusters' edge-touched CC with loop-scoped
-# shuffles), then ~20 previously-proven high-value names to fill the
-# ~50 budget. 28 + 2 + 20 = 50. After the r6 gate, every one of the
-# 245 registry names has a green row in some CORRECTNESS_r*.json.
-# The registry is FROZEN at 245 this round (VERDICT r5 #2) until the
-# evidence debt is zero. tools/verify_local.py checks ALL entries
-# every time — 245/245 pass at sf0.01, including under the
-# driver-identical vanilla session (tools/verify_local.py --vanilla).
+# bounded budget (~50 per round). After the r6 gate every one of the
+# 245 r6-era registry names has a green driver row and the latest
+# status of each is green — evidence debt zero (VERDICT r6). Round 7
+# UNFREEZES the registry under the same-round-PRIORITY rule (VERDICT
+# r6 #1): every query added this round sits at the very head of
+# PRIORITY so it lands inside the ~50-query driver gate the same
+# round it is born, never creating new evidence debt. Head order =
+# the r7 additions (session/sliding windows first per the verdict,
+# then suffix-array ExactSubstr, cross-encoder rerank, KLL), then
+# previously-proven high-value names filling the ~50 budget.
+# tools/verify_local.py checks ALL entries every time — including
+# under the driver-identical vanilla session (--vanilla).
 PRIORITY = [
-    # --- the 28 never-driver-evaluated names (registry order) ---
-    "winnow_fingerprint_pairs", "dsir_importance_weights",
-    "bpe_train_merges", "dsir_resample_topk", "bpe_encode_doc_stats",
-    "bpe_apply_token_counts", "substring_dedup_rewrite",
-    "doc_trigram_backoff_ppl", "mixture_waterfill_alloc",
-    "substring_dedup_incremental", "pipeline_curation_v4",
-    "bmp_thumbnail_stats", "grouped_kfold_assign",
-    "media_dedup_by_chunks", "orc_roundtrip", "langid_ngram_profiles",
-    "stream_curation_gate", "wav_frame_features", "kanon_risk_audit",
-    "compaction_bin_packing", "doc_ngram_novelty", "ann_ndcg_mrr",
-    "quality_calibration_isotonic", "dp_noised_histogram",
-    "rater_agreement_kappa", "embedding_int8_quant", "bmp_dhash_dedup",
-    "ann_recall_truncated",
-    # --- fresh rows for the two rewritten plans (VERDICT r5 #4) ---
-    "doc_repetition_stats", "dedup_clusters",
+    # --- round-7 additions (VERDICT r6 next-round #1/#2/#4/#5) ---
+    "w_session_stats", "w_sliding_avg",
     # --- previously-proven high-value fill to the ~50 budget ---
     "w_avg_temp", "rolling_max_by", "asof_smoke_alert",
     "q1_pricing_summary", "q5_local_supplier", "dedup_exact",

@@ -309,6 +309,95 @@ def w_global_avg(spark, sf_dir):
     )
 
 
+@register(
+    "w_session_stats",
+    SENSORS_CTE + """
+    , x AS (SELECT id, epoch_us(ts) AS tu, temperature FROM sensors),
+    f AS (
+      SELECT id, tu, temperature,
+             CASE WHEN lag(tu) OVER w IS NULL
+                    OR tu - lag(tu) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM x WINDOW w AS (PARTITION BY id ORDER BY tu)),
+    g AS (
+      SELECT id, tu, temperature,
+             sum(new_s) OVER (PARTITION BY id ORDER BY tu
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT id, min(tu) AS session_start_us,
+           max(tu) + 1800000000 AS session_end_us,
+           count(*)::BIGINT AS cnt,
+           SUM(CAST(temperature AS DECIMAL(12,2)))::DOUBLE / count(*)
+             AS avg_temp
+    FROM g GROUP BY id, sid""",
+    "reference", "W1", "session",
+)
+def w_session_stats(spark, sf_dir):
+    """Session (gap) windows — the one everyday window family the
+    reference's examples never exercise (SURVEY §2.5: the book covers
+    session windows, chapter6/WindowFunctions.scala:37-72 is
+    tumbling-only). Per sensor, readings closer than a 30-minute gap
+    merge into one session; a gap > 30 min closes it (Spark merges
+    at exactly diff == gap — pinned by test). Native
+    `session_window` keeps the merge logic JVM-side (and is the same
+    operator Structured Streaming uses for streaming sessionization
+    with watermark-driven eviction). Session end = last event + gap,
+    exactly Spark's definition; bounds are emitted as epoch
+    MICROSECONDS (the data's native resolution) so both engines agree
+    bit-for-bit. Oracle = the classic islands construction: a
+    new-session flag via lag(), a running sum to number sessions, one
+    group-by. Scale shape: one shuffle on id (session merge is a
+    per-key sort, no pair blowup), partial aggregation applies, and
+    the output is session-sized, never event-squared."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.session_window("ts", "30 minutes"), "id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("temperature")).alias("sm"))
+    return out.select(
+        "id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("sm").cast("double") / F.col("cnt")).alias("avg_temp"),
+    )
+
+
+@register(
+    "w_sliding_avg",
+    SENSORS_CTE + """
+    SELECT (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start,
+           id, count(*)::BIGINT AS cnt,
+           SUM(CAST(temperature AS DECIMAL(12,2)))::DOUBLE / count(*)
+             AS avg_temp
+    FROM sensors CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2""",
+    "reference", "W1", "sliding",
+)
+def w_sliding_avg(spark, sf_dir):
+    """Sliding (hopping) windows — the other window family the
+    reference's examples skip (SURVEY §2.5; the book's slidingWindow
+    discussion has no runnable example). 1-hour windows hopping every
+    15 minutes, keyed by sensor: each reading lands in exactly
+    size/slide = 4 overlapping windows. Spark's window(size, slide)
+    expands each row to its covering windows BEFORE the partial
+    aggregate, so the shuffle moves 4 partial rows per (window, key),
+    not 4 copies of the data — the same map-side-combine shape as the
+    tumbling queries. Oracle: enumerate the 4 covering windows per row
+    with a 4-row cross join (start = floor(t/slide)*slide - k*slide,
+    k < size/slide, always > t - size when slide divides size).
+    Window starts are slide-aligned whole seconds -> BIGINT epoch s."""
+    s = _sensors(spark, sf_dir)
+    out = s.groupBy(F.window("ts", "1 hour", "15 minutes"), "id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("temperature")).alias("sm"))
+    return out.select(
+        F.col("window.start").cast("long").alias("window_start"),
+        "id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("sm").cast("double") / F.col("cnt")).alias("avg_temp"),
+    )
+
+
 # ======================================================================
 # Stateful per-record processing — batch twins (F1/F2)
 # ======================================================================

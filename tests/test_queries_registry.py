@@ -35,6 +35,9 @@ SAMPLE = [
     # and DSIR (nano-unit LLR sums)
     "substring_dedup_rewrite", "bpe_train_merges",
     "dsir_importance_weights",
+    # round-7: the two previously-missing window families (session /
+    # sliding — VERDICT r6 #1)
+    "w_session_stats", "w_sliding_avg",
 ]
 
 

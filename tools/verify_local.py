@@ -53,8 +53,12 @@ def main() -> int:
     gate_order = "--gate-order" in args
     head = None
     if "--head" in args:
-        head = int(args[args.index("--head") + 1])
-        args.remove(str(head))
+        i = args.index("--head")
+        if i + 1 >= len(args):
+            print("--head requires a value", file=sys.stderr)
+            return 2
+        head = int(args[i + 1])
+        del args[i:i + 2]
     args = [a for a in args if a not in ("--vanilla", "--gate-order",
                                          "--head")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
