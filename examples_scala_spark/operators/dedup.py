@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 # Deterministic universal-hash parameters; same constants are inlined in
@@ -626,6 +627,118 @@ def _rebuild_from_removals(docs: DataFrame, removed: DataFrame, L: int,
          .alias("n_chars_removed"),
         F.coalesce(F.col("st.sp"), F.lit(0)).cast("bigint")
          .alias("n_dup_spans"))
+
+
+def _lcp_expr(a: str, b: str, cap: int) -> F.Column:
+    """Length of the longest common prefix of two string columns
+    (each <= cap chars), fully JVM-side: zip the char arrays with a
+    null-safe equality, find the first mismatch. NULL b -> 0."""
+    mism = (f"array_position(zip_with(split({a}, ''), split({b}, ''), "
+            f"(x, y) -> x <=> y), false)")
+    return F.coalesce(
+        F.expr(f"CASE WHEN {mism} = 0 THEN least(length({a}), length({b})) "
+               f"ELSE {mism} - 1 END"),
+        F.lit(0)).cast("bigint")
+
+
+def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr with VARIABLE-LENGTH maximal repeated spans — the
+    paper-exact form of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), whose reference implementation
+    builds a corpus suffix array and reads maximal repeats off
+    neighbor LCPs. Same output semantics, Spark-native construction:
+
+    1. Candidates: positions whose length-L window occurs >= 2 times
+       (p has a duplicated prefix of length >= L iff its L-window is
+       duplicated — the window hash gives the candidate set exactly).
+    2. dup_len(p) = L + the longest common extension beyond the
+       window, against any other candidate sharing the window. Max
+       LCP against a set of strings = max LCP with a lexicographic
+       NEIGHBOR (the suffix-array property), so each round sorts
+       each class by the next `chunk` chars (one Exchange + sort over
+       candidates only), takes lag/lead LCPs, finalizes members whose
+       best extension stops inside the chunk, and re-classes
+       full-chunk matches by md5(class || chunk) for the next round.
+       Members that finalize early can never carry a later max (their
+       best LCP is < the survivors' matched length), so dropping them
+       is exact; chunk sizes double per round (prefix doubling), so
+       rounds = O(log(max_repeat_len / chunk)).
+    3. Spans [p, p + dup_len(p)) are reduced per doc to the maximal
+       ones (a span contained in an earlier-starting span has
+       end <= running max end). Left-maximality is free: a
+       left-extendable span is contained in its predecessor's span.
+
+    Returns (doc_id, span_start, span_len) — one row per maximal
+    duplicated span, 1-based offsets, span_len >= L.
+
+    Scale shape: the corpus is scanned once for window hashes (8-byte
+    longs through the shuffle, exactly `substring_dup_stats`); every
+    later round touches CANDIDATES only, shipping `chunk` chars + a
+    32-char class key per active member, and the active set shrinks
+    monotonically (real corpora: most repeats end within 1-2 chunks).
+    No all-pairs joins anywhere — degenerate classes (a million equal
+    windows) cost one sort, not a quadratic self-join. The driver
+    loop runs O(max_repeat/chunk) rounds with an eager
+    localCheckpoint per round, mirroring the dedup_clusters CC loop."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("n"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    texts = base.filter(F.col("n") >= L).repartition(par)
+    pos = _window_hashes(docs, L, text_col, id_col)
+    dup_hashes = (pos.groupBy("g").agg(F.count("*").alias("c"))
+                  .filter(F.col("c") >= 2).select("g"))
+    active = (pos.join(dup_hashes, "g")
+              .select(F.col(id_col), "i",
+                      F.col("g").cast("string").alias("cls"),
+                      F.lit(L).cast("bigint").alias("matched"))
+              .localCheckpoint(eager=True))
+    finals: list[DataFrame] = []
+    wcls = Window.partitionBy("cls").orderBy("chunk", id_col, "i")
+    csize = chunk
+    while active.limit(1).count() > 0:
+        # geometric chunk growth (prefix doubling): log, not linear,
+        # rounds in the longest repeat; the per-member payload grows
+        # only while the member keeps matching, and the active set
+        # shrinks monotonically.
+        ext = (active.join(texts, id_col)
+               .withColumn("chunk", F.expr(
+                   f"substring(t, CAST(i + matched AS INT), {csize})"))
+               .select(id_col, "i", "cls", "matched", "chunk"))
+        ext = (ext
+               .withColumn("pv", F.lag("chunk").over(wcls))
+               .withColumn("nx", F.lead("chunk").over(wcls))
+               .withColumn("e", F.greatest(_lcp_expr("chunk", "pv", csize),
+                                           _lcp_expr("chunk", "nx", csize)))
+               .localCheckpoint(eager=True))
+        finals.append(
+            ext.filter(F.col("e") < csize)
+            .select(F.col(id_col), "i",
+                    (F.col("matched") + F.col("e")).alias("dup_len")))
+        active = (ext.filter(F.col("e") >= csize)
+                  .select(F.col(id_col), "i",
+                          F.md5(F.concat("cls", "chunk")).alias("cls"),
+                          (F.col("matched") + csize).alias("matched")))
+        csize *= 2
+    if not finals:  # no duplicated window anywhere
+        return (active.sparkSession
+                .createDataFrame([],
+                                 f"{id_col} bigint, span_start bigint, "
+                                 f"span_len bigint"))
+    allf = finals[0]
+    for f in finals[1:]:
+        allf = allf.unionByName(f)
+    wdoc = (Window.partitionBy(id_col).orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    spans = (allf.withColumn("end", F.col("i") + F.col("dup_len"))
+             .withColumn("pmax", F.max("end").over(wdoc)))
+    return (spans.filter(F.col("pmax").isNull()
+                         | (F.col("end") > F.col("pmax")))
+            .select(F.col(id_col),
+                    F.col("i").cast("bigint").alias("span_start"),
+                    F.col("dup_len").cast("bigint").alias("span_len")))
 
 
 def setsim_prefix_join(docs: DataFrame, n: int = 3,

@@ -2462,6 +2462,68 @@ def substring_dedup_rewrite(spark, sf_dir):
     return dedup.substring_dedup_rewrite(docs, L=30)
 
 
+def _dk_lcp(a: str, b: str) -> str:
+    """DuckDB longest-common-prefix of two varchars (NULL b -> NULL):
+    first mismatching char index - 1, else the shorter length."""
+    return (f"coalesce(list_min(list_transform("
+            f"range(1, least(length({a}), length({b})) + 1), "
+            f"j -> CASE WHEN substr({a}, j, 1) = substr({b}, j, 1) "
+            f"THEN NULL ELSE j END)) - 1, "
+            f"least(length({a}), length({b})))")
+
+
+@register(
+    "substring_dedup_suffix",
+    f"""
+    WITH d AS (SELECT doc_id, text AS t, length(text)::BIGINT AS n
+               FROM documents WHERE length(text) >= 30),
+    p0 AS (SELECT doc_id, t,
+                  unnest(generate_series(1, n - 29)) AS i FROM d),
+    pos AS (SELECT doc_id, i,
+                   ('0x' || substr(md5(substring(t, i, 30)), 1, 15))::BIGINT
+                     AS g,
+                   substring(t, i + 30) AS ext
+            FROM p0),
+    dupg AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+    cand AS (SELECT doc_id, i, g, ext FROM pos JOIN dupg USING (g)),
+    nb AS (SELECT doc_id, i, ext,
+                  lag(ext) OVER w AS pv, lead(ext) OVER w AS nx
+           FROM cand
+           WINDOW w AS (PARTITION BY g ORDER BY ext, doc_id, i)),
+    lc AS (SELECT doc_id, i,
+                  30 + greatest(coalesce({_dk_lcp('ext', 'pv')}, 0),
+                                coalesce({_dk_lcp('ext', 'nx')}, 0))
+                    AS dup_len
+           FROM nb),
+    sp AS (SELECT doc_id, i, dup_len, i + dup_len AS e,
+                  max(i + dup_len) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+           FROM lc)
+    SELECT doc_id, i::BIGINT AS span_start, dup_len::BIGINT AS span_len
+    FROM sp WHERE pmax IS NULL OR e > pmax""",
+    "llm", "dedup", "text", "suffix",
+)
+def substring_dedup_suffix(spark, sf_dir):
+    """Paper-exact ExactSubstr (operators/dedup.py:suffix_dup_spans —
+    Lee et al. 2022's suffix-array form): VARIABLE-LENGTH maximal
+    duplicated spans, not fixed-30-char windows. dup_len(p) = 30 +
+    the longest common extension against any other occurrence of p's
+    window, found by chunked lexicographic-neighbor LCP (the
+    suffix-array property, computed in geometrically growing chunk
+    rounds — 64, 128, ... chars — over candidates only); per-doc
+    containment filtering leaves exactly the maximal
+    spans. The oracle computes the same neighbor LCPs over FULL
+    suffix extensions in one shot — so any divergence in the round
+    accounting (chunk boundaries, class splitting, early
+    finalization) shifts a span length and hash-fails. The union
+    char coverage of these spans equals substring_dup_stats' dup
+    positions (pinned by test); what this adds is the spans
+    themselves: lengths and boundaries of each verbatim repeat."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.suffix_dup_spans(docs, L=30, chunk=64)
+
+
 @register(
     "doc_trigram_backoff_ppl",
     r"""

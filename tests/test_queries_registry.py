@@ -36,8 +36,8 @@ SAMPLE = [
     "substring_dedup_rewrite", "bpe_train_merges",
     "dsir_importance_weights",
     # round-7: the two previously-missing window families (session /
-    # sliding — VERDICT r6 #1)
-    "w_session_stats", "w_sliding_avg",
+    # sliding — VERDICT r6 #1) and the paper-exact ExactSubstr
+    "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
 ]
 
 

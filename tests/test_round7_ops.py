@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from examples_scala_spark.operators import dedup
+
 
 def _ts_df(spark, rows):
     """rows: (id, epoch_seconds_float, temperature)."""
@@ -49,6 +51,82 @@ class TestSessionWindowSemantics:
         out = (df.groupBy(F.session_window("ts", "10 seconds"), "id")
                .count().collect())
         assert len(out) == 1 and out[0]["count"] == 2
+
+
+class TestSuffixDupSpans:
+    """suffix_dup_spans = paper-exact ExactSubstr: variable-length
+    maximal duplicated spans with exact lengths."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_span_and_length(self, spark):
+        # one shared 40-char passage inside two otherwise-different docs
+        shared = "The quick brown fox jumps over the lazy!"  # 40 chars
+        assert len(shared) == 40
+        docs = self._docs(spark, [
+            (1, "AAAA " + shared + " unique tail one................"),
+            (2, "BBBBBBBB " + shared + " other ending 22222222222222"),
+        ])
+        out = dedup.suffix_dup_spans(docs, L=30, chunk=8)
+        rows = sorted((r.doc_id, r.span_start, r.span_len)
+                      for r in out.collect())
+        # doc1: shared starts at 6 (1-based, after "AAAA ");
+        # doc2: at 10. Both spans include the leading/trailing space
+        # shared by " + shared + " -> length 42.
+        assert rows == [(1, 5, 42), (2, 9, 42)]
+
+    def test_self_repeat_within_doc(self, spark):
+        # a doc repeating its own 35-char block twice, back to back
+        blk = "0123456789abcdefghijklmnopqrstuvwxy"  # 35 chars
+        docs = self._docs(spark, [(7, blk + blk)])
+        out = dedup.suffix_dup_spans(docs, L=30, chunk=8)
+        rows = sorted((r.doc_id, r.span_start, r.span_len)
+                      for r in out.collect())
+        # maximal span: positions 1..70 all inside the repeat
+        # structure; the longest dup starting at 1 is 35 (blk appears
+        # again at 36); containment filter keeps [1,35] then spans
+        # whose end exceeds 36... position 2..36 give dup_len 34..,
+        # kept spans must tile the doc.
+        assert rows[0][0] == 7 and rows[0][1] == 1 and rows[0][2] == 35
+        # every char of the second half is covered too
+        covered = set()
+        for _, s, ln in rows:
+            covered.update(range(s, s + ln))
+        assert covered == set(range(1, 71))
+
+    def test_no_dups_empty(self, spark):
+        docs = self._docs(spark, [
+            (1, "a unique text that is long enough to have windows"),
+            (2, "a different text also long enough for some windows"),
+        ])
+        assert dedup.suffix_dup_spans(docs, L=30, chunk=8).count() == 0
+
+    def test_coverage_equals_window_hash_form(self, spark, sf_dir):
+        """The union char coverage of maximal suffix spans equals the
+        dup-window coverage of substring_dup_stats (every char of a
+        >=L-length repeat lies in some duplicated L-window and vice
+        versa) — the equivalence statement tying the paper-exact form
+        to the shipped fixed-L form (VERDICT r6 #2)."""
+        from examples_scala_spark.sources.tables import load_table
+        docs = load_table(spark, sf_dir, "documents")
+        L = 30
+        spans = dedup.suffix_dup_spans(docs, L=L).collect()
+        span_cov: dict[int, set[int]] = {}
+        for r in spans:
+            span_cov.setdefault(r.doc_id, set()).update(
+                range(r.span_start, r.span_start + r.span_len))
+        # dup-window coverage from the stats op's building blocks
+        pos = dedup._window_hashes(docs, L, "text", "doc_id")
+        from pyspark.sql import functions as FF
+        dup = (pos.groupBy("g").count().filter(FF.col("count") >= 2)
+               .select("g"))
+        win = pos.join(dup, "g").select("doc_id", "i").collect()
+        win_cov: dict[int, set[int]] = {}
+        for r in win:
+            win_cov.setdefault(r.doc_id, set()).update(
+                range(r.i, r.i + L))
+        assert span_cov == win_cov
 
 
 class TestSlidingWindowSemantics:
