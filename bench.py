@@ -44,6 +44,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _best_of(spark, name: str, sf_dir: str,
+             runs: int = 3) -> tuple[float, float, int]:
+    """(best, median, rows) over `runs` full executions. Single-sample
+    timings on this VM swing 20-30% with ambient load (three rounds
+    spent re-litigating phantom regressions — VERDICT r6 #3): the BEST
+    is the reproducible plan cost and keeps the round-over-round
+    series comparable with the old best-of-two numbers; the MEDIAN
+    exposes the noise floor so a drifted best can be told apart from
+    a drifted machine."""
+    samples, n = [], 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = len(REGISTRY[name].fn(spark, sf_dir).collect())
+        samples.append(time.time() - t0)
+    samples.sort()
+    return (round(samples[0], 3),
+            round(samples[len(samples) // 2], 3), n)
+
+
 def _timed_count_sum(df) -> tuple[float, tuple]:
     from pyspark.sql import functions as F
     t0 = time.time()
@@ -137,19 +156,11 @@ def main() -> None:
     REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # best of two runs: single-tenant VM timing noise at this scale
-        # is 10-30% run-to-run; the min is the reproducible cost of the
-        # plan (both runs collect fully — column pruning can't skip the
-        # computed columns we're benchmarking)
-        best, n = None, 0
-        for _ in range(2):
-            t0 = time.time()
-            n = len(REGISTRY[name].fn(spark, sf_dir).collect())
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        timings[name], medians[name], n = _best_of(spark, name, sf_dir)
+        print(f"# {name}: best {timings[name]:.2f}s "
+              f"median {medians[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     skew = skew_bench(spark)
     print(f"# skew_join: plain={skew['plain']:.2f}s "
@@ -160,6 +171,7 @@ def main() -> None:
     # headline set doesn't time (kept out of the headline total so the
     # round-over-round "value" series stays comparable)
     extra: dict[str, float] = {}
+    extra_median: dict[str, float] = {}
     for name in ["doc_repetition_stats", "funnel_conversion",
                  "stream_windowed_avg", "token_heavy_hitters",
                  "value_quantile_sketch", "ann_topk_pq",
@@ -179,18 +191,13 @@ def main() -> None:
                  # rewrite, the BPE trainer, DSIR selection
                  "winnow_fingerprint_pairs", "substring_dedup_rewrite",
                  "bpe_train_merges", "dsir_importance_weights",
-                 "pipeline_curation_v4", "langid_ngram_profiles"]:
-        # best of two, same as the headline set: r3's single-sample
-        # extras produced phantom regressions (ann_topk_pq "2.3x"
-        # measured 1.13x under controlled best-of-two A/B)
-        best, n = None, 0
-        for _ in range(2):
-            t0 = time.time()
-            n = len(REGISTRY[name].fn(spark, sf_dir).collect())
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        extra[name] = round(best, 3)
-        print(f"# extra {name}: {extra[name]:.2f}s ({n} rows)",
+                 "pipeline_curation_v4", "langid_ngram_profiles",
+                 # round-7 additions: windows + paper-exact ExactSubstr
+                 "w_session_stats", "w_sliding_avg",
+                 "substring_dedup_suffix"]:
+        extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
+        print(f"# extra {name}: best {extra[name]:.2f}s "
+              f"median {extra_median[name]:.2f}s ({n} rows)",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -199,8 +206,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "skew": skew,
         "extra": extra,
+        "extra_median": extra_median,
         "sf": sf,
     }))
 
