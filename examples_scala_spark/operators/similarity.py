@@ -778,3 +778,40 @@ def top_principal_component(emb: DataFrame, dim: int = 64,
           round(residual, 6), int(n)) for d in range(dim)],
         "dim_idx int, loading double, eigenvalue double, "
         "explained_ratio double, residual_ratio double, n_vectors bigint")
+
+
+def rerank_cross_encoder(docs: DataFrame, candidates: DataFrame,
+                         query_terms: list[str], rrf_weight: float = 0.05,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Cross-encoder-style rerank stage over a BOUNDED candidate set —
+    the second stage of the classic retrieve-then-rerank pipeline
+    (retrieval: hybrid_retrieval_rrf). `candidates` (doc_id, rrf) is
+    the retriever's top-k: it is broadcast and hash-joined against
+    the corpus, so fetching candidate texts is one corpus scan with a
+    broadcast semi-filter — never a corpus-sized pair join, and the
+    expensive scorer runs on k rows, not N. That bounded-candidates
+    shape is the whole 100 TB lesson of reranking: the model cost is
+    O(k), the data cost one scan.
+
+    The scorer itself is the MODEL SLOT: production systems run a
+    batched cross-encoder here (a pandas_udf over (query, doc) text
+    pairs, Arrow-shipped). This stub keeps the exact plumbing but
+    scores with a closed-form lexical function — Jaccard overlap
+    between the query's terms and the doc's distinct whitespace
+    tokens — so a SQL oracle can verify the stage end-to-end:
+    final = round(jaccard + rrf_weight * rrf, 6), reranked desc with
+    doc_id tie-break."""
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    enr = docs.join(F.broadcast(candidates), id_col)
+    scored = enr.select(
+        F.col(id_col), F.col("rrf"),
+        F.round(F.size(F.array_intersect(toks, qarr))
+                / F.size(F.array_union(toks, qarr)), 6).alias("ce_score"))
+    out = scored.select(
+        id_col, "rrf", "ce_score",
+        F.round(F.col("ce_score") + rrf_weight * F.col("rrf"), 6)
+         .alias("final_score"))
+    w = Window.orderBy(F.col("final_score").desc(), id_col)
+    return out.withColumn("rerank", F.row_number().over(w).cast("bigint"))

@@ -240,3 +240,120 @@ def cms_counts(tokens: DataFrame, col: str, probes: list[str],
                     ((F.col("cms_est") >= F.col("exact_cnt"))
                      & ((F.col("cms_est") - F.col("exact_cnt"))
                         <= 2.0 * F.col("N") / w)).alias("within_bound")))
+
+
+# ----------------------------------------------------------------------
+# KLL quantile sketch (Karnin-Lang-Liberty 2016) — the production
+# standard (Apache DataSketches) next to the t-digest above. Same
+# partial/merge contract, different accumulator: a hierarchy of
+# compactors where an item at level h carries weight 2^h; an
+# over-full level sorts, keeps every other item (offset drawn
+# deterministically from the md5 of the level's content — the repo's
+# md5-pseudo-randomness idiom, so a retried task reproduces the
+# sketch bit-for-bit), and promotes the kept half one level up.
+# Everything is a pure function of the input MULTISET (each level is
+# sorted before compaction), so merge is commutative bit-for-bit —
+# pinned by test.
+# ----------------------------------------------------------------------
+
+def _kll_compact(levels: list[np.ndarray], cap: int) -> list[np.ndarray]:
+    """Compact until every level holds <= cap items. Total weight
+    sum(2^h * len(level_h)) is preserved exactly: an odd leftover
+    (the max) stays at its level; 2m items at weight w become m at 2w."""
+    h = 0
+    while h < len(levels):
+        lv = np.sort(np.asarray(levels[h], dtype=np.float64),
+                     kind="mergesort")
+        if len(lv) <= cap:
+            levels[h] = lv
+            h += 1
+            continue
+        if len(lv) % 2:
+            rest, lv = lv[-1:], lv[:-1]
+        else:
+            rest = lv[:0]
+        import hashlib
+        off = int(hashlib.md5(lv.tobytes()).hexdigest()[:8], 16) & 1
+        promoted = lv[off::2]
+        levels[h] = rest
+        if h + 1 == len(levels):
+            levels.append(promoted)
+        else:
+            levels[h + 1] = np.concatenate([levels[h + 1], promoted])
+        h += 1
+    return levels
+
+
+def kll_build(values: np.ndarray, cap: int = 256) -> list[np.ndarray]:
+    return _kll_compact([np.asarray(values, dtype=np.float64)], cap)
+
+
+def kll_merge(a: list[np.ndarray], b: list[np.ndarray],
+              cap: int = 256) -> list[np.ndarray]:
+    levels = [
+        np.concatenate([
+            a[h] if h < len(a) else np.empty(0),
+            b[h] if h < len(b) else np.empty(0)])
+        for h in range(max(len(a), len(b)))]
+    return _kll_compact(levels, cap)
+
+
+def kll_total_weight(levels: list[np.ndarray]) -> int:
+    return int(sum((1 << h) * len(lv) for h, lv in enumerate(levels)))
+
+
+def kll_quantile(levels: list[np.ndarray], q: float) -> float:
+    vals = np.concatenate([np.asarray(lv) for lv in levels])
+    wts = np.concatenate([
+        np.full(len(lv), 1 << h, dtype=np.int64)
+        for h, lv in enumerate(levels)])
+    order = np.argsort(vals, kind="mergesort")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    target = q * cum[-1]
+    i = int(np.searchsorted(cum, target, side="left"))
+    return float(vals[min(i, len(vals) - 1)])
+
+
+def kll_quantiles(df: DataFrame, key: str, col: str,
+                  probs: list[float], cap: int = 256) -> DataFrame:
+    """Per-key approximate quantiles via KLL. Two stages, both
+    memory-bounded:
+
+    Stage 1 is mapInPandas — one partial sketch per key per ARROW
+    BATCH, so no task ever materializes a whole group (an advance on
+    the t-digest's applyInPandas partials, whose salt fanout bounds
+    but does not cap group size). Shuffled bytes per partial are
+    O(cap * levels) doubles regardless of batch rows.
+
+    Stage 2 merges a key's batch-partials levelwise and reads the
+    requested quantiles off the weighted item multiset. Sketch error
+    is O(1/cap) rank units with cap=256 — comfortably inside the 0.02
+    envelope the registry oracle asserts."""
+    probs = list(probs)
+    partial_schema = f"{key} string, levels array<array<double>>"
+
+    def build_partials(batches):
+        for pdf in batches:
+            out = []
+            for kval, grp in pdf.groupby(key, sort=True):
+                lv = kll_build(grp[col].to_numpy(dtype=np.float64), cap)
+                out.append({key: kval, "levels": [x.tolist() for x in lv]})
+            if out:
+                yield pd.DataFrame(out)
+
+    qcols = ", ".join(f"q{int(p * 100):02d} double" for p in probs)
+    final_schema = f"{key} string, n bigint, {qcols}"
+
+    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: list[np.ndarray] = []
+        for levels in pdf["levels"]:
+            acc = kll_merge(acc, [np.asarray(x) for x in levels], cap)
+        row = {key: pdf[key].iloc[0], "n": kll_total_weight(acc)}
+        for p in probs:
+            row[f"q{int(p * 100):02d}"] = kll_quantile(acc, p)
+        return pd.DataFrame([row])
+
+    partials = (df.select(key, col)
+                .mapInPandas(build_partials, partial_schema))
+    return partials.groupBy(key).applyInPandas(merge_final, final_schema)

@@ -5515,6 +5515,47 @@ def value_quantile_sketch(spark, sf_dir):
                     .alias("rank_err_ok")))
 
 @register(
+    "value_quantile_kll",
+    """
+    SELECT event_type, n, p, TRUE AS rank_err_ok
+    FROM (SELECT event_type, count(*)::BIGINT AS n
+          FROM events GROUP BY event_type)
+    CROSS JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) t(p)""",
+    "llm", "sketch", "A5",
+)
+def value_quantile_kll(spark, sf_dir):
+    """Per-event-type p50/p90/p99 via the KLL sketch
+    (operators/sketches.py:kll_quantiles — Karnin-Lang-Liberty 2016,
+    the production standard in Apache DataSketches) beside the
+    t-digest entry above. Two memory-bounded stages: mapInPandas
+    batch partials (no whole-group materialization anywhere), then a
+    per-key levelwise merge. The gate row hashes TWO checkable
+    invariants instead of algorithm floats: the sketch's total
+    weight must equal the EXACT per-key row count (KLL compaction
+    preserves weight exactly — 2m items at weight w become m at 2w),
+    and each estimate's realized rank must sit within 0.02 + 1/n of
+    p (sketch error is O(1/cap), cap=256). A compaction bug breaks
+    the first; accuracy drift breaks the second; either hash-fails."""
+    ev = _t(spark, sf_dir, "events")
+    from .operators.sketches import kll_quantiles
+
+    est = kll_quantiles(ev, "event_type", "value", [0.5, 0.9, 0.99],
+                        cap=256)
+    long = est.select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.expr("stack(3, 0.5D, q50, 0.9D, q90, 0.99D, q99) AS (p, est)"))
+    joined = ev.select("event_type", "value").join(
+        F.broadcast(long), "event_type")
+    return (joined.groupBy("event_type", "n", "p")
+            .agg(F.avg(F.when(F.col("value") <= F.col("est"), 1.0)
+                       .otherwise(0.0)).alias("rank_frac"))
+            .select("event_type", "n", "p",
+                    (F.abs(F.col("rank_frac") - F.col("p"))
+                     <= F.lit(0.02) + F.lit(1.0) / F.col("n"))
+                    .alias("rank_err_ok")))
+
+
+@register(
     "events_scd2_intervals",
     """
     WITH o AS (
@@ -7029,6 +7070,52 @@ def hybrid_retrieval_rrf(spark, sf_dir):
                      + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sem_rank")),
                                   F.lit(0.0)), 6).alias("rrf")))
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+def _rerank_cross_encoder_sql() -> str:
+    hybrid = REGISTRY["hybrid_retrieval_rrf"].oracle
+    return rf"""
+    WITH cand AS MATERIALIZED (SELECT doc_id, rrf FROM ({hybrid})),
+    scored AS (
+      SELECT d.doc_id, c.rrf,
+             round(len(list_intersect(
+                     list_distinct(string_split_regex(trim(d.text), '\s+')),
+                     ['spark', 'join', 'window']))
+                   / len(list_distinct(list_concat(
+                     list_distinct(string_split_regex(trim(d.text), '\s+')),
+                     ['spark', 'join', 'window'])))::DOUBLE, 6) AS ce_score
+      FROM documents d JOIN cand c USING (doc_id)),
+    fin AS (
+      SELECT doc_id, rrf, ce_score,
+             round(ce_score + 0.05 * rrf, 6) AS final_score
+      FROM scored)
+    SELECT doc_id, rrf, ce_score, final_score,
+           row_number() OVER (ORDER BY final_score DESC, doc_id)::BIGINT
+             AS rerank
+    FROM fin"""
+
+
+@register(
+    "rerank_cross_encoder",
+    _rerank_cross_encoder_sql(),
+    "llm", "retrieval", "rerank",
+)
+def rerank_cross_encoder(spark, sf_dir):
+    """Retrieve-then-rerank (operators/similarity.py:
+    rerank_cross_encoder): the hybrid RRF retriever's top-10 becomes
+    a BROADCAST candidate set whose texts are fetched in one corpus
+    scan with a broadcast hash-filter — the expensive pair scorer
+    then runs on k rows, never a corpus-sized pair join. The scorer
+    is the model slot (production: a batched cross-encoder pandas
+    UDF); the stub scores Jaccard(query terms, doc tokens) in
+    closed form so the oracle re-derives the entire two-stage
+    pipeline — retrieval ranks, candidate set, scores, and the final
+    reranking — and any plumbing drift hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (hybrid_retrieval_rrf(spark, sf_dir)
+            .select("doc_id", "rrf"))
+    return similarity.rerank_cross_encoder(
+        docs, cand, ["spark", "join", "window"], rrf_weight=0.05)
 
 
 @register(

@@ -147,3 +147,57 @@ class TestSlidingWindowSemantics:
                .select(F.col("window.start").cast("long").alias("s"))
                .orderBy("s").collect())
         assert [r.s for r in out] == [900, 1800, 2700, 3600]
+
+
+class TestKLL:
+    """KLL sketch invariants (operators/sketches.py): exact weight
+    conservation, bit-exact merge commutativity, rank-error bounds."""
+
+    def test_weight_conservation_heavy_compaction(self):
+        import numpy as np
+        from examples_scala_spark.operators.sketches import (
+            kll_build, kll_total_weight)
+        v = np.arange(100_000, dtype=np.float64)
+        lv = kll_build(v, cap=32)
+        assert kll_total_weight(lv) == 100_000
+        assert all(len(x) <= 32 for x in lv)
+
+    def test_merge_commutative_bit_exact(self):
+        import numpy as np
+        from examples_scala_spark.operators.sketches import (
+            kll_build, kll_merge)
+        rng = np.random.RandomState(7)
+        a = kll_build(rng.rand(10_000), cap=64)
+        b = kll_build(rng.rand(7_000) * 3 - 1, cap=64)
+        ab = kll_merge(a, b, cap=64)
+        ba = kll_merge(b, a, cap=64)
+        assert len(ab) == len(ba)
+        for x, y in zip(ab, ba):
+            assert (x == y).all()
+
+    def test_rank_error_bound_sorted_adversary(self):
+        import numpy as np
+        from examples_scala_spark.operators.sketches import (
+            kll_build, kll_quantile)
+        n, cap = 50_000, 256
+        v = np.arange(n, dtype=np.float64)  # sorted input
+        lv = kll_build(v, cap=cap)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = kll_quantile(lv, q)
+            realized = (v <= est).mean()
+            assert abs(realized - q) <= 0.02, (q, realized)
+
+    def test_merge_matches_single_build_accuracy(self):
+        import numpy as np
+        from examples_scala_spark.operators.sketches import (
+            kll_build, kll_merge, kll_quantile, kll_total_weight)
+        rng = np.random.RandomState(11)
+        a, b = rng.randn(20_000), rng.randn(30_000) + 5
+        merged = kll_merge(kll_build(a, cap=128), kll_build(b, cap=128),
+                           cap=128)
+        assert kll_total_weight(merged) == 50_000
+        both = np.concatenate([a, b])
+        for q in (0.1, 0.5, 0.9):
+            est = kll_quantile(merged, q)
+            realized = (both <= est).mean()
+            assert abs(realized - q) <= 0.02, (q, realized)
