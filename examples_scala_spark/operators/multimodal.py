@@ -184,15 +184,21 @@ def decode_media(media: DataFrame) -> DataFrame:
     features only) so downstream stages never re-shuffle the heavy
     binary column."""
     def decode_one(m: bytes, t: str) -> tuple[int, int, int]:
-        # magic-byte guards (ADVICE r5): a malformed/stub payload
-        # falls back to _fake_decode instead of aborting the whole
-        # mapInPandas stage with a decoder ValueError
-        if t == "image/bmp" and bytes(m[:2]) == b"BM":
-            w, h, _ = decode_bmp(bytes(m))
-            return w, h, 1
-        if t == "audio/wav" and bytes(m[:4]) == b"RIFF":
-            _rate, _ch, samples = decode_wav(bytes(m))
-            return 0, 0, len(samples)
+        # Robust decode (ADVICE r5 + r6): ANY malformed payload —
+        # wrong magic OR truncated/corrupt past the magic — falls
+        # back to _fake_decode instead of aborting the whole
+        # mapInPandas stage; struct.error covers short-buffer
+        # unpacks inside the decoders.
+        import struct
+        try:
+            if t == "image/bmp":
+                w, h, _ = decode_bmp(bytes(m))
+                return w, h, 1
+            if t == "audio/wav":
+                _rate, _ch, samples = decode_wav(bytes(m))
+                return 0, 0, len(samples)
+        except (ValueError, struct.error, IndexError):
+            pass
         return _fake_decode(m, t)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -201,3 +201,30 @@ class TestKLL:
             est = kll_quantile(merged, q)
             realized = (both <= est).mean()
             assert abs(realized - q) <= 0.02, (q, realized)
+
+
+class TestDecodeRobustness:
+    """ADVICE r6: decode_media must never abort the stage — wrong
+    magic AND corrupt-past-the-magic payloads both fall back to the
+    deterministic fake."""
+
+    def test_malformed_payloads_fall_back(self, spark):
+        import pandas as pd
+        from examples_scala_spark.operators.multimodal import (
+            decode_media, encode_bmp, _fake_decode)
+        import numpy as np
+        good = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+        rows = [
+            (1, bytearray(good), "image/bmp", len(good)),        # real
+            (2, bytearray(b"BMtrunc"), "image/bmp", 7),          # magic, truncated
+            (3, bytearray(b"nonsense"), "image/bmp", 8),         # no magic
+            (4, bytearray(b"RIFFxxxxWAVE"), "audio/wav", 12),    # no chunks
+        ]
+        media = spark.createDataFrame(
+            rows, "doc_id long, media binary, mime string, n_bytes long")
+        out = {r.doc_id: (r.width, r.height, r.n_frames)
+               for r in decode_media(media).collect()}
+        assert out[1] == (2, 2, 1)                       # real decode
+        assert out[2] == _fake_decode(b"BMtrunc", "image/bmp")
+        assert out[3] == _fake_decode(b"nonsense", "image/bmp")
+        assert out[4] == _fake_decode(b"RIFFxxxxWAVE", "audio/wav")

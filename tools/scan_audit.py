@@ -52,8 +52,17 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"{name:36s} PLAN-ERROR {str(ex)[:80]}")
             continue
-        counts = Counter(
-            re.findall(rf"({'|'.join(TABLES)})\.parquet", plan))
+        # count SCAN NODES, not raw path mentions (ADVICE r6): a path
+        # echoed by a non-scan node (reused exchange, comment) must
+        # not inflate the count, so only lines that are scan operators
+        # contribute, one per line.
+        counts: Counter = Counter()
+        for ln in plan.splitlines():
+            if "Scan parquet" not in ln and "Scan ExistingRDD" not in ln:
+                continue
+            m = re.search(rf"({'|'.join(TABLES)})\.parquet", ln)
+            if m:
+                counts[m.group(1)] += 1
         hot = {t: n for t, n in counts.items()
                if t in FACTS and n >= min_scans}
         if hot:
