@@ -4771,6 +4771,65 @@ def stream_windowed_avg(spark, sf_dir):
 
 
 @register(
+    "stream_session_stats",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS tu, value FROM events),
+    mx AS (SELECT max(tu) AS mx FROM e),
+    f AS (
+      SELECT event_type, tu, value,
+             CASE WHEN lag(tu) OVER w IS NULL
+                    OR tu - lag(tu) OVER w > 600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY tu)),
+    g AS (
+      SELECT event_type, tu, value,
+             sum(new_s) OVER (PARTITION BY event_type ORDER BY tu
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+    s AS (
+      SELECT event_type, min(tu) AS session_start_us,
+             max(tu) + 600000000 AS session_end_us,
+             count(*)::BIGINT AS cnt,
+             round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
+               AS avg_value
+      FROM g GROUP BY event_type, sid)
+    SELECT event_type, session_start_us, session_end_us, cnt, avg_value
+    FROM s, mx WHERE session_end_us <= mx""",
+    "streaming", "session",
+)
+def stream_session_stats(spark, sf_dir):
+    """Session (gap) windows as REAL Structured Streaming — the
+    streaming complement of the batch `w_session_stats` (native
+    `session_window`, the state-merging operator SS uses for
+    sessionization): per event type, 10-minute-gap sessions over the
+    4-micro-batch event-time-ORDERED replay, watermark 0 s, append
+    mode — a session emits exactly once, when the watermark passes
+    its end (last event + gap). The oracle recomputes sessions via
+    the islands construction and keeps those whose end <= the final
+    watermark (max event time) — precisely what an unbounded run
+    would have emitted by end-of-stream; trailing still-open sessions
+    correctly stay in state and NOT in the output. Averages are
+    exact-DECIMAL-sum / count, so session-merge order inside the
+    state store cannot perturb the hash. State is O(open sessions x
+    types), evicted at the watermark — bounded at any stream length."""
+    tune(spark)
+    src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
+    agg = (src.withWatermark("ts", "0 seconds")
+           .groupBy(F.session_window("ts", "10 minutes"), "event_type")
+           .agg(F.count("*").alias("cnt"),
+                F.sum(dec("value")).alias("sm")))
+    out = agg.select(
+        "event_type",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
+         .alias("avg_value"))
+    return _run_to_memory(spark, out, "stream_session_stats_result")
+
+
+@register(
     "events_zscore_anomalies",
     """
     WITH s AS (

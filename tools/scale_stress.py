@@ -98,13 +98,23 @@ def main() -> None:
     print(f"# synthesized x{mult} at {sf_dir} in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
+    # SPARK_GRAFT_STRESS_RUNS=N -> best-of-N per query (VERDICT r6:
+    # probes should absorb ambient-load noise like bench.py does)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "1")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        n = len(REGISTRY[name].fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 2)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
-    print(json.dumps({"multiplier": mult, "queries": timings,
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.time()
+            n = len(REGISTRY[name].fn(spark, sf_dir).collect())
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 2)
+        print(f"# {name}: best {timings[name]:.2f}s of "
+              f"{[round(s, 2) for s in samples]} ({n} rows)",
+              file=sys.stderr)
+    print(json.dumps({"multiplier": mult, "runs": runs,
+                      "queries": timings,
                       "total_sec": round(sum(timings.values()), 2)}))
 
 
