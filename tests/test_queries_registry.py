@@ -38,7 +38,7 @@ SAMPLE = [
     # round-7: the two previously-missing window families (session /
     # sliding — VERDICT r6 #1) and the paper-exact ExactSubstr
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
-    "rerank_cross_encoder", "value_quantile_kll",
+    "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",
 ]
 
 
