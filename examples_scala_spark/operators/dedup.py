@@ -707,11 +707,29 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                .withColumn("chunk", F.expr(
                    f"substring(t, CAST(i + matched AS INT), {csize})"))
                .select(id_col, "i", "cls", "matched", "chunk"))
+        # compute the extension and the would-be next class BEFORE the
+        # checkpoint, then checkpoint only the slim row (ids, matched,
+        # e, next class) — materializing chunk + lag + lead strings
+        # tripled the per-round checkpoint payload (measured at the
+        # 10x hostile corpus)
+        # equality fast path: on repeat-dense corpora most rows match
+        # a neighbor's ENTIRE chunk (77% in round 0 of the 10x
+        # hostile probe) — plain string equality (early-exit JVM
+        # compare) then answers e = len(chunk) and the char-wise LCP
+        # expression only runs on the minority that diverge inside
+        # the chunk (CASE branches are lazy in codegen)
+        full = (F.col("chunk").eqNullSafe(F.col("pv"))
+                | F.col("chunk").eqNullSafe(F.col("nx")))
         ext = (ext
                .withColumn("pv", F.lag("chunk").over(wcls))
                .withColumn("nx", F.lead("chunk").over(wcls))
-               .withColumn("e", F.greatest(_lcp_expr("chunk", "pv", csize),
-                                           _lcp_expr("chunk", "nx", csize)))
+               .select(F.col(id_col), "i", "matched",
+                       F.when(full, F.length("chunk").cast("bigint"))
+                        .otherwise(
+                            F.greatest(_lcp_expr("chunk", "pv", csize),
+                                       _lcp_expr("chunk", "nx", csize)))
+                        .alias("e"),
+                       F.md5(F.concat("cls", "chunk")).alias("cls2"))
                .localCheckpoint(eager=True))
         finals.append(
             ext.filter(F.col("e") < csize)
@@ -719,7 +737,7 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                     (F.col("matched") + F.col("e")).alias("dup_len")))
         active = (ext.filter(F.col("e") >= csize)
                   .select(F.col(id_col), "i",
-                          F.md5(F.concat("cls", "chunk")).alias("cls"),
+                          F.col("cls2").alias("cls"),
                           (F.col("matched") + csize).alias("matched")))
         csize *= 2
     if not finals:  # no duplicated window anywhere
