@@ -759,6 +759,70 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                     F.col("dup_len").cast("bigint").alias("span_len")))
 
 
+def substring_dedup_scrub(docs: DataFrame, L: int = 30, chunk: int = 64,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr in SCRUB mode: remove EVERY occurrence of every
+    duplicated region (Lee et al. 2022's released implementation
+    removes all copies by default; the keep-first variant is
+    `substring_dedup_rewrite`). Built on the paper-exact span set:
+    `suffix_dup_spans` finds the maximal duplicated spans, their
+    per-doc interval union is folded out of the text in one pass
+    (variable-width generalization of the rewrite's sorted-offset
+    fold), and each doc returns (doc_id, clean_text,
+    n_chars_removed, n_scrubbed_regions).
+
+    Because the union char coverage of maximal spans equals the
+    duplicated-L-window coverage (proven by test), an INDEPENDENT
+    oracle exists: drop every char covered by any duplicated window.
+    The Spark side never computes that formulation — agreement means
+    the span detector, the containment filter, and the interval fold
+    all compose correctly.
+
+    Scale shape: suffix_dup_spans' (candidates-only prefix-doubling
+    rounds) plus one span-sized shuffle and the per-doc fold — the
+    only corpus-sized payload is the rebuilt text, i.e. the output."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("bigint").alias("n"))
+    spans = suffix_dup_spans(docs, L=L, chunk=chunk,
+                             text_col=text_col, id_col=id_col)
+    ivs = (spans.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("span_start").alias("s"),
+               (F.col("span_start") + F.col("span_len") - 1).alias("e"))))
+               .alias("ivs")))
+    folded = F.expr("""
+      aggregate(
+        ivs,
+        named_struct('cov', 0L, 'out', '', 'rm', 0L, 'sp', 0L),
+        (st, iv) -> named_struct(
+          'cov', greatest(st.cov, iv.e),
+          'out', CASE WHEN iv.s > st.cov + 1
+                 THEN concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
+                                               CAST(iv.s - 1 - st.cov AS INT)))
+                 ELSE st.out END,
+          'rm', st.rm + greatest(iv.e, st.cov) - greatest(iv.s - 1L, st.cov),
+          'sp', st.sp + CASE WHEN iv.s > st.cov + 1 OR st.cov = 0L
+                        THEN 1L ELSE 0L END),
+        st -> named_struct(
+          'cov', st.cov,
+          'out', concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
+                                          CAST(n - st.cov AS INT))),
+          'rm', st.rm, 'sp', st.sp))""")
+    cleaned = (base.join(ivs, id_col, "left")
+               .select(F.col(id_col), "t",
+                       F.when(F.col("ivs").isNull(), None)
+                        .otherwise(folded).alias("st")))
+    return cleaned.select(
+        F.col(id_col),
+        F.coalesce(F.col("st.out"), F.col("t")).alias("clean_text"),
+        F.coalesce(F.col("st.rm"), F.lit(0)).cast("bigint")
+         .alias("n_chars_removed"),
+        F.coalesce(F.col("st.sp"), F.lit(0)).cast("bigint")
+         .alias("n_scrubbed_regions"))
+
+
 def setsim_prefix_join(docs: DataFrame, n: int = 3,
                        t_num: int = 1, t_den: int = 2,
                        text_col: str = "text",

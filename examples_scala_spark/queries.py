@@ -2525,6 +2525,68 @@ def substring_dedup_suffix(spark, sf_dir):
 
 
 @register(
+    "substring_dedup_scrub",
+    """
+    WITH d AS (SELECT doc_id, text AS t, length(text)::BIGINT AS n
+               FROM documents),
+    ph AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(substring(t, i, 30)), 1, 15))::BIGINT AS g,
+             i
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, n - 29)) AS i
+            FROM d WHERE n >= 30)),
+    r AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i, count(*) OVER (PARTITION BY g) AS c FROM ph)
+      WHERE c >= 2),
+    rem AS (
+      SELECT DISTINCT doc_id, i + off AS p
+      FROM (SELECT doc_id, i,
+                   unnest(generate_series(0, 29)) AS off FROM r)),
+    stats AS (
+      SELECT doc_id, count(*)::BIGINT AS rm,
+             sum(CASE WHEN lag_p IS NULL OR p - lag_p > 1
+                 THEN 1 ELSE 0 END)::BIGINT AS sp
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lag_p
+            FROM rem)
+      GROUP BY doc_id),
+    chars AS (
+      SELECT doc_id, t, unnest(generate_series(1, n)) AS p FROM d),
+    clean AS (
+      SELECT c.doc_id,
+             string_agg(substring(c.t, c.p, 1), '' ORDER BY c.p)
+               AS clean_text
+      FROM chars c
+      WHERE NOT EXISTS (SELECT 1 FROM rem
+                        WHERE rem.doc_id = c.doc_id AND rem.p = c.p)
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           coalesce(s.rm, 0)::BIGINT AS n_chars_removed,
+           coalesce(s.sp, 0)::BIGINT AS n_scrubbed_regions
+    FROM d
+    LEFT JOIN clean cl USING (doc_id)
+    LEFT JOIN stats s USING (doc_id)""",
+    "llm", "dedup", "text", "suffix",
+)
+def substring_dedup_scrub(spark, sf_dir):
+    """ExactSubstr SCRUB mode (operators/dedup.py:
+    substring_dedup_scrub — Lee et al. 2022's all-occurrences
+    default): every maximal duplicated span found by the suffix-span
+    detector is folded out of every doc. The oracle is an
+    INDEPENDENT formulation — drop every char covered by any
+    duplicated 30-char window, rebuilt char-by-char with an
+    anti-join — which equals the span-union rebuild only if the span
+    detector, the per-doc containment filter, and the variable-width
+    interval fold all compose correctly; any off-by-one in any of
+    them shifts a char and hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup_scrub(docs, L=30, chunk=64)
+
+
+@register(
     "doc_trigram_backoff_ppl",
     r"""
     WITH t AS (SELECT count(*) * 4 // 5 AS thr FROM documents),
