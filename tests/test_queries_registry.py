@@ -111,16 +111,18 @@ def test_gate_ordering_invariants():
     names = list(e.queries())
     assert sorted(names) == sorted(REGISTRY)
     assert names[:len(e.PRIORITY)] == e.PRIORITY
-    # round 6: the deferred set is EMPTY (VERDICT r5 #1) — every
-    # never-driver-evaluated query (per the recorded CORRECTNESS
-    # history) must sit inside the ~50 budget, with the two
-    # rewritten-plan re-proves (VERDICT r5 #4) right behind them
+    # round 7: the registry is unfrozen under the same-round-PRIORITY
+    # rule (VERDICT r6 #1) — every never-driver-evaluated query (the
+    # r7 additions, per the recorded CORRECTNESS history) must sit
+    # inside the ~50 budget AND lead the PRIORITY head, so new names
+    # are gate-proven the round they are born
     hist0 = e._gate_history()
     never = [n for n in REGISTRY if n not in hist0]
     for n in never:
         assert names.index(n) < 50, f"never-evaluated {n} outside budget"
-    for canary in ("doc_repetition_stats", "dedup_clusters"):
-        assert names.index(canary) < 50, f"re-prove {canary} outside budget"
+    head_new = [n for n in e.PRIORITY[:len(never)]]
+    assert sorted(head_new) == sorted(never), (
+        f"PRIORITY head {head_new} != never-evaluated set {never}")
     hist = e._gate_history()
     tail = names[len(e.PRIORITY):]
     seen_passed = False
