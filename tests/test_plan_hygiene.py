@@ -248,3 +248,34 @@ def test_zorder_scan_pushes_both_range_predicates(spark, sf_dir):
                  "GreaterThanOrEqual(value,100.0)",
                  "LessThanOrEqual(value,200.0)"):
         assert frag in plan, frag
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # round-7 additions
+    ("w_session_stats", 1),      # one keyed shuffle; session merge is per-key
+    ("w_sliding_avg", 1),        # windows expand map-side, one agg shuffle
+    ("rerank_cross_encoder", 7),  # retriever's 6 + broadcast-fetch agg
+    ("value_quantile_kll", 4),   # sketch partial/merge + rank verification
+])
+def test_round7_shuffle_budget(spark, sf_dir, name, max_shuffles):
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+    assert _shuffles(plan) <= max_shuffles, (
+        f"{name}: {_shuffles(plan)} shuffles > {max_shuffles}\n{plan}")
+
+
+def test_round7_windows_stay_jvm_side(spark, sf_dir):
+    """The session/sliding window queries must plan without any
+    Python/Arrow stage — the whole point of using the native
+    operators is whole-stage-codegen window assignment."""
+    for name in ("w_session_stats", "w_sliding_avg"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_rerank_broadcasts_candidates(spark, sf_dir):
+    """The rerank stage must fetch candidate texts via a BROADCAST
+    hash join against the corpus — a shuffle join here means the
+    bounded-candidate design regressed."""
+    plan = explain_str(REGISTRY["rerank_cross_encoder"].fn(spark, sf_dir),
+                       "simple")
+    assert "BroadcastHashJoin" in plan

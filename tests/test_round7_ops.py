@@ -228,3 +228,72 @@ class TestDecodeRobustness:
         assert out[2] == _fake_decode(b"BMtrunc", "image/bmp")
         assert out[3] == _fake_decode(b"nonsense", "image/bmp")
         assert out[4] == _fake_decode(b"RIFFxxxxWAVE", "audio/wav")
+
+
+def _brute_spans(texts):
+    """Pure-Python reference for suffix_dup_spans (O(n^2 * len)):
+    dup_len(p) by direct common-prefix scan against every other
+    position, then the containment filter."""
+    L = 5
+    out = []
+    for d, t in texts:
+        kept, mx = [], -1
+        cands = []
+        for p in range(len(t) - L + 1):
+            best = 0
+            for d2, t2 in texts:
+                for q in range(len(t2)):
+                    if (d2, q) == (d, p):
+                        continue
+                    m = 0
+                    while (p + m < len(t) and q + m < len(t2)
+                           and t[p + m] == t2[q + m]):
+                        m += 1
+                    best = max(best, m)
+            if best >= L:
+                cands.append((p, best))
+        for p, ln in cands:
+            if p + ln > mx:
+                kept.append((d, p + 1, ln))
+                mx = p + ln
+        out.extend(kept)
+    return sorted(out)
+
+
+class TestSuffixSpansProperty:
+    """suffix_dup_spans vs the brute-force reference on repeat-dense
+    random strings (2-letter alphabet => runs, overlapping
+    self-repeats, cross-doc repeats — the adversarial regime for the
+    chunked-LCP rounds; chunk=4 forces many prefix-doubling rounds)."""
+
+    def test_brute_force_equivalence_dense(self, spark):
+        import random
+        rng = random.Random(42)
+        for trial in range(6):
+            n_docs = rng.randint(1, 3)
+            texts = [(i + 1, "".join(rng.choice("ab")
+                                     for _ in range(rng.randint(0, 50))))
+                     for i in range(n_docs)]
+            got = sorted(
+                (r.doc_id, r.span_start, r.span_len)
+                for r in dedup.suffix_dup_spans(
+                    spark.createDataFrame(texts, "doc_id long, text string"),
+                    L=5, chunk=4).collect())
+            want = _brute_spans(texts)
+            assert got == want, (trial, texts, got, want)
+
+    def test_brute_force_equivalence_structured(self, spark):
+        # hand-built adversarial shapes: period-1 run, period-2 run,
+        # palindromic-ish overlap, shared block at different offsets
+        texts = [
+            (1, "aaaaaaaaaaaaaaa"),
+            (2, "abababababab"),
+            (3, "xxaaaaaayy"),
+            (4, "zzzababababqq"),
+        ]
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_len)
+            for r in dedup.suffix_dup_spans(
+                spark.createDataFrame(texts, "doc_id long, text string"),
+                L=5, chunk=4).collect())
+        assert got == _brute_spans(texts)
