@@ -363,6 +363,68 @@ def w_session_stats(spark, sf_dir):
 
 
 @register(
+    "w_session_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS tu,
+             (300 + (event_id % 3) * 600) * 1000000 AS g, value
+      FROM events),
+    f AS (
+      SELECT event_type, tu, g, value,
+             max(tu + g) OVER (PARTITION BY event_type ORDER BY tu, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e),
+    s AS (
+      SELECT event_type, tu, g, value,
+             sum(CASE WHEN prev_end IS NULL OR tu > prev_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY tu, g
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT event_type,
+           min(tu) AS session_start_us,
+           max(tu + g) AS session_end_us,
+           count(*)::BIGINT AS cnt,
+           round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
+             AS avg_value
+    FROM s GROUP BY event_type, sid""",
+    "reference", "W1", "session", "dynamic-gap",
+)
+def w_session_dynamic_gap(spark, sf_dir):
+    """Session windows with a PER-ROW gap expression — the adaptive
+    sessionization Spark supports natively (`session_window(ts,
+    <interval column>)`): each event opens a window [t, t + gap(row))
+    and overlapping windows merge, so e.g. purchase-like events can
+    hold a session open longer than views. Gap here is a
+    deterministic function of event_id (5/15/25 min by id % 3) so
+    the oracle can replay the merge: per key, a session continues
+    while an event's time is <= the running max of (t_i + gap_i)
+    (the same inclusive boundary as the fixed-gap form), i.e. a
+    running-max islands construction. Session end = max(t_i + g_i),
+    NOT last-event + constant — the dynamic semantics the fixed-gap
+    oracle cannot express. One keyed shuffle, JVM-side merge."""
+    ev = _t(spark, sf_dir, "events")
+    # session_window wants CalendarIntervalType: string durations
+    # cast there; ANSI INTERVAL literals (DayTimeIntervalType) do not
+    gap = (F.when(F.col("event_id") % 3 == 0, F.lit("5 minutes"))
+           .when(F.col("event_id") % 3 == 1, F.lit("15 minutes"))
+           .otherwise(F.lit("25 minutes")))
+    out = ev.groupBy(F.session_window("ts", gap), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("value")).alias("sm"))
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("session_window.start"))
+         .alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
+         .alias("avg_value"),
+    )
+
+
+@register(
     "w_sliding_avg",
     SENSORS_CTE + """
     SELECT (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start,

@@ -39,7 +39,7 @@ SAMPLE = [
     # sliding — VERDICT r6 #1) and the paper-exact ExactSubstr
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
     "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",
-    "substring_dedup_scrub",
+    "substring_dedup_scrub", "w_session_dynamic_gap",
 ]
 
 
