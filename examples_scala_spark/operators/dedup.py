@@ -703,7 +703,12 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
         # rounds in the longest repeat; the per-member payload grows
         # only while the member keeps matching, and the active set
         # shrinks monotonically.
-        ext = (active.join(texts, id_col)
+        # candidates x texts is a FACT-FACT join at corpus scale: pin
+        # it to a shuffled hash join so the planner can never elect to
+        # broadcast the text table (whose in-memory row form is many
+        # times its parquet stats — measured blowing past
+        # driver.maxResultSize at the 50x probe)
+        ext = (active.join(texts.hint("shuffle_hash"), id_col)
                .withColumn("chunk", F.expr(
                    f"substring(t, CAST(i + matched AS INT), {csize})"))
                .select(id_col, "i", "cls", "matched", "chunk"))
@@ -810,7 +815,9 @@ def substring_dedup_scrub(docs: DataFrame, L: int = 30, chunk: int = 64,
           'out', concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
                                           CAST(n - st.cov AS INT))),
           'rm', st.rm, 'sp', st.sp))""")
-    cleaned = (base.join(ivs, id_col, "left")
+    # per-doc interval lists are doc-count-sized (fact-sized at
+    # corpus scale): shuffle join, never broadcast
+    cleaned = (base.join(ivs.hint("shuffle_hash"), id_col, "left")
                .select(F.col(id_col), "t",
                        F.when(F.col("ivs").isNull(), None)
                         .otherwise(folded).alias("st")))

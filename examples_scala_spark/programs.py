@@ -130,6 +130,26 @@ def window_functions(spark):
     return agg.min_max_window(s, "5 seconds")
 
 
+@program("session_windows", "book ch6 window discussion (sessions; "
+                            "no runnable example in the reference repo)")
+def session_windows(spark):
+    """Hot-streak sessionization on the live sensor stream: readings
+    above 85 group into per-sensor sessions closed by a 2 s quiet
+    gap (native `session_window` state merging; at 10 Hz/sensor and
+    a ~16% tail, streaks of consecutive hot readings start and close
+    continuously). Emits (id, streak bounds, n readings, peak) once
+    per session when the watermark passes its end."""
+    s = sensor_source_stream(spark).withWatermark("ts", "2 seconds")
+    hot = s.filter(F.col("temperature") > 85.0)
+    return (hot.groupBy(F.session_window("ts", "2 seconds"), "id")
+            .agg(F.count(F.lit(1)).alias("n_readings"),
+                 F.max("temperature").alias("peak"))
+            .select("id",
+                    F.col("session_window.start").alias("streak_start"),
+                    F.col("session_window.end").alias("streak_end"),
+                    "n_readings", "peak"))
+
+
 @program("process_function_timers", "chapter6/ProcessFunctionTimers.scala:14-97",
          output_mode="update")
 def process_function_timers(spark):
