@@ -194,7 +194,8 @@ def main() -> None:
                  "pipeline_curation_v4", "langid_ngram_profiles",
                  # round-7 additions: windows + paper-exact ExactSubstr
                  "w_session_stats", "w_sliding_avg",
-                 "substring_dedup_suffix"]:
+                 "substring_dedup_suffix", "substring_dedup_scrub",
+                 "w_session_dynamic_gap", "stream_session_stats"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",
