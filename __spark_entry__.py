@@ -38,6 +38,7 @@ PRIORITY = [
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
     "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",
     "substring_dedup_scrub", "w_session_dynamic_gap",
+    "stream_sliding_avg",
     # --- previously-proven high-value fill to the ~50 budget ---
     "w_avg_temp", "rolling_max_by", "asof_smoke_alert",
     "q1_pricing_summary", "q5_local_supplier", "dedup_exact",

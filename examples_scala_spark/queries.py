@@ -4954,6 +4954,51 @@ def stream_session_stats(spark, sf_dir):
 
 
 @register(
+    "stream_sliding_avg",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS tu, value FROM events),
+    mx AS (SELECT max(tu) AS mx FROM e),
+    m AS (
+      SELECT event_type,
+             (tu // 900000000) * 900 - k.k * 900 AS w_start, value
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k),
+    a AS (
+      SELECT event_type, w_start,
+             count(*)::BIGINT AS cnt,
+             round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
+               AS avg_value
+      FROM m GROUP BY event_type, w_start)
+    SELECT event_type, w_start AS window_start, cnt, avg_value
+    FROM a, mx WHERE (w_start + 3600) * 1000000 <= mx""",
+    "streaming", "sliding",
+)
+def stream_sliding_avg(spark, sf_dir):
+    """Sliding (hopping) windows as REAL Structured Streaming — with
+    stream_windowed_avg (tumbling) and stream_session_stats
+    (session), this completes the batch+streaming coverage of all
+    three window families: 1-hour windows hopping every 15 minutes
+    per event type, watermark 0 s, append mode. Each event enters 4
+    open windows, so streaming state holds size/slide windows per
+    key — the overlap cost a production sizing must budget (and why
+    slide << size is the memory knob, not the correctness knob). The
+    oracle enumerates covering windows and keeps those whose end <=
+    the final watermark — exactly the append-mode emission set."""
+    tune(spark)
+    src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
+    agg = (src.withWatermark("ts", "0 seconds")
+           .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum(dec("value")).cast("double") / F.count("*"), 6)
+                 .alias("avg_value")))
+    out = agg.select(
+        "event_type",
+        F.col("window.start").cast("long").alias("window_start"),
+        F.col("cnt").cast("bigint").alias("cnt"), "avg_value")
+    return _run_to_memory(spark, out, "stream_sliding_avg_result")
+
+
+@register(
     "events_zscore_anomalies",
     """
     WITH s AS (

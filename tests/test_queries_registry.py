@@ -40,6 +40,7 @@ SAMPLE = [
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
     "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",
     "substring_dedup_scrub", "w_session_dynamic_gap",
+    "stream_sliding_avg",
 ]
 
 
