@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The line is kept deliberately
+COMPACT (headline timings + skew harness only); per-query medians and
+the breadth ("extra") section are written to bench_details.json
+alongside this file.
 
 Each query is executed to completion (collect) with a warm session;
 the first query pays JVM/codegen warmup, so a trivial warmup query
@@ -202,7 +205,13 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Full detail (per-query medians, the breadth section) goes to a
+    # side file: the driver captures only the tail of the bench output
+    # and parses the last JSON line, so the r7 line — which inlined
+    # best+median for ~50 queries and grew past the capture window —
+    # failed to parse (BENCH_r07.json "parsed": null). The final line
+    # must stay compact (headline queries + skew only, < ~1.5 KB).
+    details = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
@@ -211,6 +220,19 @@ def main() -> None:
         "skew": skew,
         "extra": extra,
         "extra_median": extra_median,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=1)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "skew": skew,
+        "extra_total_sec": round(sum(extra.values()), 3),
+        "details": "bench_details.json",
         "sf": sf,
     }))
 

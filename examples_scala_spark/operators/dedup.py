@@ -629,10 +629,11 @@ def _rebuild_from_removals(docs: DataFrame, removed: DataFrame, L: int,
          .alias("n_dup_spans"))
 
 
-def _lcp_expr(a: str, b: str, cap: int) -> F.Column:
-    """Length of the longest common prefix of two string columns
-    (each <= cap chars), fully JVM-side: zip the char arrays with a
-    null-safe equality, find the first mismatch. NULL b -> 0."""
+def _lcp_expr(a: str, b: str) -> F.Column:
+    """Length of the longest common prefix of two string columns,
+    fully JVM-side: zip the char arrays with a null-safe equality,
+    find the first mismatch. NULL b -> 0. No length cap is applied —
+    callers pass chunk substrings that are already bounded."""
     mism = (f"array_position(zip_with(split({a}, ''), split({b}, ''), "
             f"(x, y) -> x <=> y), false)")
     return F.coalesce(
@@ -731,8 +732,8 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                .select(F.col(id_col), "i", "matched",
                        F.when(full, F.length("chunk").cast("bigint"))
                         .otherwise(
-                            F.greatest(_lcp_expr("chunk", "pv", csize),
-                                       _lcp_expr("chunk", "nx", csize)))
+                            F.greatest(_lcp_expr("chunk", "pv"),
+                                       _lcp_expr("chunk", "nx")))
                         .alias("e"),
                        F.md5(F.concat("cls", "chunk")).alias("cls2"))
                .localCheckpoint(eager=True))

@@ -248,9 +248,12 @@ def cms_counts(tokens: DataFrame, col: str, probes: list[str],
 # partial/merge contract, different accumulator: a hierarchy of
 # compactors where an item at level h carries weight 2^h; an
 # over-full level sorts, keeps every other item (offset drawn
-# deterministically from the md5 of the level's content — the repo's
-# md5-pseudo-randomness idiom, so a retried task reproduces the
-# sketch bit-for-bit), and promotes the kept half one level up.
+# deterministically from the md5 of level-index || level-content —
+# the repo's md5-pseudo-randomness idiom, so a retried task
+# reproduces the sketch bit-for-bit), and promotes the kept half one
+# level up. Determinism trades away the paper's randomized-coin
+# rank-error THEOREM; the empirical rank envelope is asserted at
+# runtime by the value_quantile_kll oracle and by adversarial tests.
 # Everything is a pure function of the input MULTISET (each level is
 # sorted before compaction), so merge is commutative bit-for-bit —
 # pinned by test.
@@ -273,7 +276,18 @@ def _kll_compact(levels: list[np.ndarray], cap: int) -> list[np.ndarray]:
         else:
             rest = lv[:0]
         import hashlib
-        off = int(hashlib.md5(lv.tobytes()).hexdigest()[:8], 16) & 1
+        # Keep-offset = md5(level index || level content). The level
+        # index decorrelates the coin across levels so structured
+        # inputs whose levels share content don't all flip the same
+        # way (ADVICE r7). Still a pure function of (h, multiset):
+        # retried tasks and either merge order reproduce the sketch
+        # bit-for-bit. NOTE this remains a DETERMINISTIC variant of
+        # KLL — the paper's randomized rank-error guarantee does not
+        # formally apply; the registry oracle's runtime rank_err_ok
+        # envelope (value_quantile_kll) is the operative guard, and
+        # the adversarial-input tests check the bound empirically.
+        off = int(hashlib.md5(
+            h.to_bytes(4, "little") + lv.tobytes()).hexdigest()[:8], 16) & 1
         promoted = lv[off::2]
         levels[h] = rest
         if h + 1 == len(levels):

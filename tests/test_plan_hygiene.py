@@ -275,7 +275,18 @@ def test_round7_windows_stay_jvm_side(spark, sf_dir):
 def test_rerank_broadcasts_candidates(spark, sf_dir):
     """The rerank stage must fetch candidate texts via a BROADCAST
     hash join against the corpus — a shuffle join here means the
-    bounded-candidate design regressed."""
-    plan = explain_str(REGISTRY["rerank_cross_encoder"].fn(spark, sf_dir),
-                       "simple")
-    assert "BroadcastHashJoin" in plan
+    bounded-candidate design regressed. The embedded retriever
+    sub-plan contains broadcast joins of its own (ADVICE r7), so a
+    bare substring check would pass even after a regression: compare
+    the COUNT of broadcast joins against the retriever-only plan and
+    require at least one more — the candidate-fetch join itself."""
+    rerank = explain_str(REGISTRY["rerank_cross_encoder"].fn(spark, sf_dir),
+                         "simple")
+    retriever = explain_str(
+        REGISTRY["hybrid_retrieval_rrf"].fn(spark, sf_dir), "simple")
+    n_rerank = rerank.count("BroadcastHashJoin")
+    n_retr = retriever.count("BroadcastHashJoin")
+    assert n_rerank >= n_retr + 1, (
+        f"rerank plan has {n_rerank} broadcast joins vs retriever's "
+        f"{n_retr}; the candidate-fetch join is no longer broadcast\n"
+        f"{rerank}")
