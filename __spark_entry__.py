@@ -34,6 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/verify_local.py checks ALL entries every time — including
 # under the driver-identical vanilla session (--vanilla).
 PRIORITY = [
+    # --- round-8 additions (same-round-PRIORITY rule: never-evaluated
+    # names head the gate the round they are born) ---
+    "pii_redaction_stats", "w_sliding_topk", "stream_session_dynamic_gap",
     # --- round-7 additions (VERDICT r6 next-round #1/#2/#4/#5) ---
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
     "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",

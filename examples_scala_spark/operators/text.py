@@ -621,3 +621,50 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     n_failed = sum(F.when(~F.col(k), 1).otherwise(0) for k in flags)
     return (out.withColumn("n_failed", n_failed.cast("int"))
             .withColumn("keep", F.col("n_failed") == 0))
+
+
+# ----------------------------------------------------------------------
+# PII detection / redaction — the standard scrub stage of web-corpus
+# curation (C4 removed pages by blocklist; Dolma/RefinedWeb-style
+# pipelines regex-redact emails, phone numbers and IP addresses before
+# training). Patterns are written WITHOUT backslash escapes
+# ([.] / [+] / [0-9] classes only) so the exact same pattern string is
+# valid and IDENTICAL in meaning under Java regex (Spark) and RE2
+# (DuckDB oracle) — no lookarounds, no shorthand classes, both engines
+# match leftmost-first.
+# ----------------------------------------------------------------------
+
+# (kind, pattern, replacement token) — redaction applies in list order;
+# tokens contain no digits/dots/@ so an earlier replacement can never
+# create a later match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", "[+]1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+     "<IP>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII counts + redacted text, fully JVM-side (regexp
+    built-ins, zero Python in the row path, no shuffle — runs at
+    parquet-scan speed at any corpus size). Counts are taken on the
+    ORIGINAL text per pattern; redaction chains the patterns in
+    PII_PATTERNS order (email before ipv4, so a dotted mail domain is
+    consumed as part of the email match, never double-redacted).
+
+    Returns (id_col, n_emails, n_phones, n_ipv4s, redacted,
+    redacted_len).
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+         .cast("bigint").alias(f"n_{kind}s")
+        for kind, pat, _ in PII_PATTERNS]
+    red = F.col(text_col)
+    for _, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return docs.select(
+        F.col(id_col), *counts, red.alias("redacted"),
+        F.length(red).cast("bigint").alias("redacted_len"))

@@ -11756,3 +11756,202 @@ def ann_recall_truncated(spark, sf_dir):
                     F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
                     F.round(F.coalesce("hits", F.lit(0)) / 5.0, 6)
                     .alias("recall")))
+
+
+# ======================================================================
+# Round 8: PII redaction, sliding-window top-k, streaming dynamic-gap
+# sessions
+# ======================================================================
+
+@register(
+    "pii_redaction_stats",
+    """
+    WITH enr AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' contact u' || doc_id::VARCHAR || '@ex'
+                       || (doc_id % 7)::VARCHAR || '.org'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' call +1-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                       || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.3.'
+                       || ((doc_id * 7) % 250)::VARCHAR
+                  ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(t,
+             '[+]1-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(t,
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))::BIGINT
+             AS n_ipv4s,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[+]1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+             '<IP>', 'g') AS redacted,
+           length(regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[+]1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+             '<IP>', 'g'))::BIGINT AS redacted_len
+    FROM enr""",
+    "llm", "pii", "redaction",
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII detection + redaction (operators/text.py:pii_redact) — the
+    scrub stage every web-corpus curation pipeline runs before
+    training (C4/Dolma-style regex redaction of emails, phone
+    numbers, IPv4 addresses). The synthetic corpus carries no real
+    PII, so the query first ENRICHES each doc deterministically from
+    doc_id (doc_id % 3 -> an email, % 5 -> a phone, % 4 -> an IP —
+    overlapping moduli give docs with 0-3 PII kinds); both engines
+    build the identical enriched text, so the oracle genuinely
+    exercises match + replacement semantics, not just zeros. Patterns
+    use only bracket classes ([.], [+], [0-9]) — the same string is
+    semantically identical under Java regex and RE2, with no
+    lookarounds or shorthand escapes. Plan: pure narrow projection,
+    zero shuffles, codegen'd regexp over one scan — at 100 TB this is
+    parquet-scan-bound, the correct shape for a per-doc scrub."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import pii_redact
+
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact u"), did.cast("string"),
+                        F.lit("@ex"), (did % 7).cast("string"),
+                        F.lit(".org"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call +1-"),
+                        F.lpad((did % 1000).cast("string"), 3, "0"),
+                        F.lit("-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+         .otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" from 10."), (did % 200).cast("string"),
+                        F.lit(".3."), ((did * 7) % 250).cast("string")))
+         .otherwise(F.lit("")))
+    return pii_redact(docs.select("doc_id", enriched.alias("text")))
+
+
+@register(
+    "w_sliding_topk",
+    """
+    WITH m AS (
+      SELECT event_type,
+             (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS w_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k),
+    a AS (
+      SELECT w_start, event_type, count(*)::BIGINT AS cnt
+      FROM m GROUP BY 1, 2),
+    r AS (
+      SELECT w_start, event_type, cnt,
+             row_number() OVER (PARTITION BY w_start
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM a)
+    SELECT w_start AS window_start, rnk::BIGINT AS rnk, event_type, cnt
+    FROM r WHERE rnk <= 3""",
+    "reference", "sliding", "topk",
+)
+def w_sliding_topk(spark, sf_dir):
+    """Top-k ranking inside each sliding window — the trending-items
+    shape (per 1-hour window hopping every 15 minutes, the 3 busiest
+    event types with their counts; ROADMAP r7 candidate completing
+    the sliding-window family beyond plain aggregates). Two-stage
+    plan: window(size, slide) expands each row to its 4 covering
+    windows BEFORE the partial aggregate (so the first shuffle moves
+    partial counts, not row copies), then row_number over (window)
+    ranks the per-window key counts. The rank partition holds at most
+    |event_type domain| rows per window — small here; for unbounded
+    key domains the TakeOrdered/bounded-heap pattern replaces the
+    rank window, which is why the rank stage sits AFTER the count
+    aggregation, never over raw events. Ties break on event_type on
+    both engines; window starts are slide-aligned whole seconds."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy("window").orderBy(F.col("cnt").desc(),
+                                             "event_type")
+    return (agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select(F.col("window.start").cast("long").alias("window_start"),
+                    "rnk", "event_type", "cnt"))
+
+
+@register(
+    "stream_session_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS tu,
+             (300 + (event_id % 3) * 600) * 1000000 AS g, value
+      FROM events),
+    mx AS (SELECT max(tu) AS mx FROM e),
+    f AS (
+      SELECT event_type, tu, g, value,
+             max(tu + g) OVER (PARTITION BY event_type ORDER BY tu, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e),
+    s AS (
+      SELECT event_type, tu, g, value,
+             sum(CASE WHEN prev_end IS NULL OR tu > prev_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY tu, g
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+    a AS (
+      SELECT event_type, min(tu) AS session_start_us,
+             max(tu + g) AS session_end_us,
+             count(*)::BIGINT AS cnt,
+             round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
+               AS avg_value
+      FROM s GROUP BY event_type, sid)
+    SELECT event_type, session_start_us, session_end_us, cnt, avg_value
+    FROM a, mx WHERE session_end_us <= mx""",
+    "streaming", "session", "dynamic-gap",
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap session windows as REAL Structured Streaming — the
+    streaming complement of the batch `w_session_dynamic_gap` (the
+    last cell of the window matrix: the per-row gap expression under
+    watermarked append mode). Gap = 5/15/25 min by event_id % 3, so
+    the oracle can replay the merge exactly: per key a session
+    continues while an event's time <= the running max of
+    (t_i + gap_i), session end = max(t_i + g_i) — NOT last event +
+    constant. Append mode emits a session exactly once when the
+    watermark passes its end; the oracle keeps sessions whose end <=
+    the final watermark (max event time, 0 s delay) — trailing
+    still-open sessions correctly stay in state, not in the output.
+    Exact-DECIMAL sums make state-merge order unobservable in the
+    hash. State is O(open sessions x types), watermark-evicted."""
+    tune(spark)
+    src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
+    gap = (F.when(F.col("event_id") % 3 == 0, F.lit("5 minutes"))
+           .when(F.col("event_id") % 3 == 1, F.lit("15 minutes"))
+           .otherwise(F.lit("25 minutes")))
+    agg = (src.withWatermark("ts", "0 seconds")
+           .groupBy(F.session_window("ts", gap), "event_type")
+           .agg(F.count("*").alias("cnt"),
+                F.sum(dec("value")).alias("sm")))
+    out = agg.select(
+        "event_type",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
+         .alias("avg_value"))
+    return _run_to_memory(spark, out, "stream_session_dynamic_gap_result")

@@ -290,3 +290,23 @@ def test_rerank_broadcasts_candidates(spark, sf_dir):
         f"rerank plan has {n_rerank} broadcast joins vs retriever's "
         f"{n_retr}; the candidate-fetch join is no longer broadcast\n"
         f"{rerank}")
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # round-8 additions
+    ("pii_redaction_stats", 0),  # narrow regexp projection, scan-bound
+    ("w_sliding_topk", 2),       # partial-agg shuffle + per-window rank
+])
+def test_round8_shuffle_budget(spark, sf_dir, name, max_shuffles):
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+    assert _shuffles(plan) <= max_shuffles, (
+        f"{name}: {_shuffles(plan)} shuffles > {max_shuffles}\n{plan}")
+
+
+def test_pii_redaction_stays_jvm_side(spark, sf_dir):
+    """The PII scrub must plan as pure codegen'd regexp — a Python
+    stage here would turn a scan-bound pass into an Arrow round-trip
+    at 100 TB."""
+    plan = explain_str(REGISTRY["pii_redaction_stats"].fn(spark, sf_dir),
+                       "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
