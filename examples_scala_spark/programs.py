@@ -150,6 +150,37 @@ def session_windows(spark):
                     "n_readings", "peak"))
 
 
+@program("pii_scrub", "curation-pipeline scrub stage (no reference main; "
+                      "operators/text.py:pii_redact, oracle-proven by the "
+                      "pii_redaction_stats batch twin)")
+def pii_scrub(spark):
+    """Live PII scrub on a rate-source feed: every 3rd record embeds
+    an email, every 5th a phone, every 4th an IPv4 (the same
+    modulus scheme as the pii_redaction_stats oracle), and each
+    record emits its per-kind counts plus the redacted text — the
+    streaming form of the batch scrub stage. Stateless narrow
+    projection: runs at source speed at any rate."""
+    from .operators.text import pii_redact
+
+    r = (spark.readStream.format("rate")
+         .option("rowsPerSecond", "20").load())
+    v = F.col("value")
+    txt = F.concat(
+        F.lit("record "), v.cast("string"),
+        F.when(v % 3 == 0,
+               F.concat(F.lit(" contact u"), v.cast("string"),
+                        F.lit("@ex.org"))).otherwise(F.lit("")),
+        F.when(v % 5 == 0,
+               F.concat(F.lit(" call +1-"),
+                        F.lpad((v % 1000).cast("string"), 3, "0"),
+                        F.lit("-555-0199"))).otherwise(F.lit("")),
+        F.when(v % 4 == 0,
+               F.concat(F.lit(" from 10.0.0."),
+                        (v % 250).cast("string"))).otherwise(F.lit("")))
+    docs = r.select(v.alias("doc_id"), txt.alias("text"))
+    return pii_redact(docs)
+
+
 @program("process_function_timers", "chapter6/ProcessFunctionTimers.scala:14-97",
          output_mode="update")
 def process_function_timers(spark):

@@ -20,7 +20,8 @@ def test_every_program_builds(spark):
 @pytest.mark.parametrize("name", ["average_sensor_readings",
                                   "keyed_transformations",
                                   "custom_window",
-                                  "session_windows"])
+                                  "session_windows",
+                                  "pii_scrub"])
 def test_program_runs_live(spark, name):
     """Start on the live rate source, let a few micro-batches run,
     assert the query makes progress without error."""
