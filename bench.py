@@ -198,7 +198,11 @@ def main() -> None:
                  # round-7 additions: windows + paper-exact ExactSubstr
                  "w_session_stats", "w_sliding_avg",
                  "substring_dedup_suffix", "substring_dedup_scrub",
-                 "w_session_dynamic_gap", "stream_session_stats"]:
+                 "w_session_dynamic_gap", "stream_session_stats",
+                 # round-8 additions: PII scrub, sliding top-k,
+                 # streaming dynamic-gap sessions
+                 "pii_redaction_stats", "w_sliding_topk",
+                 "stream_session_dynamic_gap"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",
