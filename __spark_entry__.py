@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # under the driver-identical vanilla session (--vanilla).
 PRIORITY = [
     # --- round-8 additions (same-round-PRIORITY rule: never-evaluated
-    # names head the gate the round they are born) ---
+    # names head the gate the round they are born; all three verified
+    # green under the vanilla session at sf0.01 before landing) ---
     "pii_redaction_stats", "w_sliding_topk", "stream_session_dynamic_gap",
     # --- round-7 additions (VERDICT r6 next-round #1/#2/#4/#5) ---
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
