@@ -38,6 +38,7 @@ PRIORITY = [
     # names head the gate the round they are born; all three verified
     # green under the vanilla session at sf0.01 before landing) ---
     "pii_redaction_stats", "w_sliding_topk", "stream_session_dynamic_gap",
+    "ann_topk_hamming", "ann_hamming_recall", "dup_ngram_char_fraction",
     # --- round-7 additions (VERDICT r6 next-round #1/#2/#4/#5) ---
     "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
     "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",

@@ -202,7 +202,11 @@ def main() -> None:
                  # round-8 additions: PII scrub, sliding top-k,
                  # streaming dynamic-gap sessions
                  "pii_redaction_stats", "w_sliding_topk",
-                 "stream_session_dynamic_gap"]:
+                 "stream_session_dynamic_gap",
+                 # round-8 late additions: binary-quantized ANN +
+                 # Gopher dup-ngram coverage
+                 "ann_topk_hamming", "ann_hamming_recall",
+                 "dup_ngram_char_fraction"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

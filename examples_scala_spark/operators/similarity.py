@@ -815,3 +815,58 @@ def rerank_cross_encoder(docs: DataFrame, candidates: DataFrame,
          .alias("final_score"))
     w = Window.orderBy(F.col("final_score").desc(), id_col)
     return out.withColumn("rerank", F.row_number().over(w).cast("bigint"))
+
+
+# ----------------------------------------------------------------------
+# Binary (sign) quantization + Hamming ANN — the 32x-compression
+# serving trend (one bit per dimension): pack sign bits into two
+# BIGINT words, score candidates with xor + popcount. SIMD-friendly
+# on any engine, and the index is 16 bytes/vector regardless of
+# dimension precision — the footprint step BELOW int8 quantization
+# (embedding_int8_quant measures the precision half of that family).
+# ----------------------------------------------------------------------
+
+def sign_pack_expr(vec: str, lo: int, n: int) -> F.Column:
+    """Pack sign bits lo..lo+n-1 of array column `vec` (bit set iff
+    component > 0) into a BIGINT with an integer fold. n <= 32 keeps
+    every partial positive and int64-exact; the identical construct
+    in DuckDB is list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT <<
+    (i - lo) ...]). No float arithmetic anywhere — the sign decision
+    is a comparison, so the words are engine-identical bit-for-bit."""
+    return F.expr(
+        f"aggregate(sequence({lo}, {lo + n - 1}), 0L, (acc, i) -> "
+        f"acc + IF(element_at({vec}, i + 1) > 0, "
+        f"shiftleft(1L, i - {lo}), 0L))")
+
+
+def hamming_topk(emb: DataFrame, k: int = 10, query_mod: int = 50,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact Hamming top-k over sign-quantized vectors for query ids
+    (id % query_mod == 0). Same plan as brute_force_topk — broadcast
+    the tiny query side, one corpus scan, per-query rank window with
+    a deterministic (hamming, neighbor_id) tie-break — but the
+    scored payload is two BIGINTs per row and the distance is
+    xor + bit_count, i.e. whole-stage-codegen integer ops. At 100 TB
+    the packed index is corpus_rows x 16 bytes: small enough to
+    co-locate with any candidate-generation structure.
+
+    Output: (query_id, neighbor_id, rank, hamming)."""
+    half = dim // 2
+    packed = emb.select(
+        F.col(id_col),
+        sign_pack_expr(vec_col, 0, half).alias("w0"),
+        sign_pack_expr(vec_col, half, dim - half).alias("w1"))
+    queries = packed.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w0").alias("q0"), F.col("w1").alias("q1"))
+    scored = (packed.join(F.broadcast(queries))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)")
+                       .cast("bigint").alias("hamming")))
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"), "hamming"))

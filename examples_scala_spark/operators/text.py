@@ -668,3 +668,62 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col), *counts, red.alias("redacted"),
         F.length(red).cast("bigint").alias("redacted_len"))
+
+
+def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Gopher's within-doc repetition signal (Rae et al. 2021, Table
+    A1: "fraction of characters in duplicate n-grams"): the fraction
+    of word characters covered by the UNION of all word n-grams that
+    occur >= 2 times inside the document. Coverage-union semantics —
+    overlapping duplicate grams count each position once — which is
+    what makes this a character-budget signal rather than a gram
+    count (doc_repetition_stats carries the dup-word and top-bigram
+    siblings; this adds the n-gram family member).
+
+    Plan: every stage is keyed by doc_id (gram counting via a
+    (doc, gram) window, coverage-union via a (doc, pos) distinct,
+    char lookup via a (doc, pos) join) — no cross-doc state, no pair
+    joins; at 100 TB the widest payload is one row per word
+    position, and partial aggregation collapses everything map-side.
+
+    Output: (doc_id, n_words, word_chars, dup_ngram_chars,
+    dup_char_frac)."""
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+    toks = words.select(
+        F.col(id_col), F.posexplode("__w").alias("pos", "w"))
+    grams = words.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(__w) >= {n} THEN "
+            f"transform(sequence(0, size(__w) - {n}), "
+            f"i -> struct(i AS s, array_join(slice(__w, i + 1, {n}), ' ') "
+            f"AS g)) "
+            f"ELSE CAST(array() AS array<struct<s:int,g:string>>) END"
+        )).alias("sg"))
+    wg = Window.partitionBy(id_col, "sg.g")
+    dup_starts = (grams.withColumn("c", F.count("*").over(wg))
+                  .filter(F.col("c") >= 2))
+    cov = (dup_starts
+           .select(F.col(id_col),
+                   F.explode(F.expr(f"sequence(sg.s, sg.s + {n - 1})"))
+                    .alias("pos"))
+           .distinct())
+    dup_chars = (cov.join(toks, [id_col, "pos"])
+                 .groupBy(id_col)
+                 .agg(F.sum(F.length("w")).cast("bigint")
+                      .alias("dup_ngram_chars")))
+    totals = toks.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("word_chars"))
+    out = totals.join(dup_chars, id_col, "left")
+    dc = F.coalesce("dup_ngram_chars", F.lit(0)).cast("bigint")
+    return out.select(
+        F.col(id_col), "n_words", "word_chars",
+        dc.alias("dup_ngram_chars"),
+        F.when(F.col("word_chars") == 0, F.lit(0.0))
+         .otherwise(F.round(dc.cast("double") / F.col("word_chars"), 6))
+         .alias("dup_char_frac"))

@@ -11955,3 +11955,165 @@ def stream_session_dynamic_gap(spark, sf_dir):
         F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
          .alias("avg_value"))
     return _run_to_memory(spark, out, "stream_session_dynamic_gap_result")
+
+
+def _sign_pack_sql(lo: int, hi: int) -> str:
+    """DuckDB twin of similarity.sign_pack_expr: integer shift-sum of
+    sign bits lo..hi-1 (1-based component access matches element_at)."""
+    return (f"list_sum([CASE WHEN v[i + 1] > 0 "
+            f"THEN (1::BIGINT << (i - {lo})) ELSE 0::BIGINT END "
+            f"for i in range({lo}, {hi})])::BIGINT")
+
+
+_HAMMING_CTE = f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    p AS (
+      SELECT vec_id, {_sign_pack_sql(0, 32)} AS w0,
+             {_sign_pack_sql(32, 64)} AS w1
+      FROM e),
+    q AS (
+      SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+      FROM p WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             (bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)))::BIGINT
+               AS hamming
+      FROM p, q WHERE vec_id != query_id),
+    hr AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM s)"""
+
+
+@register(
+    "ann_topk_hamming",
+    _HAMMING_CTE + """
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank, hamming
+    FROM hr WHERE rank <= 10""",
+    "llm", "similarity",
+)
+def ann_topk_hamming(spark, sf_dir):
+    """Binary-quantization ANN (operators/similarity.py:hamming_topk):
+    sign-quantize each 64-dim vector to TWO BIGINT words (16 bytes —
+    32x below float32, the compression step beyond
+    embedding_int8_quant's int8), score with xor + popcount, exact
+    Hamming top-10 per query with the (hamming, neighbor_id)
+    tie-break. The pack is an integer fold over sign comparisons —
+    zero float arithmetic — so Spark and DuckDB produce the packed
+    words bit-for-bit and the whole ranking is engine-exact. Plan:
+    broadcast query side, one corpus scan, codegen'd integer ops;
+    at 100 TB the packed index is rows x 16 bytes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(emb, k=10, query_mod=50)
+
+
+@register(
+    "ann_hamming_recall",
+    _HAMMING_CTE + """,
+    n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS fv,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM embeddings),
+    fq AS (
+      SELECT vec_id AS query_id, fv AS qv, norm AS qnorm
+      FROM n WHERE vec_id % 50 = 0),
+    cr AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, fv) / (qnorm * norm) DESC,
+                        vec_id) AS rank
+      FROM n, fq WHERE vec_id != query_id)
+    SELECT h.query_id,
+           count(c.neighbor_id)::BIGINT AS hits,
+           round(count(c.neighbor_id) / 10.0, 6) AS recall
+    FROM (SELECT * FROM hr WHERE rank <= 10) h
+    LEFT JOIN (SELECT * FROM cr WHERE rank <= 10) c
+      ON h.query_id = c.query_id AND h.neighbor_id = c.neighbor_id
+    GROUP BY h.query_id""",
+    "llm", "similarity",
+)
+def ann_hamming_recall(spark, sf_dir):
+    """Recall@10 of the 16-byte Hamming index against full-precision
+    cosine truth — the measurement that decides whether 32x index
+    compression is servable (the binary-quantization counterpart of
+    ann_recall_truncated's dimension-halving and
+    embedding_int8_quant's precision MSE). Both rankings use
+    deterministic tie-breaks on engine-exact scores (integer
+    Hamming; float32-in-double cosine folds), so the top-10 SETS are
+    engine-identical and the per-query hit count is an exact
+    integer. Plan: two broadcast-query brute-force passes over one
+    corpus scan each + a k-rows-per-query join — no corpus-sized
+    shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ham = similarity.hamming_topk(emb, k=10, query_mod=50)
+    cos = similarity.brute_force_topk(emb, k=10, query_mod=50)
+    hits = (ham.select("query_id", "neighbor_id")
+            .join(cos.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("hits")))
+    return (ham.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+                    F.round(F.coalesce("hits", F.lit(0)) / 10.0, 6)
+                    .alias("recall")))
+
+
+@register(
+    "dup_ngram_char_fraction",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+      FROM w),
+    tok2 AS (SELECT doc_id, pos, ws[pos] AS word FROM tok),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws) - 4)) AS s, ws
+      FROM w WHERE len(ws) >= 5),
+    gg AS (
+      SELECT doc_id, s, array_to_string(ws[s : s + 4], ' ') AS gram
+      FROM g),
+    dup AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               count(*) OVER (PARTITION BY doc_id, gram) AS c
+        FROM gg) WHERE c >= 2),
+    covd AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(generate_series(s, s + 4)) AS pos FROM dup)),
+    dchars AS (
+      SELECT t.doc_id, sum(length(t.word))::BIGINT AS dup_ngram_chars
+      FROM tok2 t JOIN covd c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      GROUP BY t.doc_id),
+    tot AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(length(word))::BIGINT AS word_chars
+      FROM tok2 GROUP BY doc_id)
+    SELECT t.doc_id, n_words, word_chars,
+           COALESCE(dup_ngram_chars, 0)::BIGINT AS dup_ngram_chars,
+           CASE WHEN word_chars = 0 THEN 0.0
+                ELSE round(COALESCE(dup_ngram_chars, 0)::DOUBLE
+                           / word_chars, 6) END AS dup_char_frac
+    FROM tot t LEFT JOIN dchars d ON t.doc_id = d.doc_id""",
+    "llm", "text", "quality",
+)
+def dup_ngram_char_fraction(spark, sf_dir):
+    """Gopher's "fraction of characters in duplicate word n-grams"
+    (Rae et al. 2021 Table A1; n=5) —
+    operators/text.py:dup_ngram_char_fraction. Coverage-UNION
+    semantics: overlapping duplicate grams count each word position
+    once, making this a character-budget signal rather than a gram
+    count (the missing member next to doc_repetition_stats' dup-word
+    and top-bigram fractions). Every stage is doc_id-keyed (gram
+    window, coverage distinct, position join) — no cross-doc state,
+    no pair joins, partial aggregation throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import dup_ngram_char_fraction as _f
+
+    return _f(docs, n=5)

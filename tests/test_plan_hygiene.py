@@ -296,6 +296,10 @@ def test_rerank_broadcasts_candidates(spark, sf_dir):
     # round-8 additions
     ("pii_redaction_stats", 0),  # narrow regexp projection, scan-bound
     ("w_sliding_topk", 2),       # partial-agg shuffle + per-window rank
+    ("ann_topk_hamming", 1),     # broadcast queries + per-query rank
+    ("ann_hamming_recall", 6),   # two rank passes + hit join/agg
+    ("dup_ngram_char_fraction", 5),  # all doc_id-keyed: gram window,
+                                     # coverage distinct, char join, totals
 ])
 def test_round8_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")

@@ -86,3 +86,54 @@ class TestSlidingTopK:
                .orderBy("rnk").collect())
         assert [(r.event_type, r.cnt, r.rnk) for r in out] == [
             ("a", 3, 1), ("b", 3, 2), ("c", 1, 3)]
+
+
+class TestSignPackHamming:
+    def test_sign_pack_known_bits(self, spark):
+        from examples_scala_spark.operators.similarity import sign_pack_expr
+        df = spark.createDataFrame(
+            [(1, [1.0, -1.0, 0.0, 2.0])], "vec_id long, embedding array<double>")
+        r = df.select(sign_pack_expr("embedding", 0, 4).alias("w")).collect()[0]
+        # bit0: 1.0>0 set; bit1: -1.0 no; bit2: 0.0 NOT >0; bit3: 2.0 set
+        assert r.w == 0b1001
+
+    def test_hamming_topk_exact_distances(self, spark):
+        from examples_scala_spark.operators.similarity import hamming_topk
+        # 4-dim vectors, query id 0; signs: v0=1111, v1=1110, v2=0000
+        rows = [(0, [1.0, 1.0, 1.0, 1.0]),
+                (1, [1.0, 1.0, 1.0, -1.0]),
+                (2, [-1.0, -1.0, -1.0, -1.0]),
+                (3, [1.0, -1.0, 1.0, -1.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = hamming_topk(emb, k=3, query_mod=100, dim=4)
+        got = [(r.neighbor_id, r.hamming, r.rank)
+               for r in out.orderBy("rank").collect()]
+        assert got == [(1, 1, 1), (3, 2, 2), (2, 4, 3)]
+
+
+class TestDupNgramCharFraction:
+    def _run(self, spark, text):
+        from examples_scala_spark.operators.text import dup_ngram_char_fraction
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return dup_ngram_char_fraction(df, n=5).collect()[0]
+
+    def test_repeated_gram_union_coverage(self, spark):
+        # "a b c d e" occurs at word positions 0 and 5; coverage is the
+        # UNION 0..9 (10 of 11 single-char words)
+        r = self._run(spark, "a b c d e a b c d e x")
+        assert (r.n_words, r.word_chars, r.dup_ngram_chars) == (11, 11, 10)
+        assert r.dup_char_frac == round(10 / 11, 6)
+
+    def test_overlapping_grams_count_positions_once(self, spark):
+        # both 5-grams of six identical words are duplicates; the union
+        # covers every position exactly once -> fraction 1.0
+        r = self._run(spark, "a a a a a a")
+        assert (r.dup_ngram_chars, r.dup_char_frac) == (6, 1.0)
+
+    def test_no_duplicates(self, spark):
+        r = self._run(spark, "a b c d e f")
+        assert (r.dup_ngram_chars, r.dup_char_frac) == (0, 0.0)
+
+    def test_short_doc_has_no_grams(self, spark):
+        r = self._run(spark, "a b c")
+        assert (r.n_words, r.dup_ngram_chars, r.dup_char_frac) == (3, 0, 0.0)
