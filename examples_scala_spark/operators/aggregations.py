@@ -144,3 +144,29 @@ def avg_temp_pandas_udaf(df: DataFrame, key: str = "id",
         return float(v.sum() / len(v)) if len(v) else float("nan")
 
     return df.groupBy(key).agg(mean_udaf(F.col(temp_col)).alias("avg_temp"))
+
+
+# --- trending top-k over sliding windows ------------------------------
+
+def sliding_topk(events: DataFrame, size: str = "1 hour",
+                 slide: str = "15 minutes", k: int = 3,
+                 key_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Top-k keys per sliding window (the trending-items shape).
+    Two-stage plan: window(size, slide) expands each row to its
+    covering windows BEFORE the partial aggregate (the first shuffle
+    moves partial counts, not row copies), then row_number over
+    (window) ranks the per-window key counts. The rank partition
+    holds at most |key domain| rows per window; for unbounded key
+    domains the TakeOrdered/bounded-heap pattern replaces the rank
+    window — which is why the rank stage sits AFTER the count
+    aggregation, never over raw events. Ties break on key_col.
+
+    Output: (window_start BIGINT epoch-s, rnk, key_col, cnt)."""
+    agg = (events.groupBy(F.window(ts_col, size, slide), key_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy("window").orderBy(F.col("cnt").desc(), key_col)
+    return (agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("window.start").cast("long").alias("window_start"),
+                    "rnk", key_col, "cnt"))

@@ -832,7 +832,14 @@ def sign_pack_expr(vec: str, lo: int, n: int) -> F.Column:
     every partial positive and int64-exact; the identical construct
     in DuckDB is list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT <<
     (i - lo) ...]). No float arithmetic anywhere — the sign decision
-    is a comparison, so the words are engine-identical bit-for-bit."""
+    is a comparison, so the words are engine-identical bit-for-bit.
+
+    Enforced, not just documented (ADVICE r8): Java's shiftleft wraps
+    the shift count mod 64, so n > 32 (or a negative lo) would return
+    plausible-but-colliding packs instead of failing — misuse must
+    fail loudly here."""
+    assert 1 <= n <= 32, f"sign_pack_expr packs at most 32 bits, got n={n}"
+    assert lo >= 0, f"sign_pack_expr needs lo >= 0, got lo={lo}"
     return F.expr(
         f"aggregate(sequence({lo}, {lo + n - 1}), 0L, (acc, i) -> "
         f"acc + IF(element_at({vec}, i + 1) > 0, "
@@ -852,6 +859,10 @@ def hamming_topk(emb: DataFrame, k: int = 10, query_mod: int = 50,
     co-locate with any candidate-generation structure.
 
     Output: (query_id, neighbor_id, rank, hamming)."""
+    assert 2 <= dim <= 64, (
+        f"hamming_topk packs dim bits into two BIGINT words; dim={dim} "
+        "exceeds the 64-bit capacity (shiftleft would wrap mod 64 and "
+        "silently collide bit packs)")
     half = dim // 2
     packed = emb.select(
         F.col(id_col),

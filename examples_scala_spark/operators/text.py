@@ -655,14 +655,31 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
     PII_PATTERNS order (email before ipv4, so a dotted mail domain is
     consumed as part of the email match, never double-redacted).
 
+    Count-vs-token caveat (ADVICE r8, pinned by unit test): because
+    counts read the ORIGINAL text while redaction chains, n_<kind>s
+    is "matches of this pattern in the raw doc", NOT "occurrences of
+    the <KIND> token in `redacted`". A dotted quad embedded inside an
+    email's domain (u@mail.1.2.3.44.com) increments n_ipv4s but is
+    consumed whole by the earlier <EMAIL> replacement, so n_ipv4s can
+    exceed the <IP> token count. Relatedly the naive C4-style IPv4
+    pattern matches out-of-range quads (999.999.999.999) and
+    sub-quads of longer dotted runs — standard for corpus scrubs, but
+    do not treat n_ipv4s as a precision signal.
+
+    NULL text is coalesced to '' at entry so null-doc behavior is
+    defined (all counts 0, redacted = '') and engine-identical —
+    without it regexp on NULL yields NULL counts in Spark while a
+    SQL twin may differ (ADVICE r8).
+
     Returns (id_col, n_emails, n_phones, n_ipv4s, redacted,
     redacted_len).
     """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0)))
          .cast("bigint").alias(f"n_{kind}s")
         for kind, pat, _ in PII_PATTERNS]
-    red = F.col(text_col)
+    red = txt
     for _, pat, tok in PII_PATTERNS:
         red = F.regexp_replace(red, pat, tok)
     return docs.select(
@@ -688,11 +705,17 @@ def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
     joins; at 100 TB the widest payload is one row per word
     position, and partial aggregation collapses everything map-side.
 
+    NULL text is coalesced to '' at entry (ADVICE r8) so a null doc
+    behaves exactly like an empty one — split(trim('')) yields a
+    single zero-length word, so n_words = 1 with word_chars = 0 and
+    frac 0.0 — instead of silently dropping out of the gram stages.
+
     Output: (doc_id, n_words, word_chars, dup_ngram_chars,
     dup_char_frac)."""
     words = docs.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+         .alias("__w"))
     toks = words.select(
         F.col(id_col), F.posexplode("__w").alias("pos", "w"))
     grams = words.select(

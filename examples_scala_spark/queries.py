@@ -11880,16 +11880,12 @@ def w_sliding_topk(spark, sf_dir):
     key domains the TakeOrdered/bounded-heap pattern replaces the
     rank window, which is why the rank stage sits AFTER the count
     aggregation, never over raw events. Ties break on event_type on
-    both engines; window starts are slide-aligned whole seconds."""
-    ev = _t(spark, sf_dir, "events")
-    agg = (ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-    w = Window.partitionBy("window").orderBy(F.col("cnt").desc(),
-                                             "event_type")
-    return (agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rnk") <= 3)
-            .select(F.col("window.start").cast("long").alias("window_start"),
-                    "rnk", "event_type", "cnt"))
+    both engines; window starts are slide-aligned whole seconds.
+    The plan lives in operators/aggregations.py:sliding_topk so the
+    unit tests exercise the exact shipped logic against synthetic
+    sources (ADVICE r8: no inline re-implementation drift)."""
+    from .operators.aggregations import sliding_topk
+    return sliding_topk(_t(spark, sf_dir, "events"))
 
 
 @register(

@@ -75,14 +75,12 @@ class TestSlidingTopK:
             "event_type",
             F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
              .alias("ts"))
-        agg = (ev.groupBy(F.window("ts", "1 hour", "15 minutes"),
-                          "event_type")
-               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
-            .partitionBy("window").orderBy(F.col("cnt").desc(), "event_type")
-        out = (agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-               .filter(F.col("rnk") <= 3)
-               .filter(F.col("window.start").cast("long") == 0)
+        # the SHIPPED plan (operators/aggregations.py:sliding_topk is
+        # what REGISTRY['w_sliding_topk'] calls), not an inline
+        # re-implementation that could drift (ADVICE r8)
+        from examples_scala_spark.operators.aggregations import sliding_topk
+        out = (sliding_topk(ev)
+               .filter(F.col("window_start") == 0)
                .orderBy("rnk").collect())
         assert [(r.event_type, r.cnt, r.rnk) for r in out] == [
             ("a", 3, 1), ("b", 3, 2), ("c", 1, 3)]

@@ -1,0 +1,78 @@
+"""Round-9 ADVICE pins: PII count-vs-token divergence, NULL-text
+entry behavior, sign-pack capacity guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from examples_scala_spark.operators.similarity import (
+    hamming_topk,
+    sign_pack_expr,
+)
+from examples_scala_spark.operators.text import (
+    dup_ngram_char_fraction,
+    pii_redact,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestPiiCountTokenDivergence:
+    def test_ip_inside_email_domain_counts_but_no_ip_token(self, spark):
+        # The dotted quad is a sub-match of the email's domain: the
+        # ipv4 COUNT (taken on the original text) sees it, but the
+        # chained redaction consumes the whole address as <EMAIL>
+        # first, so the redacted text carries no <IP> token. This
+        # divergence is documented in pii_redact's docstring — the
+        # test pins it so a future "fix" is a conscious choice.
+        out = pii_redact(_docs(spark, [
+            (1, "x u@mail.1.2.3.44.com y"),
+        ])).collect()[0]
+        assert out.n_emails == 1
+        assert out.n_ipv4s == 1          # counted on original text
+        assert out.redacted == "x <EMAIL> y"
+        assert "<IP>" not in out.redacted  # != n_ipv4s occurrences
+
+    def test_out_of_range_quads_match(self, spark):
+        # naive C4-style pattern: 999.999.999.999 is matched/redacted
+        # even though it is not a valid address — documented caveat
+        out = pii_redact(_docs(spark, [(1, "a 999.999.999.999 b")])) \
+            .collect()[0]
+        assert out.n_ipv4s == 1
+        assert out.redacted == "a <IP> b"
+
+
+class TestNullTextEntry:
+    def test_pii_redact_null_text_defined(self, spark):
+        out = pii_redact(_docs(spark, [(1, None)])).collect()[0]
+        assert (out.n_emails, out.n_phones, out.n_ipv4s) == (0, 0, 0)
+        assert out.redacted == ""
+        assert out.redacted_len == 0
+
+    def test_dup_ngram_null_text_defined(self, spark):
+        # null coalesces to '' -> split(trim('')) = [''] -> one
+        # zero-length word, frac 0.0; the doc is NOT dropped
+        out = dup_ngram_char_fraction(_docs(spark, [(1, None)])) \
+            .collect()[0]
+        assert out.n_words == 1
+        assert out.word_chars == 0
+        assert out.dup_ngram_chars == 0
+        assert out.dup_char_frac == 0.0
+
+
+class TestSignPackGuards:
+    def test_sign_pack_rejects_wide_packs(self):
+        with pytest.raises(AssertionError):
+            sign_pack_expr("v", 0, 33)
+        with pytest.raises(AssertionError):
+            sign_pack_expr("v", -1, 8)
+        with pytest.raises(AssertionError):
+            sign_pack_expr("v", 0, 0)
+
+    def test_hamming_topk_rejects_dim_over_64(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0] * 65)], "vec_id long, embedding array<double>")
+        with pytest.raises(AssertionError):
+            hamming_topk(emb, dim=65)
