@@ -21,73 +21,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The per-round correctness gate evaluates queries in dict order with a
-# bounded budget (~50 per round). After the r6 gate every one of the
-# 245 r6-era registry names has a green driver row and the latest
-# status of each is green — evidence debt zero (VERDICT r6). Round 7
-# UNFREEZES the registry under the same-round-PRIORITY rule (VERDICT
-# r6 #1): every query added this round sits at the very head of
-# PRIORITY so it lands inside the ~50-query driver gate the same
-# round it is born, never creating new evidence debt. Head order =
-# the r7 additions (session/sliding windows first per the verdict,
-# then suffix-array ExactSubstr, cross-encoder rerank, KLL), then
-# previously-proven high-value names filling the ~50 budget.
-# tools/verify_local.py checks ALL entries every time — including
-# under the driver-identical vanilla session (--vanilla).
+# bounded budget (~50 per round). Cumulative state after r8: all 260
+# registry names driver-evaluated, latest status green, evidence debt
+# zero (VERDICT r8). PRIORITY now holds ONLY the same-round head
+# (VERDICT r8 #1): names born or semantically changed THIS round, so
+# they are gate-proven the round they change. Everything else rotates
+# automatically, oldest-latest-evidence-first, derived from the
+# recorded CORRECTNESS_r*.json history — so the ~190 tail queries
+# whose rows date from their birth rounds refresh through the gate a
+# few dozen per round instead of never. tools/verify_local.py still
+# checks ALL entries every time — including under the driver-identical
+# vanilla session (--vanilla).
 PRIORITY = [
-    # --- round-8 additions (same-round-PRIORITY rule: never-evaluated
-    # names head the gate the round they are born; all three verified
-    # green under the vanilla session at sf0.01 before landing) ---
-    "pii_redaction_stats", "w_sliding_topk", "stream_session_dynamic_gap",
-    "ann_topk_hamming", "ann_hamming_recall", "dup_ngram_char_fraction",
-    # --- round-7 additions (VERDICT r6 next-round #1/#2/#4/#5) ---
-    "w_session_stats", "w_sliding_avg", "substring_dedup_suffix",
-    "rerank_cross_encoder", "value_quantile_kll", "stream_session_stats",
-    "substring_dedup_scrub", "w_session_dynamic_gap",
-    "stream_sliding_avg",
-    # --- previously-proven high-value fill to the ~50 budget ---
-    "w_avg_temp", "rolling_max_by", "asof_smoke_alert",
-    "q1_pricing_summary", "q5_local_supplier", "dedup_exact",
-    "minhash_lsh_pairs", "ann_topk_bruteforce", "quality_score",
-    "stream_early_firing_multibatch", "stream_delta_alerts_smallbatch",
-    "bmp_decode_stats", "wav_decode_stats", "embedding_top_pc",
-    "pipeline_curation_v3", "setsim_jaccard_prefix",
-    "ann_topk_lsh_multiprobe", "segment_overlap_hll", "part_skyline",
-    "hybrid_retrieval_rrf",
-    # --- beyond the ~50 budget; kept for rotation stability ---
-    "stream_early_firing", "ann_topk_pq", "ann_topk_ivfpq",
-    "doc_compression_ratio", "stream_delta_alerts",
-    "events_cusum_drift", "stream_cusum_drift", "ab_test_zscores",
-    "stream_ab_guardrail", "vocab_coverage_curve",
-    "stream_manifest_maintenance", "stream_distinct_sketch",
-    "error_recent_clicks", "events_moving_avg",
-    "events_value_stats", "funnel_conversion", "events_json_props",
-    "doc_chunks", "corpus_stats_by_source", "shared_passages",
-    "events_zscore_anomalies", "user_retention_cohorts", "dedup_keep_best",
-    "lang_id_confusion", "scrub_audit_by_source", "doc_length_histogram",
-    "media_chunks", "customer_rfm_segments", "dataset_mixture_rates",
-    "jsonl_roundtrip", "csv_roundtrip", "mixture_temperature_rates",
-    "key_skew_report", "bm25_topk", "bloom_decontaminate",
-    "corpus_budget_selection", "zorder_clustered_scan",
-    "snapshot_diff_changelog", "corpus_shuffle_shards",
-    "substring_dup_stats", "token_cms_counts", "dataset_manifest",
-    "pipeline_curation_v2", "events_gap_fill",
-    "quality_percentile_by_source", "leakage_free_split",
-    "ivf_incremental_assign", "part_cooccurrence_lift",
+    # --- round-9: semantics changed this round (modulo-derived ANN
+    # query sets now hard-capped via orderBy(id).limit(max_queries),
+    # VERDICT r8 #2) — results differ from their last green rows, so
+    # they must re-prove inside this round's gate budget ---
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
+    "ann_topk_hamming", "ann_hamming_recall", "ann_recall_lsh",
+    "ann_topk_ivf", "ann_ndcg_mrr", "ann_recall_truncated",
 ]
 
 
-def _gate_history() -> dict[str, str]:
-    """Per-query outcome across every recorded gate run
+def _gate_history() -> dict[str, tuple[str, int]]:
+    """Per-query (outcome, latest round) across every recorded gate run
     (CORRECTNESS_r*.json, written into the repo by the driver each
     round): 'passed' if the latest check hash-matched (or rows-matched
-    for rows-only entries), else 'failed'. Absent = never evaluated."""
+    for rows-only entries), else 'failed'; the int is the round of
+    that latest row. Absent = never evaluated."""
     import glob
     import json
     import os
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    status: dict[str, str] = {}
+    status: dict[str, tuple[str, int]] = {}
 
     def round_no(p: str) -> int:
         # numeric sort: lexicographic glob order would break
@@ -97,6 +65,7 @@ def _gate_history() -> dict[str, str]:
 
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
                        key=round_no):
+        rno = round_no(path)
         try:
             rep = json.load(open(path))
         except Exception:
@@ -105,23 +74,31 @@ def _gate_history() -> dict[str, str]:
             ok = bool(res.get("hash_match")
                       or (res.get("err") is None and res.get("rows_match")
                           is not False and res.get("spark_rows") is not None))
-            status[name] = "passed" if ok else "failed"
+            status[name] = ("passed" if ok else "failed", rno)
     return status
 
 
 def _ordered_names() -> list[str]:
-    """Gate evaluation order. The budget covers ~50 queries per round,
-    so: manual PRIORITY head first, then rotation by recorded history —
+    """Gate evaluation order. The budget covers ~50 queries per round:
+    manual PRIORITY head first (this round's new/changed names), then
     never-evaluated queries, then previously-failed (re-prove fixes),
-    then previously-passed (cheapest to lose) — each group in
-    registration order."""
+    then previously-passed rotated OLDEST-latest-row-first — so stale
+    driver evidence refreshes instead of sitting behind a static fill
+    forever (VERDICT r8 #1). Registration order breaks ties, keeping
+    the rotation deterministic for a fixed history."""
     head = [n for n in PRIORITY if n in REGISTRY]
     seen = set(head)
     hist = _gate_history()
-    rank = {"passed": 2, "failed": 1}
-    tail = sorted(
-        (n for n in REGISTRY if n not in seen),
-        key=lambda n: rank.get(hist.get(n), 0))
+    reg_idx = {n: i for i, n in enumerate(REGISTRY)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        st = hist.get(n)
+        if st is None:
+            return (0, 0, reg_idx[n])          # never evaluated: first
+        outcome, rno = st
+        return (1 if outcome == "failed" else 2, rno, reg_idx[n])
+
+    tail = sorted((n for n in REGISTRY if n not in seen), key=key)
     return head + tail
 
 

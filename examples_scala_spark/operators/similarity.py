@@ -49,15 +49,23 @@ def cosine(l_vec, r_vec, l_norm, r_norm) -> F.Column:
 
 def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     max_queries: int = 256) -> DataFrame:
     """Exact cosine top-k for query vectors (id % query_mod == 0).
     Output: (query_id, neighbor_id, rank, cos). Broadcast the small
-    query side; rank ties broken by neighbor id for determinism."""
+    query side; rank ties broken by neighbor id for determinism.
+
+    The modulo-derived query set is hard-capped at max_queries via a
+    distributed ordered-limit (TakeOrdered) BEFORE the broadcast —
+    the same bounded-query contract as pq_adc_topk/ivfpq_topk
+    (VERDICT r8 #2): without it the broadcast side is corpus/mod and
+    candidate pairs grow quadratically with scale."""
     base = with_norm(emb, vec_col)
-    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
+    queries = (base.filter((F.col(id_col) % query_mod) == 0)
+               .orderBy(id_col).limit(int(max_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm")))
     scored = base.alias("b").join(F.broadcast(queries)) \
         .filter(F.col(id_col) != F.col("query_id")) \
         .select(
@@ -86,16 +94,21 @@ def lsh_signature(vec_col, num_planes: int, dim: int) -> F.Column:
 
 def lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
              num_planes: int = 8, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_queries: int = 256) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
     The join is an equi-join on the signature — at scale, bucket the
-    table by signature so lookups are partition-pruned."""
+    table by signature so lookups are partition-pruned. Query set
+    hard-capped at max_queries via ordered-limit before the
+    broadcast (same contract as brute_force_topk; VERDICT r8 #2)."""
     base = with_norm(emb, vec_col).withColumn(
         "sig", lsh_signature(F.col("v"), num_planes, dim))
-    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"), F.col("sig").alias("qsig"),
-    )
+    queries = (base.filter((F.col(id_col) % query_mod) == 0)
+               .orderBy(id_col).limit(int(max_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm"),
+                       F.col("sig").alias("qsig")))
     scored = (
         base.join(F.broadcast(queries), F.col("sig") == F.col("qsig"))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -210,7 +223,8 @@ def ivf_incremental_assign(index: DataFrame, changes: DataFrame,
 def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
              centroid_mod: int = 23, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             max_queries: int = 256) -> DataFrame:
     """IVF approximate top-k.
 
     1. centroids: trained means passed via `centroids`, else the
@@ -220,6 +234,10 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     3. probe: each query keeps its nprobe best cells.
     4. score: candidates = vectors whose cell is probed (equi-join on
        cell — the partition-pruned path at scale), exact cosine, top-k.
+
+    The modulo-derived query set is hard-capped at max_queries via
+    ordered-limit (VERDICT r8 #2); probes are semi-joined against the
+    SAME capped set so probing and scoring agree at any corpus size.
 
     Output: (query_id, neighbor_id, rank, cos).
     """
@@ -236,11 +254,14 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
               .select(F.col(id_col), F.col("cent_id").alias("cell")))
     data = base.join(assign, id_col)
 
-    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
-    probes = (affinity.filter((F.col(id_col) % query_mod) == 0)
+    queries = (base.filter((F.col(id_col) % query_mod) == 0)
+               .orderBy(id_col).limit(int(max_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("norm").alias("qnorm")))
+    probes = (affinity
+              .join(F.broadcast(queries.select(
+                  F.col("query_id").alias(id_col))), id_col, "left_semi")
               .withColumn("r", F.row_number().over(w_assign))
               .filter(F.col("r") <= nprobe)
               .select(F.col(id_col).alias("query_id"),
@@ -514,7 +535,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
 def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                         num_planes: int = 8, dim: int = 64,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_queries: int = 256) -> DataFrame:
     """Multi-probe LSH top-k: each query probes its own bucket AND
     every 1-bit-flip neighbor bucket (num_planes+1 probes) — the
     standard recall upgrade that needs NO index change: near vectors
@@ -522,17 +544,22 @@ def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     Hamming-1 neighbors recovers most of what single-bucket LSH loses
     (measured against brute force in tests). The probe set stays an
     equi-join on the signature (partition-prunable at scale); cost is
-    (num_planes+1) broadcast-side rows per query, not a bigger index."""
+    (num_planes+1) broadcast-side rows per query, not a bigger index.
+    The query set is hard-capped at max_queries via ordered-limit
+    BEFORE the probe explosion (VERDICT r8 #2), so the broadcast side
+    is <= max_queries * (num_planes+1) rows at any corpus size."""
     base = with_norm(emb, vec_col).withColumn(
         "sig", lsh_signature(F.col("v"), num_planes, dim))
     masks = [0] + [1 << p for p in range(num_planes)]
-    queries = base.filter((F.col(id_col) % query_mod) == 0).select(
+    queries = (base.filter((F.col(id_col) % query_mod) == 0)
+               .orderBy(id_col).limit(int(max_queries))
+               .select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
         F.explode(F.array(*[
             F.col("sig").bitwiseXOR(F.lit(m)) for m in masks
         ])).alias("psig"),
-    )
+    ))
     scored = (
         base.join(F.broadcast(queries), F.col("sig") == F.col("psig"))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -848,7 +875,8 @@ def sign_pack_expr(vec: str, lo: int, n: int) -> F.Column:
 
 def hamming_topk(emb: DataFrame, k: int = 10, query_mod: int = 50,
                  dim: int = 64, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 max_queries: int = 256) -> DataFrame:
     """Exact Hamming top-k over sign-quantized vectors for query ids
     (id % query_mod == 0). Same plan as brute_force_topk — broadcast
     the tiny query side, one corpus scan, per-query rank window with
@@ -856,7 +884,9 @@ def hamming_topk(emb: DataFrame, k: int = 10, query_mod: int = 50,
     scored payload is two BIGINTs per row and the distance is
     xor + bit_count, i.e. whole-stage-codegen integer ops. At 100 TB
     the packed index is corpus_rows x 16 bytes: small enough to
-    co-locate with any candidate-generation structure.
+    co-locate with any candidate-generation structure. Query set
+    hard-capped at max_queries via ordered-limit before the
+    broadcast (VERDICT r8 #2).
 
     Output: (query_id, neighbor_id, rank, hamming)."""
     assert 2 <= dim <= 64, (
@@ -868,9 +898,10 @@ def hamming_topk(emb: DataFrame, k: int = 10, query_mod: int = 50,
         F.col(id_col),
         sign_pack_expr(vec_col, 0, half).alias("w0"),
         sign_pack_expr(vec_col, half, dim - half).alias("w1"))
-    queries = packed.filter((F.col(id_col) % query_mod) == 0).select(
-        F.col(id_col).alias("query_id"),
-        F.col("w0").alias("q0"), F.col("w1").alias("q1"))
+    queries = (packed.filter((F.col(id_col) % query_mod) == 0)
+               .orderBy(id_col).limit(int(max_queries))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("w0").alias("q0"), F.col("w1").alias("q1")))
     scored = (packed.join(F.broadcast(queries))
               .filter(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),

@@ -1866,7 +1866,7 @@ _BRUTE_TOPK_SQL = """
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
     q AS (
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-      FROM n WHERE vec_id % 50 = 0),
+      FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
     scored AS (
       SELECT query_id, vec_id AS neighbor_id,
              list_dot_product(qv, v) / (qnorm * norm) AS cos
@@ -1912,7 +1912,7 @@ def _lsh_topk_sql(num_planes: int = 8, dim: int = 64) -> str:
       FROM e),
     q AS (
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm, sig AS qsig
-      FROM n WHERE vec_id % 50 = 0),
+      FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
     scored AS (
       SELECT query_id, vec_id AS neighbor_id,
              list_dot_product(qv, v) / (qnorm * norm) AS cos
@@ -1943,12 +1943,15 @@ _IVF_SQL = """
       FROM n, c),
     assign AS (
       SELECT vec_id, cent_id AS cell FROM affinity WHERE r = 1),
+    qs AS (
+      SELECT vec_id FROM n WHERE vec_id % 50 = 0
+      ORDER BY vec_id LIMIT 256),
     probes AS (
-      SELECT vec_id AS query_id, cent_id AS cell FROM affinity
-      WHERE vec_id % 50 = 0 AND r <= 2),
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM affinity JOIN qs USING (vec_id) WHERE r <= 2),
     q AS (
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm
-      FROM n WHERE vec_id % 50 = 0),
+      FROM n JOIN qs USING (vec_id)),
     scored AS (
       SELECT q.query_id, n.vec_id AS neighbor_id,
              list_dot_product(qv, v) / (qnorm * norm) AS cos
@@ -7997,7 +8000,7 @@ def _lsh_multiprobe_sql(num_planes: int = 8, dim: int = 64) -> str:
       FROM e),
     q AS (
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm, sig AS qsig
-      FROM n WHERE vec_id % 50 = 0),
+      FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
     scored AS (
       SELECT query_id, vec_id AS neighbor_id,
              list_dot_product(qv, v) / (qnorm * norm) AS cos
@@ -11704,7 +11707,7 @@ def bmp_dhash_dedup(spark, sf_dir):
     q AS (
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm,
              tv AS qtv, tnorm AS qtnorm
-      FROM n WHERE vec_id % 50 = 0),
+      FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
     fr AS (
       SELECT query_id, vec_id AS neighbor_id,
              row_number() OVER (
@@ -11969,7 +11972,7 @@ _HAMMING_CTE = f"""
       FROM e),
     q AS (
       SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
-      FROM p WHERE vec_id % 50 = 0),
+      FROM p WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
     s AS (
       SELECT query_id, vec_id AS neighbor_id,
              (bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)))::BIGINT
@@ -12014,7 +12017,7 @@ def ann_topk_hamming(spark, sf_dir):
       FROM embeddings),
     fq AS (
       SELECT vec_id AS query_id, fv AS qv, norm AS qnorm
-      FROM n WHERE vec_id % 50 = 0),
+      FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
     cr AS (
       SELECT query_id, vec_id AS neighbor_id,
              row_number() OVER (

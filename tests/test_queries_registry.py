@@ -117,18 +117,25 @@ def test_gate_ordering_invariants():
     # r7 additions, per the recorded CORRECTNESS history) must sit
     # inside the ~50 budget AND lead the PRIORITY head, so new names
     # are gate-proven the round they are born
-    hist0 = e._gate_history()
-    never = [n for n in REGISTRY if n not in hist0]
+    hist = e._gate_history()
+    never = [n for n in REGISTRY if n not in hist]
     for n in never:
         assert names.index(n) < 50, f"never-evaluated {n} outside budget"
+    # never-evaluated names must lead PRIORITY (same-round rule);
+    # changed-semantics re-proves may follow them inside PRIORITY
     head_new = [n for n in e.PRIORITY[:len(never)]]
     assert sorted(head_new) == sorted(never), (
         f"PRIORITY head {head_new} != never-evaluated set {never}")
-    hist = e._gate_history()
+    # round 9 (VERDICT r8 #1): the tail rotates automatically —
+    # never-evaluated first, then failed, then passed ordered by
+    # OLDEST latest driver row first, so stale evidence refreshes
     tail = names[len(e.PRIORITY):]
-    seen_passed = False
+    rank = []
     for n in tail:
-        if hist.get(n) == "passed":
-            seen_passed = True
-        elif hist.get(n) is None:
-            assert not seen_passed, f"never-checked {n} after passed entries"
+        st = hist.get(n)
+        if st is None:
+            rank.append((0, 0))
+        else:
+            outcome, rno = st
+            rank.append((1 if outcome == "failed" else 2, rno))
+    assert rank == sorted(rank), "tail not oldest-evidence-first"

@@ -76,3 +76,59 @@ class TestSignPackGuards:
             [(0, [1.0] * 65)], "vec_id long, embedding array<double>")
         with pytest.raises(AssertionError):
             hamming_topk(emb, dim=65)
+
+
+class TestMaxQueriesCap:
+    """VERDICT r8 #2: the modulo-derived ANN query sets are hard-capped
+    at max_queries via ordered-limit. The registry corpora never reach
+    the 256 default, so the BINDING case is pinned here with a small
+    cap: the surviving query set must be exactly the max_queries
+    SMALLEST qualifying ids (deterministic TakeOrdered), for every
+    capped builder."""
+
+    def _emb(self, spark, n=30, dim=8):
+        import math
+        rows = [(i, [math.sin(i * 31 + d * 7) + 0.01 for d in range(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def _qids(self, df):
+        return sorted(r.query_id for r in
+                      df.select("query_id").distinct().collect())
+
+    def test_brute_force_cap_binds(self, spark):
+        from examples_scala_spark.operators import similarity as sim
+        emb = self._emb(spark)
+        out = sim.brute_force_topk(emb, k=2, query_mod=5, max_queries=3)
+        assert self._qids(out) == [0, 5, 10]
+
+    def test_lsh_cap_binds(self, spark):
+        from examples_scala_spark.operators import similarity as sim
+        emb = self._emb(spark, dim=8)
+        out = sim.lsh_topk(emb, k=2, query_mod=5, num_planes=2, dim=8,
+                           max_queries=2)
+        assert set(self._qids(out)) <= {0, 5}
+
+    def test_multiprobe_cap_binds(self, spark):
+        from examples_scala_spark.operators import similarity as sim
+        emb = self._emb(spark, dim=8)
+        out = sim.lsh_multiprobe_topk(emb, k=2, query_mod=5,
+                                      num_planes=2, dim=8, max_queries=2)
+        assert set(self._qids(out)) <= {0, 5}
+
+    def test_hamming_cap_binds(self, spark):
+        from examples_scala_spark.operators import similarity as sim
+        emb = self._emb(spark, dim=8)
+        out = sim.hamming_topk(emb, k=2, query_mod=5, dim=8,
+                               max_queries=3)
+        assert self._qids(out) == [0, 5, 10]
+
+    def test_ivf_cap_binds_and_probes_agree(self, spark):
+        from examples_scala_spark.operators import similarity as sim
+        emb = self._emb(spark, n=40, dim=8)
+        out = sim.ivf_topk(emb, k=2, query_mod=5, centroid_mod=7,
+                           nprobe=2, max_queries=3)
+        # probes are semi-joined against the capped set, so no query
+        # outside the 3 smallest qualifying ids can appear
+        assert set(self._qids(out)) <= {0, 5, 10}
