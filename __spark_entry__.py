@@ -40,6 +40,9 @@ PRIORITY = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
     "ann_topk_hamming", "ann_hamming_recall", "ann_recall_lsh",
     "ann_topk_ivf", "ann_ndcg_mrr", "ann_recall_truncated",
+    # centroid-sample cap (same family): affinity stages were
+    # corpus x corpus/23 — now corpus x min(corpus/23, 256)
+    "ann_topk_ivfpq", "embedding_semantic_dedup", "ivf_incremental_assign",
 ]
 
 

@@ -127,14 +127,22 @@ def lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
 
 def sampled_centroids(base: DataFrame, centroid_mod: int = 23,
-                      id_col: str = "vec_id") -> DataFrame:
+                      id_col: str = "vec_id",
+                      max_centroids: int = 256) -> DataFrame:
     """Deterministic id-sampled centroids (cent_id, cv, cnorm) — the
     oracle-reproducible coarse quantizer; `train_centroids` is the
-    k-means upgrade."""
-    return base.filter((F.col(id_col) % centroid_mod) == 1).select(
-        F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
+    k-means upgrade.
+
+    Hard-capped at max_centroids via ordered-limit (the query-set cap's
+    sibling, VERDICT r8 #2 family): a modulo-only sample grows the
+    centroid count linearly with the corpus, which makes every
+    all-vectors x all-centroids affinity stage QUADRATIC in corpus
+    size. Production IVF fixes nlist and scales cell occupancy — the
+    cap reproduces that contract deterministically."""
+    return (base.filter((F.col(id_col) % centroid_mod) == 1)
+            .orderBy(id_col).limit(int(max_centroids))
+            .select(F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
+                    F.col("norm").alias("cnorm")))
 
 
 def train_centroids(emb: DataFrame, centroid_mod: int = 23,

@@ -1933,7 +1933,7 @@ _IVF_SQL = """
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
     c AS (
       SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-      FROM n WHERE vec_id % 23 = 1),
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id LIMIT 256),
     affinity AS (
       SELECT vec_id, cent_id,
              list_dot_product(v, cv) / (norm * cnorm) AS ccos,
@@ -6356,7 +6356,7 @@ def minhash_incremental(spark, sf_dir):
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
     c AS (
       SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-      FROM n WHERE vec_id % 23 = 1),
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id LIMIT 256),
     a AS (
       SELECT vec_id, cent_id, v, norm FROM (
         SELECT n.vec_id, c.cent_id, n.v, n.norm,
@@ -7890,7 +7890,7 @@ def leakage_free_split(spark, sf_dir):
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
     c AS (
       SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-      FROM n WHERE vec_id % 23 = 1),
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id LIMIT 256),
     affinity AS (
       SELECT vec_id, cent_id,
              row_number() OVER (PARTITION BY vec_id
@@ -10082,7 +10082,7 @@ def pipeline_curation_v3(spark, sf_dir):
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
     c AS (
       SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-      FROM n WHERE vec_id % 23 = 1),
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id LIMIT 256),
     affinity AS (
       SELECT vec_id, cent_id,
              row_number() OVER (PARTITION BY vec_id

@@ -132,3 +132,15 @@ class TestMaxQueriesCap:
         # probes are semi-joined against the capped set, so no query
         # outside the 3 smallest qualifying ids can appear
         assert set(self._qids(out)) <= {0, 5, 10}
+
+    def test_centroid_cap_binds(self, spark):
+        # sibling of the query-set cap: the id-sampled coarse
+        # quantizer must keep a FIXED centroid count as the corpus
+        # grows (production IVF nlist), so affinity stages stay
+        # linear in corpus size
+        from examples_scala_spark.operators import similarity as sim
+        base = sim.with_norm(self._emb(spark, n=40, dim=8))
+        cents = sim.sampled_centroids(base, centroid_mod=3,
+                                      max_centroids=4)
+        ids = sorted(r.cent_id for r in cents.collect())
+        assert ids == [1, 4, 7, 10]
