@@ -144,3 +144,26 @@ class TestMaxQueriesCap:
                                       max_centroids=4)
         ids = sorted(r.cent_id for r in cents.collect())
         assert ids == [1, 4, 7, 10]
+
+
+class TestSuffixDistinctReps:
+    def test_parity_with_direct_sort(self, spark):
+        # the distinct-representative sort (ROADMAP r9, default) must
+        # produce span-for-span identical output to the direct
+        # full-member window sort on a corpus with long repeats,
+        # multi-occurrence chunks, and early-finalizing members
+        from examples_scala_spark.operators.dedup import suffix_dup_spans
+        long_rep = "the quick brown fox jumps over the lazy dog " * 8
+        docs = spark.createDataFrame(
+            [(1, "A" * 10 + long_rep + "B" * 10),
+             (2, "C" * 5 + long_rep + "D" * 25),
+             (3, long_rep + long_rep),               # self-repeat
+             (4, "E" * 40 + long_rep[:47] + "F" * 9),  # partial
+             (5, "unique text with no repeats at all here okay")],
+            "doc_id long, text string")
+        a = suffix_dup_spans(docs, L=30, chunk=16, distinct_reps=False) \
+            .orderBy("doc_id", "span_start").collect()
+        b = suffix_dup_spans(docs, L=30, chunk=16, distinct_reps=True) \
+            .orderBy("doc_id", "span_start").collect()
+        assert a == b
+        assert len(a) > 0
