@@ -33,6 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks ALL entries every time — including under the driver-identical
 # vanilla session (--vanilla).
 PRIORITY = [
+    # --- round-9 additions (same-round rule: never-evaluated names
+    # lead the gate the round they are born; verified vanilla at
+    # sf0.01 before landing) ---
+    "top_ngram_char_fraction",
     # --- round-9: semantics changed this round (modulo-derived ANN
     # query sets now hard-capped via orderBy(id).limit(max_queries),
     # VERDICT r8 #2) — results differ from their last green rows, so

@@ -750,3 +750,75 @@ def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
         F.when(F.col("word_chars") == 0, F.lit(0.0))
          .otherwise(F.round(dc.cast("double") / F.col("word_chars"), 6))
          .alias("dup_char_frac"))
+
+
+def top_ngram_char_fraction(docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Gopher's OTHER repetition family (Rae et al. 2021, Table A1:
+    "fraction of characters in the most frequent n-gram", n = 2..4 —
+    the count-weighted sibling of dup_ngram_char_fraction's
+    coverage-union for n = 5..10): per doc and per n, the single most
+    frequent word n-gram, its occurrence count, and
+    count * gram_word_chars / total_word_chars. Occurrences multiply
+    (no overlap union) — that is the paper's definition for the
+    top-gram family; the dup family is where union semantics apply.
+
+    ZERO shuffles (the doc_repetition_stats trick generalized): the
+    most frequent gram's multiplicity is the longest equal-run in the
+    doc's SORTED gram array, and carrying the run's gram through the
+    fold also yields WHICH gram — the lexicographically smallest
+    among count ties, matching the oracle's (count DESC, gram ASC)
+    argmax. One narrow projection + explode over the n values; rows
+    never leave the scan task, so at 100 TB this runs at
+    parquet-scan speed like every per-doc signal here.
+
+    Tokens are lowercased [a-z0-9]+ runs (the doc_repetition_stats
+    tokenizer). Docs with fewer than n tokens emit no row for that n.
+    NULL text coalesces to '' at entry (no tokens -> no rows).
+
+    Output: (doc_id, n, top_gram, top_count, top_char_frac)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+               f"'[a-z0-9]+', 0)").alias("w"))
+
+    def fold(n: int) -> str:
+        # (prev, run, best, bg): longest equal-run + its gram over the
+        # sorted gram array; first gram reaching the best run is the
+        # lexicographic minimum among maxima (runs appear ascending)
+        return f"""CASE WHEN size(w) >= {n} THEN aggregate(
+          array_sort(transform(sequence(1, size(w) - {n} + 1),
+            i -> array_join(slice(w, i, {n}), ' '))),
+          named_struct('prev', cast(null as string),
+                       'run', cast(0 as bigint),
+                       'best', cast(0 as bigint),
+                       'bg', cast(null as string)),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1, cast(1 as bigint)),
+            'best', greatest(acc.best,
+                    IF(x <=> acc.prev, acc.run + 1, cast(1 as bigint))),
+            'bg', CASE WHEN IF(x <=> acc.prev, acc.run + 1,
+                               cast(1 as bigint)) > acc.best
+                       THEN x ELSE acc.bg END),
+          acc -> named_struct('cnt', acc.best, 'gram', acc.bg))
+        ELSE named_struct('cnt', cast(0 as bigint),
+                          'gram', cast(null as string)) END"""
+
+    per_n = F.array(*[
+        F.expr(f"named_struct('n', cast({n} as bigint), "
+               f"'r', {fold(n)})") for n in ns])
+    wc = F.expr("aggregate(w, cast(0 as bigint), "
+                "(a, x) -> a + length(x))")
+    rows = (toks
+            .select(F.col(id_col), wc.alias("wc"),
+                    F.explode(per_n).alias("e"))
+            .filter(F.col("e.r.cnt") > 0)
+            .select(F.col(id_col), F.col("e.n").alias("n"),
+                    F.col("e.r.gram").alias("top_gram"),
+                    F.col("e.r.cnt").alias("top_count"),
+                    F.round(F.col("e.r.cnt")
+                            * (F.length("e.r.gram") - (F.col("e.n") - 1))
+                            / F.col("wc"), 6).alias("top_char_frac")))
+    return rows

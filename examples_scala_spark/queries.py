@@ -12116,3 +12116,56 @@ def dup_ngram_char_fraction(spark, sf_dir):
     from .operators.text import dup_ngram_char_fraction as _f
 
     return _f(docs, n=5)
+
+
+# ======================================================================
+# Round 9: Gopher top-n-gram character fraction (n = 2, 3, 4)
+# ======================================================================
+
+@register(
+    "top_ngram_char_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),
+                                        '[a-z0-9]+') AS w
+      FROM documents),
+    ns AS (SELECT unnest([2, 3, 4]) AS n),
+    g AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(w) - n + 2),
+                    i -> array_to_string(w[i : i + n - 1], ' '))) AS gram,
+             list_sum(list_transform(w, x -> length(x))) AS wc
+      FROM toks CROSS JOIN ns
+      WHERE len(w) >= n),
+    c AS (
+      SELECT doc_id, n, gram, count(*)::BIGINT AS cnt, max(wc) AS wc
+      FROM g GROUP BY doc_id, n, gram),
+    r AS (
+      SELECT doc_id, n, gram, cnt, wc,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM c)
+    SELECT doc_id, n::BIGINT AS n, gram AS top_gram, cnt AS top_count,
+           round(cnt * (length(gram) - (n - 1)) / wc::DOUBLE, 6)
+             AS top_char_frac
+    FROM r WHERE rn = 1""",
+    "llm", "text", "quality",
+)
+def top_ngram_char_fraction(spark, sf_dir):
+    """Gopher's "fraction of characters in the MOST FREQUENT word
+    n-gram" for n = 2, 3, 4 (Rae et al. 2021 Table A1 — the
+    count-weighted family; dup_ngram_char_fraction carries the
+    coverage-union family for n >= 5). Per (doc, n): the argmax gram
+    by (count DESC, gram ASC), its count, and
+    count * gram_word_chars / total_word_chars.
+    operators/text.py:top_ngram_char_fraction.
+
+    Plan: ZERO shuffles — the doc_repetition_stats longest-equal-run
+    fold generalized to also CARRY the winning gram through the
+    aggregate, then one narrow explode over the three n values;
+    nothing leaves the scan task, so at 100 TB this is
+    parquet-scan-bound like every per-doc signal."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import top_ngram_char_fraction as _f
+
+    return _f(docs)

@@ -167,3 +167,39 @@ class TestSuffixDistinctReps:
             .orderBy("doc_id", "span_start").collect()
         assert a == b
         assert len(a) > 0
+
+
+class TestTopNgramCharFraction:
+    def test_hand_computed(self, spark):
+        from examples_scala_spark.operators.text import (
+            top_ngram_char_fraction,
+        )
+        # tokens: [a, b, a, b, a, c]  word_chars = 6
+        # bigrams: "a b" x2, "b a" x2, "a b" -> counts: a b:2, b a:2,
+        #   a c:1 -> argmax (2, "a b") lexicographic tie-break;
+        #   chars = 2 occurrences x 2 word chars / 6 = 0.666667
+        # trigrams: "a b a" x2, "b a b", "b a c" -> top ("a b a", 2);
+        #   2 x 3 / 6 = 1.0
+        # 4-grams: all distinct -> top count 1, lexicographically
+        #   smallest gram "a b a b" (4 word chars) -> 4/6 = 0.666667
+        docs = spark.createDataFrame(
+            [(1, "A b a B a c")], "doc_id long, text string")
+        out = {(r.n): r for r in top_ngram_char_fraction(docs).collect()}
+        assert out[2].top_gram == "a b" and out[2].top_count == 2
+        assert out[2].top_char_frac == 0.666667
+        assert out[3].top_gram == "a b a" and out[3].top_count == 2
+        assert out[3].top_char_frac == 1.0
+        assert out[4].top_gram == "a b a b" and out[4].top_count == 1
+        assert out[4].top_char_frac == 0.666667
+
+    def test_short_and_null_docs(self, spark):
+        from examples_scala_spark.operators.text import (
+            top_ngram_char_fraction,
+        )
+        docs = spark.createDataFrame(
+            [(1, "one two three"),   # rows for n=2,3 only
+             (2, "single"),          # no rows
+             (3, None)],             # no rows
+            "doc_id long, text string")
+        out = top_ngram_char_fraction(docs).collect()
+        assert sorted((r.doc_id, r.n) for r in out) == [(1, 2), (1, 3)]
