@@ -206,7 +206,9 @@ def main() -> None:
                  # round-8 late additions: binary-quantized ANN +
                  # Gopher dup-ngram coverage
                  "ann_topk_hamming", "ann_hamming_recall",
-                 "dup_ngram_char_fraction"]:
+                 "dup_ngram_char_fraction",
+                 # round-9 addition: Gopher top-n-gram char fraction
+                 "top_ngram_char_fraction"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",
