@@ -419,7 +419,11 @@ def substring_dup_stats(docs: DataFrame, L: int = 30,
             f"16, 10) AS BIGINT))")).alias("g")).localCheckpoint(eager=False)
     dup_hashes = (pos.groupBy("g").agg(F.count("*").alias("c"))
                   .filter(F.col("c") >= 2).select("g"))
-    per_doc = (pos.join(dup_hashes, "g")
+    # fact-fact join: dup_hashes is corpus-derived — pin SHJ so the
+    # planner can never elect a corpus-sized broadcast (the 100x probe
+    # caught exactly that: a 12 GiB BroadcastExchange in the suffix
+    # twin of this join)
+    per_doc = (pos.join(dup_hashes.hint("shuffle_hash"), "g")
                .groupBy(id_col).agg(F.count("*").alias("n_dup")))
     out = (eligible.select(F.col(id_col),
                            (F.col("n") - (L - 1)).alias("n_positions"))
@@ -480,7 +484,9 @@ def substring_dedup_rewrite(docs: DataFrame, L: int = 30,
                                   F.col("i").alias("i"))).alias("first"))
               .filter(F.col("c") >= 2)
               .select("g", "first"))
-    removed = (pos.join(firsts, "g")
+    # firsts is corpus-derived (one row per duplicated window) —
+    # pin SHJ, never broadcast at scale
+    removed = (pos.join(firsts.hint("shuffle_hash"), "g")
                .filter(~((F.col(id_col) == F.col("first.d"))
                          & (F.col("i") == F.col("first.i"))))
                .select(id_col, "i"))
@@ -552,8 +558,11 @@ def substring_dedup_incremental(history: DataFrame, incoming: DataFrame,
                 .select("g").distinct())
     pos = _window_hashes(incoming, L, text_col, id_col) \
         .localCheckpoint(eager=False)
-    in_hist = pos.join(hist_idx, "g", "leftsemi").select(id_col, "i")
-    batch_firsts = (pos.join(hist_idx, "g", "left_anti")
+    # hist_idx is history-corpus-sized — pin SHJ on all three joins
+    in_hist = (pos.join(hist_idx.hint("shuffle_hash"), "g", "leftsemi")
+               .select(id_col, "i"))
+    batch_firsts = (pos.join(hist_idx.hint("shuffle_hash"), "g",
+                             "left_anti")
                     .groupBy("g")
                     .agg(F.count("*").alias("c"),
                          F.min(F.struct(F.col(id_col).alias("d"),
@@ -561,7 +570,7 @@ def substring_dedup_incremental(history: DataFrame, incoming: DataFrame,
                           .alias("first"))
                     .filter(F.col("c") >= 2)
                     .select("g", "first"))
-    in_batch = (pos.join(batch_firsts, "g")
+    in_batch = (pos.join(batch_firsts.hint("shuffle_hash"), "g")
                 .filter(~((F.col(id_col) == F.col("first.d"))
                           & (F.col("i") == F.col("first.i"))))
                 .select(id_col, "i"))
@@ -700,7 +709,9 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
     pos = _window_hashes(docs, L, text_col, id_col)
     dup_hashes = (pos.groupBy("g").agg(F.count("*").alias("c"))
                   .filter(F.col("c") >= 2).select("g"))
-    active = (pos.join(dup_hashes, "g")
+    # the 100x probe failed HERE pre-fix: the planner broadcast the
+    # corpus-derived dup_hashes side (12 GiB HashedRelation) — pin SHJ
+    active = (pos.join(dup_hashes.hint("shuffle_hash"), "g")
               .select(F.col(id_col), "i",
                       F.col("g").cast("string").alias("cls"),
                       F.lit(L).cast("bigint").alias("matched"))

@@ -97,6 +97,14 @@ def get_spark(app_name: str = "examples-scala-spark") -> SparkSession:
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # single-JVM local mode: eager localCheckpoint materialization
+        # of a corpus-sized iteration frontier (suffix-span / CC loops
+        # at the 100x probe) accounts against driver.maxResultSize even
+        # though the blocks never leave the process; a cluster driver
+        # never sees executor-held checkpoint blocks, so the 1g default
+        # is a local-mode artifact, not a plan-budget signal
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
