@@ -493,25 +493,36 @@ def rp_project(emb: DataFrame, out_dim: int = 16, dim: int = 64,
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
                    centroid_mod: int = 23, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_centroids: int = 256) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings by
     nearest centroid, then drop any vector with a lower-id neighbor
     above the cosine threshold INSIDE its cluster.
 
     This is the scale shape of embedding near-dup removal: the
-    quadratic pair comparison is confined to one cell (cells multiply
-    with data, so per-cell work is bounded), the centroid set rides a
-    broadcast, and the only wide ops are the cell equi-join and one
-    groupBy(id) for the neighbor minimum. The deterministic id-sampled
-    quantizer keeps the whole path oracle-reproducible;
-    `train_centroids` is the drop-in k-means upgrade.
+    quadratic pair comparison is confined to one cell, the centroid
+    set rides a broadcast, and the only wide ops are the cell
+    equi-join and one groupBy(id) for the neighbor minimum. The
+    deterministic id-sampled quantizer keeps the whole path
+    oracle-reproducible; `train_centroids` is the drop-in k-means
+    upgrade.
+
+    Centroid-count trade (measured, r9): with max_centroids fixed at
+    256, the assign stage is linear in corpus but cell OCCUPANCY grows
+    with it, and the within-cell pair join is quadratic in occupancy —
+    measured 18.4x for 10x data at the 100x probe (still far better
+    than the uncapped quantizer, whose corpus x corpus/23 affinity
+    dominates sooner). A pair-join consumer at real scale should set
+    max_centroids ~ a few x sqrt(corpus rows) to hold occupancy
+    roughly constant; the parameter is exposed exactly for that.
 
     Returns (id, cell, keep_id, kept): keep_id is the smallest id in
     the vector's near-neighbor set (itself included), kept = "I am my
     own keeper".
     """
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
-    cents = sampled_centroids(base, centroid_mod, id_col)
+    cents = sampled_centroids(base, centroid_mod, id_col,
+                              max_centroids=max_centroids)
     w = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
     assign = (
