@@ -152,7 +152,11 @@ def _shuffles(plan: str) -> int:
     # round-3 additions
     ("corpus_shuffle_shards", 1),   # shard window; key is the hash
     ("dataset_manifest", 1),        # map-side combined cell agg
-    ("substring_dup_stats", 2),     # hash count + join-back/doc agg
+    # hash count + join-back/doc agg + the r9 shuffle_hash pin on the
+    # pos x dup_hashes join (was a planner-chosen broadcast that built
+    # a 12 GiB HashedRelation at the 100x probe — the extra exchange
+    # is the deliberate price of never broadcasting a fact side)
+    ("substring_dup_stats", 3),
     ("snapshot_diff_changelog", 2), # windows + join reuse user_id part.
     ("events_gap_fill", 2),         # range agg + grid join (per key)
     ("stratified_split_alloc", 1),  # reservoir prune keeps corpus put
