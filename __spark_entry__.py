@@ -36,7 +36,7 @@ PRIORITY = [
     # --- round-9 additions (same-round rule: never-evaluated names
     # lead the gate the round they are born; verified vanilla at
     # sf0.01 before landing) ---
-    "top_ngram_char_fraction",
+    "top_ngram_char_fraction", "semantic_dedup_delta",
     # --- round-9: semantics changed this round (modulo-derived ANN
     # query sets now hard-capped via orderBy(id).limit(max_queries),
     # VERDICT r8 #2) — results differ from their last green rows, so

@@ -207,8 +207,9 @@ def main() -> None:
                  # Gopher dup-ngram coverage
                  "ann_topk_hamming", "ann_hamming_recall",
                  "dup_ngram_char_fraction",
-                 # round-9 addition: Gopher top-n-gram char fraction
-                 "top_ngram_char_fraction"]:
+                 # round-9 additions: Gopher top-n-gram char fraction,
+                 # incremental SemDeDup
+                 "top_ngram_char_fraction", "semantic_dedup_delta"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

@@ -228,6 +228,60 @@ def ivf_incremental_assign(index: DataFrame, changes: DataFrame,
     return kept.unionByName(newly)
 
 
+def semantic_dedup_delta(history: DataFrame, incoming: DataFrame,
+                         threshold: float = 0.35, centroid_mod: int = 23,
+                         max_centroids: int = 256,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Incremental SemDeDup under continuous ingestion: dedup an
+    incoming vector batch against an existing corpus WITHOUT
+    re-comparing history against itself — minhash_delta's changelog
+    idiom applied to the embedding path (the composition a 100 TB
+    pipeline actually runs: history's cell index is stored state, new
+    data pays assignment + one within-cell comparison pass).
+
+    Semantics (deterministic, SQL-expressible): the coarse quantizer
+    is FIXED from history (id-sampled, capped — index maintenance
+    does not retrain, same contract as ivf_incremental_assign). For
+    each incoming vector v:
+      keep_id = min({v} | {u in history + batch : cell(u) = cell(v),
+                            id(u) < id(v), cos(u, v) > threshold})
+      kept    = (keep_id = id(v))
+    History rows never flip (their keeper decision is already made);
+    output is BATCH-sized: (id, cell, keep_id, kept) for incoming
+    rows only.
+
+    Plan: centroids broadcast; assignment batch-sized; the comparison
+    is an equi-join of the batch against cell members — pinned
+    shuffle_hash so the corpus-sized member side can never broadcast
+    (the r9 dup_hashes lesson); at scale it is a partition-pruned
+    read of exactly the probed cells."""
+    base_h = with_norm(history, vec_col).select(F.col(id_col), "v", "norm")
+    base_c = with_norm(incoming, vec_col).select(F.col(id_col), "v", "norm")
+    cents = sampled_centroids(base_h, centroid_mod, id_col,
+                              max_centroids=max_centroids)
+    h_asn = assign_cells(base_h, cents, id_col)
+    c_asn = assign_cells(base_c, cents, id_col)
+    members = (base_h.join(h_asn, id_col)
+               .unionByName(base_c.join(c_asn, id_col))
+               .select(F.col(id_col).alias("rid"), F.col("v").alias("rv"),
+                       F.col("norm").alias("rnorm"), "cell"))
+    new = (base_c.join(c_asn, id_col)
+           .select(F.col(id_col).alias("lid"), F.col("v").alias("lv"),
+                   F.col("norm").alias("lnorm"), "cell"))
+    nbr = (new.join(members.hint("shuffle_hash"), "cell")
+           .filter(F.col("rid") < F.col("lid"))
+           .filter(cosine(F.col("lv"), F.col("rv"),
+                          F.col("lnorm"), F.col("rnorm")) > threshold)
+           .groupBy("lid").agg(F.min("rid").alias("nbr_min")))
+    # nbr_min < lid by construction, so keep_id = coalesce(nbr_min, lid)
+    return (new.select("lid", "cell")
+            .join(nbr, "lid", "left")
+            .select(F.col("lid").alias(id_col), "cell",
+                    F.coalesce("nbr_min", F.col("lid")).alias("keep_id"),
+                    F.col("nbr_min").isNull().alias("kept")))
+
+
 def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
              centroid_mod: int = 23, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",

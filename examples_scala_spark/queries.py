@@ -12169,3 +12169,56 @@ def top_ngram_char_fraction(spark, sf_dir):
     from .operators.text import top_ngram_char_fraction as _f
 
     return _f(docs)
+
+
+@register(
+    "semantic_dedup_delta",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1 AND vec_id % 9 != 0
+      ORDER BY vec_id LIMIT 256),
+    asn AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT n.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm)
+                   DESC, c.cent_id) AS r
+        FROM n CROSS JOIN c) WHERE r = 1),
+    m AS (
+      SELECT n.vec_id, n.v, n.norm, asn.cell
+      FROM n JOIN asn USING (vec_id)),
+    newv AS (SELECT * FROM m WHERE vec_id % 9 = 0),
+    nbr AS (
+      SELECT l.vec_id AS lid, min(r.vec_id) AS nbr_min
+      FROM newv l JOIN m r USING (cell)
+      WHERE r.vec_id < l.vec_id
+        AND list_dot_product(l.v, r.v) / (l.norm * r.norm) > 0.35
+      GROUP BY l.vec_id)
+    SELECT newv.vec_id, newv.cell,
+           coalesce(nbr.nbr_min, newv.vec_id) AS keep_id,
+           (nbr.nbr_min IS NULL) AS kept
+    FROM newv LEFT JOIN nbr ON newv.vec_id = nbr.lid""",
+    "llm", "similarity", "dedup", "cdc",
+)
+def semantic_dedup_delta(spark, sf_dir):
+    """Incremental SemDeDup under a vector changelog
+    (operators/similarity.py:semantic_dedup_delta): the prior corpus
+    covers vec_id % 9 != 0; the % 9 == 0 vectors arrive as a batch
+    and ONLY they pay assignment + one within-cell comparison against
+    (history + batch) lower-id members — minhash_delta's changelog
+    idiom on the embedding path, composed with
+    ivf_incremental_assign's fixed-quantizer contract. Output is
+    batch-sized: (vec_id, cell, keep_id, kept). The member join is
+    pinned shuffle_hash (the corpus side must never broadcast); at
+    scale it is a partition-pruned read of the probed cells only."""
+    from .operators import similarity as sim
+    emb = _t(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 9 != 0)
+    incoming = emb.filter(F.col("vec_id") % 9 == 0)
+    return sim.semantic_dedup_delta(history, incoming, threshold=0.35)

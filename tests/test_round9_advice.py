@@ -203,3 +203,45 @@ class TestTopNgramCharFraction:
             "doc_id long, text string")
         out = top_ngram_char_fraction(docs).collect()
         assert sorted((r.doc_id, r.n) for r in out) == [(1, 2), (1, 3)]
+
+
+class TestSemanticDedupDelta:
+    def test_hand_built_batch(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup_delta,
+        )
+        # one cell (single centroid id=1 from history): history 1, 2;
+        # batch 9 (near-dup of 1), 18 (orthogonal-ish), 27 (near-dup
+        # of 9 — a WITHIN-BATCH lower id wins only if history has no
+        # earlier match)
+        hist = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]),
+             (2, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        batch = spark.createDataFrame(
+            [(9, [0.99, 0.1, 0.0, 0.0]),    # cos ~0.995 with 1
+             (18, [0.0, 0.0, 1.0, 0.0]),    # no neighbor > 0.35
+             (27, [0.98, 0.12, 0.0, 0.0])], # matches 1 (min id) and 9
+            "vec_id long, embedding array<double>")
+        out = {r.vec_id: r for r in semantic_dedup_delta(
+            hist, batch, threshold=0.9, centroid_mod=2).collect()}
+        assert len(out) == 3            # batch-sized output only
+        assert out[9].keep_id == 1 and out[9].kept is False
+        assert out[18].keep_id == 18 and out[18].kept is True
+        assert out[27].keep_id == 1 and out[27].kept is False
+
+    def test_within_batch_dup_when_history_misses(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup_delta,
+        )
+        hist = spark.createDataFrame(
+            [(1, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        batch = spark.createDataFrame(
+            [(9, [1.0, 0.0, 0.0, 0.0]),
+             (18, [0.99, 0.1, 0.0, 0.0])],  # dup of 9, not of history
+            "vec_id long, embedding array<double>")
+        out = {r.vec_id: r for r in semantic_dedup_delta(
+            hist, batch, threshold=0.9, centroid_mod=2).collect()}
+        assert out[9].kept is True
+        assert out[18].keep_id == 9 and out[18].kept is False
