@@ -752,6 +752,90 @@ def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
          .alias("dup_char_frac"))
 
 
+def softdedup_weights(docs: DataFrame, n: int = 4,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """SoftDeDup-style reweighting (He et al. 2024, "SoftDedup: an
+    Efficient Data Reweighting Method for Speeding Up Language Model
+    Pretraining"): instead of REMOVING near-duplicates, DOWN-WEIGHT
+    documents whose content is common in the corpus, so oversampled
+    boilerplate trains with a lower sampling weight while rare
+    content keeps full weight — the reweight-not-remove alternative
+    to the hard-dedup family (dedup_exact / minhash / SimHash /
+    semantic).
+
+    Data commonness here = the mean log-probability of the document's
+    word n-grams (n=4) under the corpus' own n-gram unigram
+    distribution P(g) = count(g) / total_grams — the self-trained
+    stand-in for the paper's n-gram LM. The weight is a min-max
+    normalized inverse with a 0.5 floor:
+
+        w_i = 1 - 0.5 * (m_i - min_m) / (max_m - min_m)
+
+    so the most common document gets 0.5, the rarest 1.0, docs with
+    no n-grams (shorter than n words) a full 1.0.
+
+    Determinism (the doc_bigram_logppl trick): each gram's ln P(g) is
+    rounded ONCE to integer nano-units so per-doc accumulation is an
+    exact integer sum on any engine; the per-doc mean is rounded to
+    6 dp BEFORE the min-max normalization so the normalization
+    itself consumes engine-identical inputs.
+
+    Plan shape: one (doc, gram) aggregate off the explode (map-side
+    combined), the gram LM is a vocab-sized aggregate whose total is
+    a broadcast scalar, scoring is an equi-join on the gram key with
+    the LM broadcast, and the corpus min/max is a second broadcast
+    scalar — the corpus text shuffles once (the gram explode); no
+    pair joins, no per-doc state beyond two BIGINTs.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+         .alias("__w"))
+    grams = words.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(__w) >= {n} THEN "
+            f"transform(sequence(1, size(__w) - {n} + 1), "
+            f"i -> array_join(slice(__w, i, {n}), ' ')) "
+            f"ELSE CAST(array() AS array<string>) END")).alias("gram"))
+    dgc = grams.groupBy(id_col, "gram").agg(
+        F.count("*").cast("long").alias("cnt"))
+    lm = dgc.groupBy("gram").agg(F.sum("cnt").cast("long").alias("cg"))
+    total = lm.agg(F.sum("cg").cast("long").alias("__t"))
+    lp = (lm.crossJoin(F.broadcast(total))
+          .select("gram",
+                  F.round(F.log(F.col("cg").cast("double")
+                                / F.col("__t").cast("double"))
+                          * F.lit(1_000_000_000)).cast("long")
+                  .alias("lp_units")))
+    sc = (dgc.join(F.broadcast(lp), "gram")
+          .groupBy(id_col)
+          .agg(F.sum("cnt").cast("long").alias("n_grams"),
+               F.sum(F.col("cnt") * F.col("lp_units")).cast("long")
+               .alias("units")))
+    m = sc.select(
+        F.col(id_col), "n_grams",
+        F.round(F.col("units") / F.col("n_grams").cast("double")
+                / F.lit(1_000_000_000.0), 6).alias("mean_logp"))
+    st = m.agg(F.min("mean_logp").alias("__mn"),
+               F.max("mean_logp").alias("__mx"))
+    out = (docs.select(F.col(id_col))
+           .join(m, id_col, "left")
+           .crossJoin(F.broadcast(st)))
+    w = (F.when(F.col("n_grams").isNull(), F.lit(1.0))
+         .when(F.col("__mx") == F.col("__mn"), F.lit(1.0))
+         .otherwise(F.round(
+             F.lit(1.0) - F.lit(0.5)
+             * (F.col("mean_logp") - F.col("__mn"))
+             / (F.col("__mx") - F.col("__mn")), 6)))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.col("mean_logp"),
+        w.alias("softdedup_weight"))
+
+
 def top_ngram_char_fraction(docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

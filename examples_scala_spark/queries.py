@@ -12171,6 +12171,73 @@ def top_ngram_char_fraction(spark, sf_dir):
     return _f(docs)
 
 
+# ======================================================================
+# Round 9: SoftDeDup reweighting (reweight-not-remove dedup)
+# ======================================================================
+
+@register(
+    "softdedup_weights",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(ws[i : i + 3], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 3)) AS i
+            FROM w WHERE len(ws) >= 4)),
+    dgc AS (
+      SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+    lm AS (SELECT gram, sum(cnt)::BIGINT AS cg FROM dgc GROUP BY 1),
+    lp AS (
+      SELECT gram,
+             CAST(round(ln(cg::DOUBLE
+                           / (SELECT sum(cg) FROM lm)::DOUBLE)
+                        * 1000000000) AS BIGINT) AS lp_units
+      FROM lm),
+    sc AS (
+      SELECT d.doc_id, sum(d.cnt)::BIGINT AS n_grams,
+             sum(d.cnt * lp.lp_units)::BIGINT AS units
+      FROM dgc d JOIN lp USING (gram) GROUP BY 1),
+    m AS (
+      SELECT doc_id, n_grams,
+             round(units / n_grams::DOUBLE / 1000000000, 6) AS mean_logp
+      FROM sc),
+    st AS (SELECT min(mean_logp) AS mn, max(mean_logp) AS mx FROM m)
+    SELECT doc.doc_id,
+           coalesce(m.n_grams, 0)::BIGINT AS n_grams,
+           m.mean_logp AS mean_logp,
+           CASE WHEN m.n_grams IS NULL THEN 1.0
+                WHEN st.mx = st.mn THEN 1.0
+                ELSE round(1 - 0.5 * (m.mean_logp - st.mn)
+                           / (st.mx - st.mn), 6)
+           END AS softdedup_weight
+    FROM documents doc LEFT JOIN m USING (doc_id) CROSS JOIN st""",
+    "llm", "dedup", "quality",
+)
+def softdedup_weights(spark, sf_dir):
+    """SoftDeDup reweighting (He et al. 2024): down-weight common
+    documents instead of removing them —
+    operators/text.py:softdedup_weights. Per doc: the mean log-prob
+    of its word 4-grams under the corpus' own gram distribution
+    (nano-unit integer accumulation, so the sum is exact on any
+    engine), min-max normalized into a sampling weight with a 0.5
+    floor. The reweight-not-remove member of the dedup family: hard
+    dedup keeps/kills; this emits the per-doc sampling rate a
+    temperature-mixing stage consumes downstream.
+
+    Plan: corpus text shuffles once (the gram explode into a
+    (doc, gram) partial-aggregated count); the gram LM and its total
+    are broadcast; the corpus min/max is a second broadcast scalar —
+    no pair joins, so at 100 TB this scales like any per-doc signal
+    plus one vocab-sized broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import softdedup_weights as _f
+
+    return _f(docs, n=4)
+
+
 @register(
     "semantic_dedup_delta",
     """
