@@ -1730,6 +1730,58 @@ def dedup_canonical(spark, sf_dir):
 
 
 @register(
+    "dedup_source_overlap",
+    f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+    lab AS (SELECT doc_id, source FROM documents),
+    e AS (
+      SELECT least(a.source, b.source) AS src_a,
+             greatest(a.source, b.source) AS src_b,
+             p.sig_sim
+      FROM pairs p JOIN lab a ON p.doc_a = a.doc_id
+                   JOIN lab b ON p.doc_b = b.doc_id)
+    SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+           round(sum(sig_sim) / count(*), 6) AS avg_sig_sim,
+           max(sig_sim) AS max_sig_sim
+    FROM e GROUP BY src_a, src_b""",
+    "llm", "dedup",
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source near-duplication leakage matrix: for every
+    (source, source) pair — including the diagonal — how many
+    MinHash-LSH near-dup pairs land across it, with mean and max
+    signature similarity. The curation diagnostic that answers "is
+    source A just a scrape of source B?" before mixture weights are
+    chosen: a hot off-diagonal cell means two feeds share content
+    and their token budgets double-count.
+
+    Composes minhash_lsh_pairs (collision-bounded, never O(n^2))
+    with two equi-joins against the doc->source label projection —
+    both fact-sized sides stay on shuffle joins (nothing
+    corpus-derived is broadcast) — then collapses to a
+    #sources^2-bounded matrix. sig_sim values are exact sixteenths,
+    so sum/count is order-independent on any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    lab = docs.select("doc_id", "source")
+    e = (pairs
+         .join(lab.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("source_a")), "doc_a")
+         .join(lab.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("source_b")), "doc_b"))
+    return (e.select(
+                F.least("source_a", "source_b").alias("src_a"),
+                F.greatest("source_a", "source_b").alias("src_b"),
+                "sig_sim")
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.sum("sig_sim") / F.count("*"), 6)
+                 .alias("avg_sig_sim"),
+                 F.max("sig_sim").alias("max_sig_sim")))
+
+
+@register(
     "vocab_top_ngrams",
     _SHINGLES_CTE + """
     SELECT shingle, count(*)::BIGINT AS df

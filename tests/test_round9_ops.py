@@ -1,13 +1,65 @@
-"""Round-9 continuation operators: SoftDeDup reweighting (and the
-other late-round additions as they land)."""
+"""Round-9 continuation operators: SoftDeDup reweighting, the
+cross-source near-dup leakage matrix (and the other late-round
+additions as they land)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from examples_scala_spark.operators import dedup
 from examples_scala_spark.operators.text import softdedup_weights
 
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _source_overlap(docs):
+    # the registered plan, parameterized on the source frame
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3,
+                                    threshold=0.5)
+    lab = docs.select("doc_id", "source")
+    e = (pairs
+         .join(lab.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("source_a")), "doc_a")
+         .join(lab.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("source_b")), "doc_b"))
+    return (e.select(F.least("source_a", "source_b").alias("src_a"),
+                     F.greatest("source_a", "source_b").alias("src_b"),
+                     "sig_sim")
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.sum("sig_sim") / F.count("*"), 6)
+                 .alias("avg_sig_sim"),
+                 F.max("sig_sim").alias("max_sig_sim")))
+
+
+class TestDedupSourceOverlap:
+    def test_cross_and_diagonal_cells(self, spark):
+        t = "the quick brown fox jumps over the lazy dog again today"
+        docs = spark.createDataFrame(
+            [(1, t, "srcB"), (2, t, "srcA"),        # cross-source dup
+             (3, t, "srcA"),                        # srcA self-dup too
+             (4, "completely different words with no overlap at all "
+                 "whatsoever in any shingle", "srcC")],
+            "doc_id long, text string, source string")
+        rows = {(r.src_a, r.src_b): r
+                for r in _source_overlap(docs).collect()}
+        # identical texts -> identical signatures -> sig_sim = 1.0
+        assert rows[("srcA", "srcB")].n_pairs == 2  # (1,2) and (1,3)
+        assert rows[("srcA", "srcB")].avg_sig_sim == 1.0
+        assert rows[("srcA", "srcA")].n_pairs == 1  # (2,3) diagonal
+        assert rows[("srcA", "srcA")].max_sig_sim == 1.0
+        # the unique source appears in no cell
+        assert not any("srcC" in k for k in rows)
+
+    def test_pair_key_is_order_normalized(self, spark):
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(1, t, "zz_late"), (2, t, "aa_early")],
+            "doc_id long, text string, source string")
+        [row] = _source_overlap(docs).collect()
+        assert (row.src_a, row.src_b) == ("aa_early", "zz_late")
 
 
 class TestSoftDedupWeights:
