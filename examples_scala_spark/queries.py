@@ -2360,7 +2360,7 @@ def dsir_importance_weights(spark, sf_dir):
 
 
 def _bpe_oracle_sql(k: int = 12, apply: bool = False,
-                    encode: bool = False) -> str:
+                    encode: bool = False, by_lang: bool = False) -> str:
     """Unrolled-CTE twin of operators/text.py:bpe_train_merges — one
     (pair-count, argmax, rewrite) CTE triple per merge round, the same
     single-replace substitution over DOUBLE-space-joined symbols (the
@@ -2397,6 +2397,28 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False,
     , v{r} AS MATERIALIZED (SELECT w, c,
                       replace(sym, {pat}, {rep}) AS sym
                FROM v{r - 1})""")
+    if by_lang:
+        sql.append(f"""
+    , seg AS MATERIALIZED (
+      SELECT w, len(string_split(trim(sym), '  '))::BIGINT AS n_sub
+      FROM v{k})
+    , dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents)
+    , perdoc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_sub)::BIGINT AS n_subwords
+      FROM dw JOIN seg USING (w) GROUP BY doc_id)
+    SELECT d.lang, count(*)::BIGINT AS n_docs,
+           coalesce(sum(p.n_words), 0)::BIGINT AS n_words,
+           coalesce(sum(p.n_subwords), 0)::BIGINT AS n_subwords,
+           CASE WHEN coalesce(sum(p.n_words), 0) = 0 THEN 0.0
+                ELSE round(sum(p.n_subwords)
+                           / sum(p.n_words)::DOUBLE, 6) END AS fertility
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    GROUP BY d.lang""")
+        return "".join(sql)
     if encode:
         sql.append(f"""
     , seg AS MATERIALIZED (
@@ -2513,6 +2535,38 @@ def bpe_apply_token_counts(spark, sf_dir):
     the subword vocabulary and hash-fails."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_apply_token_counts(docs, k_merges=12)
+
+
+@register("bpe_fertility_by_lang", _bpe_oracle_sql(12, by_lang=True),
+          "llm", "text")
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility by LANGUAGE under the self-trained 12-merge
+    BPE: per lang, doc count, total words, total subwords, and
+    fertility = subwords/words — the cross-lingual tokenizer-equity
+    report every multilingual pretraining effort runs before freezing
+    a vocabulary (a language with outsized fertility pays more of the
+    context window per sentence). Rolls bpe_encode_doc_stats' per-doc
+    integers up to the lang grain, so the division happens ONCE per
+    language on exact BIGINT sums.
+
+    Plan: the trainer touches the corpus once (the wordcount); the
+    rollup is the per-doc encode join plus one lang-keyed aggregate —
+    output is #langs-sized. Oracle = the same unrolled trainer CTE
+    chain, so any merge-round divergence reshapes segment counts and
+    hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    per = text.bpe_encode_doc_stats(docs, k_merges=12)
+    joined = per.join(docs.select("doc_id", "lang"), "doc_id")
+    out = joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"))
+    return out.select(
+        "lang", "n_docs", "n_words", "n_subwords",
+        F.when(F.col("n_words") == 0, F.lit(0.0))
+         .otherwise(F.round(F.col("n_subwords")
+                            / F.col("n_words").cast("double"), 6))
+         .alias("fertility"))
 
 
 @register(

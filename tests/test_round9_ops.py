@@ -34,6 +34,36 @@ def _source_overlap(docs):
                  F.max("sig_sim").alias("max_sig_sim")))
 
 
+class TestBpeFertilityByLang:
+    def test_rollup_matches_per_doc_stats(self, spark):
+        from examples_scala_spark.operators import text
+
+        docs = spark.createDataFrame(
+            [(1, "lower lowest newer newest wider widest", "en"),
+             (2, "lower newer wider low new wide", "en"),
+             (3, "ein zwei drei vier ein zwei", "de"),
+             (4, "", "de")],  # zero extractable words
+            "doc_id long, text string, lang string")
+        per = {r.doc_id: r
+               for r in text.bpe_encode_doc_stats(docs, k_merges=4)
+               .collect()}
+        rolled = (text.bpe_encode_doc_stats(docs, k_merges=4)
+                  .join(docs.select("doc_id", "lang"), "doc_id")
+                  .groupBy("lang")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_words").alias("n_words"),
+                       F.sum("n_subwords").alias("n_subwords")))
+        by = {r.lang: r for r in rolled.collect()}
+        assert by["en"].n_docs == 2
+        assert by["de"].n_docs == 2
+        assert by["en"].n_words == per[1].n_words + per[2].n_words
+        assert by["en"].n_subwords == (per[1].n_subwords
+                                       + per[2].n_subwords)
+        # every word segments into >= 1 subword
+        assert by["en"].n_subwords >= by["en"].n_words
+        assert by["de"].n_words == per[3].n_words  # empty doc adds 0
+
+
 class TestDedupSourceOverlap:
     def test_cross_and_diagonal_cells(self, spark):
         t = "the quick brown fox jumps over the lazy dog again today"
