@@ -209,7 +209,11 @@ def main() -> None:
                  "dup_ngram_char_fraction",
                  # round-9 additions: Gopher top-n-gram char fraction,
                  # incremental SemDeDup
-                 "top_ngram_char_fraction", "semantic_dedup_delta"]:
+                 "top_ngram_char_fraction", "semantic_dedup_delta",
+                 # round-9 late additions: SoftDeDup reweighting,
+                 # cross-source leakage matrix, per-lang BPE fertility
+                 "softdedup_weights", "dedup_source_overlap",
+                 "bpe_fertility_by_lang"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",
