@@ -213,7 +213,9 @@ def main() -> None:
                  # round-9 late additions: SoftDeDup reweighting,
                  # cross-source leakage matrix, per-lang BPE fertility
                  "softdedup_weights", "dedup_source_overlap",
-                 "bpe_fertility_by_lang"]:
+                 "bpe_fertility_by_lang",
+                 # round-9 late additions: sorted-neighborhood SemDeDup
+                 "semantic_dedup_snm", "semantic_dedup_snm_recall"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

@@ -605,6 +605,85 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
         (F.col(id_col) == keep).alias("kept"))
 
 
+def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
+                       chunk: int = 16, centroid_mod: int = 23,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_centroids: int = 256) -> DataFrame:
+    """Sorted-neighborhood SemDeDup — the LINEAR-scale variant of
+    semantic_dedup's within-cell pair join. The 100x probe (SCALE.md
+    r9) measured the plain within-cell compare at 18.4x per 10x data:
+    cell occupancy grows with the corpus under a fixed centroid
+    budget and the pair join is quadratic in occupancy. The classic
+    record-linkage fix is the sorted neighborhood method (Hernandez &
+    Stolfo 1995): order candidates by a key that co-locates
+    near-duplicates, then compare only inside a sliding window of
+    that order.
+
+    Here the sort key is the vector's cosine to its own centroid
+    (near-duplicate vectors have near-identical ccos, so they land
+    adjacent), the window is realized as fixed-size CHUNKS of the
+    per-cell rank order, and every vector is compared against all
+    members of its own and the adjacent chunk — O(occupancy * chunk)
+    comparisons instead of O(occupancy^2), with recall loss only for
+    near-dup pairs whose ccos ranks sit more than one chunk apart
+    (cosine is a metric-like key: duplicates agree with ANY third
+    vector, including the centroid, so rank-distant duplicates are
+    rare; the trade is the same one LSH banding makes).
+
+    Everything stays deterministic and oracle-checkable: the
+    id-sampled quantizer, (ccos DESC, id) rank order, integer chunk
+    arithmetic, and the same lower-id keeper election as
+    semantic_dedup. The chunk self-join is keyed on (cell, chunk) —
+    bounded fan-out two keys per row — and pinned shuffle_hash so
+    neither corpus-derived side ever broadcasts.
+
+    Returns (id, cell, keep_id, kept) — semantic_dedup's schema, so
+    a pipeline can swap the two on a size threshold.
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
+    cents = sampled_centroids(base, centroid_mod, id_col,
+                              max_centroids=max_centroids)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        base.join(F.broadcast(cents))
+        .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
+                cosine(F.col("v"), F.col("cv"),
+                       F.col("norm"), F.col("cnorm")).alias("ccos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col(id_col), "cent_id", "v", "norm", "ccos"))
+    rw = Window.partitionBy("cent_id").orderBy(
+        F.col("ccos").desc(), F.col(id_col))
+    ranked = (assign
+              .withColumn("rnk", F.row_number().over(rw))
+              .withColumn("ck", F.floor((F.col("rnk") - 1) / chunk)
+                          .cast("long"))
+              .select(F.col(id_col), "cent_id", "v", "norm", "ck"))
+    right = ranked.select(
+        F.col(id_col).alias("rid"), F.col("cent_id").alias("rcell"),
+        F.col("v").alias("rv"), F.col("norm").alias("rnorm"),
+        F.explode(F.array(F.col("ck"), F.col("ck") + 1)).alias("jc"))
+    ed = (ranked.join(right.hint("shuffle_hash"),
+                      (F.col("cent_id") == F.col("rcell"))
+                      & (F.col("ck") == F.col("jc")))
+          .filter(F.col(id_col) != F.col("rid"))
+          .filter(cosine(F.col("v"), F.col("rv"),
+                         F.col("norm"), F.col("rnorm")) >= threshold)
+          .select(F.col(id_col), F.col("rid")))
+    sym = ed.union(ed.select(F.col("rid").alias(id_col),
+                             F.col(id_col).alias("rid")))
+    nbr_min = sym.groupBy(id_col).agg(F.min("rid").alias("nbr_min"))
+    out = ranked.select(F.col(id_col), "cent_id") \
+                .join(nbr_min, id_col, "left")
+    keep = F.least(F.col(id_col),
+                   F.coalesce(F.col("nbr_min"), F.col(id_col)))
+    return out.select(
+        F.col(id_col), F.col("cent_id").alias("cell"),
+        keep.cast("long").alias("keep_id"),
+        (F.col(id_col) == keep).alias("kept"))
+
+
 def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                         num_planes: int = 8, dim: int = 64,
                         id_col: str = "vec_id",

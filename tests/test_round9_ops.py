@@ -34,6 +34,84 @@ def _source_overlap(docs):
                  F.max("sig_sim").alias("max_sig_sim")))
 
 
+class TestSemanticDedupSnm:
+    def _emb(self, spark, n=60, dim=8):
+        # deterministic synthetic embeddings with planted duplicates:
+        # ids 3k and 3k+1 share a vector (near-dup pairs), 3k+2 unique
+        import math
+        rows = []
+        for i in range(n):
+            base = i - (i % 3 == 1)  # 3k+1 copies 3k's vector
+            v = [math.sin(0.7 * (base + 1) * (j + 1)) + 0.1
+                 + 0.01 * (i % 3 == 2) * j
+                 for j in range(dim)]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_big_chunk_equals_plain_semantic_dedup(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup, semantic_dedup_snm)
+
+        emb = self._emb(spark)
+        plain = {r.vec_id: (r.cell, r.keep_id, r.kept)
+                 for r in semantic_dedup(emb, threshold=0.9,
+                                         centroid_mod=7).collect()}
+        snm = {r.vec_id: (r.cell, r.keep_id, r.kept)
+               for r in semantic_dedup_snm(emb, threshold=0.9, chunk=1000,
+                                           centroid_mod=7).collect()}
+        # a chunk wider than any cell covers every within-cell pair,
+        # so the sorted-neighborhood result degrades to exactly the
+        # plain quadratic one
+        assert snm == plain
+
+    def test_planted_duplicates_collapse(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup_snm)
+
+        emb = self._emb(spark)
+        out = {r.vec_id: r for r in
+               semantic_dedup_snm(emb, threshold=0.999999, chunk=4,
+                                  centroid_mod=7).collect()}
+        assert len(out) == 60
+        for k in range(0, 60, 3):
+            if k + 1 not in out:
+                continue
+            # identical vectors have identical ccos -> adjacent ranks
+            # -> same or adjacent chunk: the pair is always compared
+            assert out[k + 1].keep_id == k
+            assert not out[k + 1].kept
+            assert out[k].kept
+
+    def test_snm_drops_subset_of_plain(self, spark):
+        # SNM's comparison set is a subset of the plain within-cell
+        # pairs, so it can only MISS neighbors: every vector SNM
+        # drops, plain drops too (the recall gate's denominator
+        # logic relies on exactly this)
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup, semantic_dedup_snm)
+
+        emb = self._emb(spark)
+        plain = {r.vec_id: r.kept
+                 for r in semantic_dedup(emb, threshold=0.9,
+                                         centroid_mod=7).collect()}
+        snm = {r.vec_id: r.kept
+               for r in semantic_dedup_snm(emb, threshold=0.9, chunk=2,
+                                           centroid_mod=7).collect()}
+        for vid, kept_s in snm.items():
+            if not kept_s:
+                assert not plain[vid]
+
+    def test_keeper_election_invariants(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup_snm)
+
+        rows = semantic_dedup_snm(self._emb(spark), threshold=0.9,
+                                  chunk=4, centroid_mod=7).collect()
+        for r in rows:
+            assert r.keep_id <= r.vec_id
+            assert r.kept == (r.keep_id == r.vec_id)
+
+
 class TestBpeFertilityByLang:
     def test_rollup_matches_per_doc_stats(self, spark):
         from examples_scala_spark.operators import text
