@@ -215,7 +215,8 @@ def main() -> None:
                  "softdedup_weights", "dedup_source_overlap",
                  "bpe_fertility_by_lang",
                  # round-9 late additions: sorted-neighborhood SemDeDup
-                 "semantic_dedup_snm", "semantic_dedup_snm_recall"]:
+                 "semantic_dedup_snm", "semantic_dedup_snm_recall",
+                 "semantic_decontaminate"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

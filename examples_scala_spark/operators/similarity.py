@@ -684,6 +684,49 @@ def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
         (F.col(id_col) == keep).alias("kept"))
 
 
+def semantic_decontaminate(emb: DataFrame, threshold: float = 0.35,
+                           bench_mod: int = 97, bench_rem: int = 3,
+                           max_bench: int = 64, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose
+    cosine to ANY benchmark/eval vector clears the threshold — the
+    paraphrase-level complement to the n-gram overlap family
+    (bloom_decontaminate / decontaminate_overlap catch verbatim
+    leaks; reworded eval items share no 8-gram but still sit next to
+    the original in embedding space, which is how recent model
+    reports audit their pretraining sets).
+
+    The benchmark set is the deterministic id-sampled stand-in for a
+    real eval suite (vec_id % bench_mod == bench_rem, ordered-limit
+    capped like every query set in the ANN family, so the work
+    contract is fixed as the corpus grows). Benchmarks are SMALL by
+    nature, so the right 100 TB plan is exactly what Catalyst gets
+    here: broadcast the benchmark side and score the corpus in one
+    scan-linear pass (corpus x |bench|, never corpus x corpus) — no
+    index needed below ~10k benchmark rows.
+
+    Returns one row per CONTAMINATED corpus vector: its best-matching
+    benchmark id (ties broken by benchmark id) and the cosine,
+    rounded for engine-stable hashing.
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
+    bench = (base.filter(F.col(id_col) % bench_mod == bench_rem)
+             .orderBy(id_col).limit(max_bench)
+             .select(F.col(id_col).alias("bench_id"),
+                     F.col("v").alias("bv"), F.col("norm").alias("bnorm")))
+    corpus = base.filter(F.col(id_col) % bench_mod != bench_rem)
+    scored = (corpus.crossJoin(F.broadcast(bench))
+              .withColumn("cos", cosine(F.col("v"), F.col("bv"),
+                                        F.col("norm"), F.col("bnorm")))
+              .filter(F.col("cos") >= threshold))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("bench_id"))
+    return (scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col(id_col), "bench_id",
+                    F.round("cos", 6).alias("cosine")))
+
+
 def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                         num_planes: int = 8, dim: int = 64,
                         id_col: str = "vec_id",

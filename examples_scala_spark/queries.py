@@ -6620,6 +6620,46 @@ def semantic_dedup_snm_recall(spark, sf_dir):
 
 
 @register(
+    "semantic_decontaminate",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    b AS (
+      SELECT vec_id AS bench_id, v AS bv, norm AS bnorm
+      FROM n WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 64),
+    c AS (SELECT * FROM n WHERE vec_id % 97 != 3),
+    s AS (
+      SELECT c.vec_id, b.bench_id,
+             list_dot_product(c.v, b.bv) / (c.norm * b.bnorm) AS cos
+      FROM c CROSS JOIN b),
+    f AS (
+      SELECT vec_id, bench_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bench_id) AS r
+      FROM s WHERE cos >= 0.35)
+    SELECT vec_id, bench_id, round(cos, 6) AS cosine
+    FROM f WHERE r = 1""",
+    "llm", "similarity", "quality",
+)
+def semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination
+    (operators/similarity.py:semantic_decontaminate): corpus vectors
+    sitting above cosine 0.35 of any benchmark vector, with the
+    best-matching benchmark id — the paraphrase-level complement to
+    bloom_decontaminate / decontaminate_overlap's verbatim n-gram
+    checks. Benchmark = deterministic id-sample, ordered-limit
+    capped at 64 (the fixed-work contract of the ANN query sets);
+    the plan broadcasts the benchmark side and scores the corpus in
+    one scan-linear pass — corpus x |bench|, never corpus x
+    corpus."""
+    from .operators.similarity import semantic_decontaminate as _f
+    emb = _t(spark, sf_dir, "embeddings")
+    return _f(emb, threshold=0.35)
+
+
+@register(
     "jsonl_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "sources", "llm",

@@ -112,6 +112,53 @@ class TestSemanticDedupSnm:
             assert r.kept == (r.keep_id == r.vec_id)
 
 
+class TestSemanticDecontaminate:
+    def test_planted_paraphrase_flagged(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_decontaminate)
+
+        # id 3 is benchmark (3 % 97 == 3); id 10 copies its vector
+        # scaled by 2 (cosine exactly 1.0 — paraphrase stand-in);
+        # id 20 is orthogonal-ish and must not be flagged
+        emb = spark.createDataFrame(
+            [(3, [1.0, 2.0, 3.0, 4.0]),
+             (10, [2.0, 4.0, 6.0, 8.0]),
+             (20, [4.0, -3.0, 2.0, -1.0])],
+            "vec_id long, embedding array<double>")
+        rows = {r.vec_id: r for r in
+                semantic_decontaminate(emb, threshold=0.9).collect()}
+        assert set(rows) == {10}
+        assert rows[10].bench_id == 3
+        assert rows[10].cosine == 1.0
+
+    def test_benchmark_rows_never_self_flag(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_decontaminate)
+
+        # two benchmark ids (3, 100: 100 % 97 == 3) with identical
+        # vectors: they match each other, but benchmark rows are not
+        # corpus rows, so nothing is emitted
+        emb = spark.createDataFrame(
+            [(3, [1.0, 0.0, 0.0, 0.0]),
+             (100, [1.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        assert semantic_decontaminate(emb, threshold=0.5).count() == 0
+
+    def test_best_match_tie_breaks_by_bench_id(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            semantic_decontaminate)
+
+        # both benchmarks equal-cosine to the corpus vector -> the
+        # lower bench id wins deterministically
+        emb = spark.createDataFrame(
+            [(3, [1.0, 1.0, 0.0, 0.0]),
+             (100, [1.0, 1.0, 0.0, 0.0]),
+             (7, [2.0, 2.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        [row] = semantic_decontaminate(emb, threshold=0.9).collect()
+        assert (row.vec_id, row.bench_id, row.cosine) == (7, 3, 1.0)
+
+
 class TestBpeFertilityByLang:
     def test_rollup_matches_per_doc_stats(self, spark):
         from examples_scala_spark.operators import text
