@@ -39,7 +39,7 @@ PRIORITY = [
     "top_ngram_char_fraction", "semantic_dedup_delta",
     "softdedup_weights", "dedup_source_overlap", "bpe_fertility_by_lang",
     "semantic_dedup_snm", "semantic_dedup_snm_recall",
-    "semantic_decontaminate",
+    "semantic_decontaminate", "pipeline_weighted_mixture",
     # --- round-9: semantics changed this round (modulo-derived ANN
     # query sets now hard-capped via orderBy(id).limit(max_queries),
     # VERDICT r8 #2) — results differ from their last green rows, so

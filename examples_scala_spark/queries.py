@@ -12506,6 +12506,89 @@ def softdedup_weights(spark, sf_dir):
     return _f(docs, n=4)
 
 
+def _weighted_mixture_sql() -> str:
+    sd = REGISTRY["softdedup_weights"].oracle
+    mr = REGISTRY["mixture_temperature_rates"].oracle
+    gf = REGISTRY["gopher_quality_flags"].oracle
+    return f"""
+    WITH sd AS (SELECT doc_id, softdedup_weight FROM ({sd})),
+    mr AS (SELECT source, sample_weight FROM ({mr})),
+    gk AS (SELECT doc_id, keep FROM ({gf})),
+    d AS (SELECT doc_id, source FROM documents),
+    u AS (
+      SELECT d.source,
+             CASE WHEN gk.keep THEN 1 ELSE 0 END AS kp,
+             CAST(round(sd.softdedup_weight * 1000000) AS BIGINT)
+               * CAST(round(mr.sample_weight * 1000000) AS BIGINT)
+               AS units
+      FROM d JOIN sd USING (doc_id) JOIN gk USING (doc_id)
+             JOIN mr ON d.source = mr.source),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(kp)::BIGINT AS n_kept,
+             sum(kp * units)::BIGINT AS eff_units
+      FROM u GROUP BY source)
+    SELECT source, n_docs, n_kept,
+           round(eff_units / 1000000000000.0, 6) AS eff_weight,
+           CASE WHEN sum(eff_units) OVER () = 0 THEN 0.0
+                ELSE round(eff_units::DOUBLE
+                           / sum(eff_units) OVER (), 6) END AS eff_share
+    FROM agg"""
+
+
+@register("pipeline_weighted_mixture", _weighted_mixture_sql(),
+          "llm", "pipeline", "sampling")
+def pipeline_weighted_mixture(spark, sf_dir):
+    """The final weighting assembly a training-data writer consumes:
+    per source, the EFFECTIVE document mass after the whole curation
+    stack — Gopher keep gate (hard filter) x SoftDeDup commonness
+    weight (soft dedup) x temperature mixture rate (source
+    balancing) — plus each source's share of the total effective
+    mass. This is the number that prices a source in the token
+    budget once every per-doc signal has had its say; hard dedup
+    keeps/kills, this rolls the keep-AND-reweight decisions into the
+    sampling plan.
+
+    Determinism: both 6-dp weights are lifted ONCE to integer
+    micro-units, so the per-source accumulation is an exact BIGINT
+    sum (order-independent on any engine); only the final
+    normalization divides in double. Plan: three doc-keyed fact
+    joins (softdedup weight, gopher keep, the label projection), the
+    #sources-sized rate table broadcast, one source-keyed aggregate,
+    and a #sources-window normalization — nothing wider than the
+    gram explodes already inside the composed operators."""
+    docs = _t(spark, sf_dir, "documents")
+    sd = REGISTRY["softdedup_weights"].fn(spark, sf_dir) \
+        .select("doc_id", "softdedup_weight")
+    gk = REGISTRY["gopher_quality_flags"].fn(spark, sf_dir) \
+        .select("doc_id", "keep")
+    mr = REGISTRY["mixture_temperature_rates"].fn(spark, sf_dir) \
+        .select("source", "sample_weight")
+    d = docs.select("doc_id", "source")
+    su = F.round(F.col("softdedup_weight") * 1_000_000).cast("long")
+    mu = F.round(F.col("sample_weight") * 1_000_000).cast("long")
+    u = (d.join(sd, "doc_id").join(gk, "doc_id")
+         .join(F.broadcast(mr), "source")
+         .select("source",
+                 F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0))
+                 .alias("kp"),
+                 (su * mu).alias("units")))
+    agg = u.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kp").cast("long").alias("n_kept"),
+        F.sum(F.col("kp") * F.col("units")).cast("long")
+        .alias("eff_units"))
+    w = Window.partitionBy()
+    return agg.select(
+        "source", "n_docs", "n_kept",
+        F.round(F.col("eff_units") / F.lit(1_000_000_000_000.0), 6)
+        .alias("eff_weight"),
+        F.when(F.sum("eff_units").over(w) == 0, F.lit(0.0))
+         .otherwise(F.round(F.col("eff_units").cast("double")
+                            / F.sum("eff_units").over(w), 6))
+         .alias("eff_share"))
+
+
 @register(
     "semantic_dedup_delta",
     """

@@ -112,6 +112,22 @@ class TestSemanticDedupSnm:
             assert r.kept == (r.keep_id == r.vec_id)
 
 
+class TestPipelineWeightedMixture:
+    def test_shares_sum_to_one_and_units_exact(self, spark, sf_dir):
+        from examples_scala_spark.queries import REGISTRY
+
+        rows = REGISTRY["pipeline_weighted_mixture"].fn(
+            spark, sf_dir).collect()
+        assert rows
+        total = sum(r.eff_share for r in rows)
+        assert abs(total - 1.0) < 1e-4  # 6-dp rounding slack
+        for r in rows:
+            assert 0 <= r.n_kept <= r.n_docs
+            # eff mass cannot exceed docs * max(softdedup) * rate:
+            # loose sanity bound, the oracle pins exact values
+            assert r.eff_weight >= 0.0
+
+
 class TestSemanticDecontaminate:
     def test_planted_paraphrase_flagged(self, spark):
         from examples_scala_spark.operators.similarity import (
