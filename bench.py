@@ -216,7 +216,8 @@ def main() -> None:
                  "bpe_fertility_by_lang",
                  # round-9 late additions: sorted-neighborhood SemDeDup
                  "semantic_dedup_snm", "semantic_dedup_snm_recall",
-                 "semantic_decontaminate", "pipeline_weighted_mixture"]:
+                 "semantic_decontaminate", "pipeline_weighted_mixture",
+                 "stream_decontaminate_gate"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

