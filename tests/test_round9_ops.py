@@ -289,6 +289,17 @@ class TestSoftDedupWeights:
         assert by[1].n_grams == 0
         assert by[1].softdedup_weight == 1.0
 
+    def test_partition_invariance(self, spark):
+        # nano-unit integer accumulation + broadcast scalars: the
+        # result is a pure function of the data, not of partitioning
+        rows = [(i, f"w{i % 7} x{i % 5} y{i % 3} z{i % 2} "
+                    f"a{i % 11} b{i % 13} c d e f")
+                for i in range(40)]
+        base = softdedup_weights(_docs(spark, rows)).collect()
+        again = softdedup_weights(
+            _docs(spark, rows).repartition(17)).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
     def test_every_doc_appears_weight_bounded(self, spark):
         rows = softdedup_weights(_docs(spark, [
             (1, "p q r s t u v w"),
