@@ -7239,7 +7239,10 @@ def stream_curation_gate(spark, sf_dir):
                      i -> array_to_string(list_slice(words, i, i + 3), ' ')))
                      AS g
             FROM w)),
-    bench AS (SELECT DISTINCT b FROM sh WHERE doc_id % 89 = 0),
+    bench AS (
+      SELECT DISTINCT b FROM sh
+      WHERE doc_id IN (SELECT doc_id FROM documents
+                       WHERE doc_id % 89 = 0 ORDER BY doc_id LIMIT 64)),
     c AS (SELECT * FROM sh WHERE doc_id % 89 <> 0),
     sz AS (SELECT doc_id, count(*)::BIGINT AS n_buckets
            FROM c GROUP BY doc_id),
@@ -7261,12 +7264,15 @@ def stream_decontaminate_gate(spark, sf_dir):
     siblings): documents replayed as a bounded stream are flagged
     when >= 25% of their distinct 4-gram hash BUCKETS collide with
     the benchmark's bucket set. The stream_curation_gate contract:
-    the eval index is bounded by eval-suite size (here the distinct
-    16-bit buckets of the benchmark shingles), collects ONCE into a
-    map literal that ships inside the task binary, and the streaming
-    query stays entirely STATELESS and shuffle-free — per-row
-    shingle, bucket, map-probe, fold. Nothing to checkpoint beyond
-    source offsets.
+    the eval index is bounded by eval-suite size — ENFORCED by an
+    ordered-limit cap of 64 benchmark docs (the ANN query-set
+    contract; both driver SFs sit under the cap, so it binds only on
+    scaled corpora; uncapped, the replica-dense 10x probe grew the
+    map literal past what codegen can fold cheaply) — collects ONCE
+    into a map literal that ships inside the task binary, and the
+    streaming query stays entirely STATELESS and shuffle-free —
+    per-row shingle, bucket, map-probe, fold. Nothing to checkpoint
+    beyond source offsets.
 
     Bucket-level matching is the PREFILTER semantics (deterministic
     md5 buckets, so the oracle reproduces every false positive
@@ -7291,10 +7297,17 @@ def stream_decontaminate_gate(spark, sf_dir):
           .select("doc_id", F.explode("gs").alias("g"))
           .select("doc_id", bucket(F.col("g")).alias("b"))
           .distinct())
+    # eval suites are FIXED-SIZE in reality — enforce it with the same
+    # ordered-limit cap the ANN query sets use, so the shipped map can
+    # never grow with the corpus (uncapped, the replica-dense 10x
+    # probe ballooned the bench set to ~28k buckets and codegen of the
+    # map literal dominated the run)
+    bench_ids = (docs.filter(F.col("doc_id") % 89 == 0)
+                 .orderBy("doc_id").limit(64).select("doc_id"))
     bench_buckets = sorted(
         r.b for r in
-        sh.filter(F.col("doc_id") % 89 == 0).select("b")
-        .distinct().collect())  # bounded by eval-suite size
+        sh.join(bench_ids, "doc_id", "leftsemi").select("b")
+        .distinct().collect())
     bmap = F.create_map(*[F.lit(x) for b in bench_buckets
                           for x in (int(b), 1)])
 
