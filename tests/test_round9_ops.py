@@ -289,6 +289,27 @@ class TestSoftDedupWeights:
         assert by[1].n_grams == 0
         assert by[1].softdedup_weight == 1.0
 
+    def test_more_duplication_never_raises_weight(self, spark):
+        # THE SoftDeDup semantic: adding more copies of a document's
+        # content makes its grams more common, so its weight must not
+        # increase (it stays the corpus max only if it remains the
+        # rarest). Compare doc 1's weight in a corpus with 1 copy of
+        # its text vs 4 copies.
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        other = [(90, "one two three four five six seven eight"),
+                 (91, "nine ten eleven twelve thirteen fourteen "
+                      "fifteen sixteen")]
+        w1 = {r.doc_id: r.softdedup_weight for r in softdedup_weights(
+            _docs(spark, [(1, t)] + other)).collect()}
+        w4 = {r.doc_id: r.softdedup_weight for r in softdedup_weights(
+            _docs(spark, [(1, t), (2, t), (3, t), (4, t)] + other))
+            .collect()}
+        assert w4[1] <= w1[1]
+        # and in the 4-copy corpus the duplicated family sits at the
+        # floor while the unique docs keep full weight
+        assert w4[1] == 0.5
+        assert w4[90] > w4[1]
+
     def test_partition_invariance(self, spark):
         # nano-unit integer accumulation + broadcast scalars: the
         # result is a pure function of the data, not of partitioning
