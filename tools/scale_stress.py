@@ -101,6 +101,17 @@ def main() -> None:
     # SPARK_GRAFT_STRESS_RUNS=N -> best-of-N per query (VERDICT r6:
     # probes should absorb ambient-load noise like bench.py does)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "1")))
+    # SPARK_GRAFT_STRESS_PARTITIONS=scaled -> size shuffle partitions
+    # to the multiplier (32 * mult, capped 256), the way a real
+    # cluster sizes them to volume. Default keeps the session's 32 so
+    # probe rows stay comparable with the historical series; use
+    # "scaled" when separating plan growth from the fixed-partition
+    # artifact (r9: w_sliding_topk, dup_ngram_char_fraction,
+    # softdedup_weights all re-measured 1.7-4x faster this way).
+    if os.environ.get("SPARK_GRAFT_STRESS_PARTITIONS") == "scaled":
+        scaled = min(256, 32 * mult)
+        spark.conf.set("spark.sql.shuffle.partitions", str(scaled))
+        print(f"# shuffle partitions scaled to {scaled}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in names:
         samples = []
