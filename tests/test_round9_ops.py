@@ -101,6 +101,51 @@ class TestSemanticDedupSnm:
             if not kept_s:
                 assert not plain[vid]
 
+    def test_engineered_rank_distant_pair_is_missed(self, spark):
+        # The trade SNM makes, demonstrated ON PURPOSE so the recall
+        # gate is provably non-vacuous: a1/a2 are near-dups
+        # (cos = cos10 ~ .985) but sit far apart in the
+        # cosine-to-centroid rank order because nine fillers (same
+        # plane angle band, orthogonal off-axis directions) rank
+        # between them. With chunk=1 the pair is never compared:
+        # plain drops a2, SNM keeps it — exactly the drop_recall < 1
+        # case the registered gate reports.
+        import math
+        dim = 16
+        c = [1.0] + [0.0] * (dim - 1)
+
+        def vec(theta_deg, off_axis):
+            t = math.radians(theta_deg)
+            v = [0.0] * dim
+            v[0] = math.cos(t)
+            v[off_axis] = math.sin(t)
+            return v
+
+        rows = [(1, c)]               # 1 % 7 == 1 -> the only centroid
+        rows.append((2, vec(40, 1)))  # a1
+        rows.append((30, vec(50, 1)))  # a2: near-dup of a1, lower ccos
+        for i, theta in enumerate(range(41, 50)):      # 9 fillers
+            rows.append((3 + i, vec(theta, 2 + i)))    # ids 3..11
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup, semantic_dedup_snm)
+
+        plain = {r.vec_id: r.kept
+                 for r in semantic_dedup(emb, threshold=0.9,
+                                         centroid_mod=7).collect()}
+        snm = {r.vec_id: r.kept
+               for r in semantic_dedup_snm(emb, threshold=0.9, chunk=1,
+                                           centroid_mod=7).collect()}
+        assert not plain[30]   # plain finds the a1 neighbor
+        assert snm[30]         # SNM's 1-chunk neighborhood misses it
+        # and the wide-chunk run recovers it (the knob is the lever)
+        wide = {r.vec_id: r.kept
+                for r in semantic_dedup_snm(emb, threshold=0.9, chunk=64,
+                                            centroid_mod=7).collect()}
+        assert not wide[30]
+
     def test_keeper_election_invariants(self, spark):
         from examples_scala_spark.operators.similarity import (
             semantic_dedup_snm)
