@@ -12684,19 +12684,27 @@ def pipeline_weighted_mixture(spark, sf_dir):
                  F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0))
                  .alias("kp"),
                  (su * mu).alias("units")))
+    # per-doc units ~1e12; a BIGINT per-source sum would overflow past
+    # ~1e6 docs/source, so the accumulation runs in DECIMAL(38,0) —
+    # exact and order-independent like every DECIMAL partial in this
+    # repo (DuckDB's BIGINT sum promotes to HUGEINT, so the oracle is
+    # already overflow-free); only the final normalization divides in
+    # double, values unchanged at any SF that fits either engine
     agg = u.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("kp").cast("long").alias("n_kept"),
-        F.sum(F.col("kp") * F.col("units")).cast("long")
-        .alias("eff_units"))
+        F.sum((F.col("kp") * F.col("units")).cast("decimal(20,0)"))
+        .cast("decimal(38,0)").alias("eff_units"))
     w = Window.partitionBy()
     return agg.select(
         "source", "n_docs", "n_kept",
-        F.round(F.col("eff_units") / F.lit(1_000_000_000_000.0), 6)
+        F.round(F.col("eff_units").cast("double")
+                / F.lit(1_000_000_000_000.0), 6)
         .alias("eff_weight"),
         F.when(F.sum("eff_units").over(w) == 0, F.lit(0.0))
          .otherwise(F.round(F.col("eff_units").cast("double")
-                            / F.sum("eff_units").over(w), 6))
+                            / F.sum("eff_units").over(w).cast("double"),
+                            6))
          .alias("eff_share"))
 
 
