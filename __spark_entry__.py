@@ -40,7 +40,7 @@ PRIORITY = [
     "softdedup_weights", "dedup_source_overlap", "bpe_fertility_by_lang",
     "semantic_dedup_snm", "semantic_dedup_snm_recall",
     "semantic_decontaminate", "pipeline_weighted_mixture",
-    "stream_decontaminate_gate",
+    "stream_decontaminate_gate", "embedding_outliers",
     # --- round-9: semantics changed this round (modulo-derived ANN
     # query sets now hard-capped via orderBy(id).limit(max_queries),
     # VERDICT r8 #2) — results differ from their last green rows, so

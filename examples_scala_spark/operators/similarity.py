@@ -727,6 +727,61 @@ def semantic_decontaminate(emb: DataFrame, threshold: float = 0.35,
                     F.round("cos", 6).alias("cosine")))
 
 
+def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
+                       centroid_mod: int = 23, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       max_centroids: int = 256) -> DataFrame:
+    """Embedding OUTLIER screen: flag vectors whose cosine to their
+    own cell centroid sits more than z standard deviations from the
+    cell mean — the cheap data-hygiene pass that catches corrupt,
+    truncated, or mis-embedded vectors (and crude poisoning attempts)
+    before they pollute dedup/ANN/mixing stages downstream. Cells
+    with fewer than min_cell members are exempt (no meaningful
+    variance).
+
+    Exactness contract: each ccos is quantized ONCE to integer
+    milli-units, and the z-test runs as a pure-integer
+    cross-multiplication — n*(n*x - s)^2 > z^2 * n*(n*q - s^2) — so
+    no engine ever computes a mean, a variance, or a square root in
+    floating point; the flag set is bit-identical anywhere. The
+    squared form flags both tails. Per-cell sums ride DECIMAL so the
+    inequality survives cells of any occupancy.
+
+    Plan: the assignment argmax (broadcast centroids) plus ONE
+    cell-keyed aggregate joined back to the members — two shuffles,
+    both keyed on the cell; no pair joins at all, so this is the
+    cheapest member of the embedding-quality family.
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
+    cents = sampled_centroids(base, centroid_mod, id_col,
+                              max_centroids=max_centroids)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        base.join(F.broadcast(cents))
+        .select(F.col(id_col), F.col("cent_id"),
+                cosine(F.col("v"), F.col("cv"),
+                       F.col("norm"), F.col("cnorm")).alias("ccos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1))
+    u = assign.select(
+        F.col(id_col), F.col("cent_id"),
+        F.round(F.col("ccos") * 1000).cast("long").alias("x"))
+    st = u.groupBy("cent_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"))
+    j = u.join(st, "cent_id")
+    nd = F.col("n").cast("decimal(38,0)")
+    d = nd * F.col("x").cast("decimal(38,0)") - F.col("s")
+    lhs = nd * d * d
+    rhs = F.lit(z * z) * nd * (nd * F.col("q") - F.col("s") * F.col("s"))
+    return (j.filter((F.col("n") >= min_cell) & (lhs > rhs))
+            .select(F.col(id_col), F.col("cent_id").alias("cell"),
+                    F.col("x").alias("ccos_milli"),
+                    F.col("n").alias("cell_n")))
+
+
 def lsh_multiprobe_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                         num_planes: int = 8, dim: int = 64,
                         id_col: str = "vec_id",

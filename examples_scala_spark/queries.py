@@ -6660,6 +6660,57 @@ def semantic_decontaminate(spark, sf_dir):
 
 
 @register(
+    "embedding_outliers",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id LIMIT 256),
+    a AS (
+      SELECT vec_id, cent_id, ccos FROM (
+        SELECT n.vec_id, c.cent_id,
+               list_dot_product(n.v, c.cv) / (n.norm * c.cnorm) AS ccos,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm)
+                   DESC, c.cent_id) AS r
+        FROM n CROSS JOIN c) WHERE r = 1),
+    u AS (
+      SELECT vec_id, cent_id, CAST(round(ccos * 1000) AS BIGINT) AS x
+      FROM a),
+    st AS (
+      SELECT cent_id, count(*)::BIGINT AS cn,
+             sum(x)::HUGEINT AS s, sum(x * x)::HUGEINT AS q
+      FROM u GROUP BY cent_id)
+    SELECT u.vec_id, u.cent_id AS cell, u.x AS ccos_milli,
+           st.cn AS cell_n
+    FROM u JOIN st USING (cent_id)
+    WHERE st.cn >= 8
+      AND st.cn * (st.cn * u.x - st.s) * (st.cn * u.x - st.s)
+          > 9 * st.cn * (st.cn * st.q - st.s * st.s)""",
+    "llm", "similarity", "quality",
+)
+def embedding_outliers(spark, sf_dir):
+    """Embedding outlier screen
+    (operators/similarity.py:embedding_outliers): vectors more than 3
+    cell-standard-deviations from their cell's mean
+    cosine-to-centroid — the data-hygiene pass that catches corrupt /
+    truncated / mis-embedded vectors before dedup, ANN, or mixing
+    consume them. The z-test is a pure-integer cross-multiplication
+    over once-quantized milli-unit cosines (no float mean, variance,
+    or sqrt on any engine — DECIMAL/HUGEINT sums), so the flag set is
+    engine-bit-identical. Two cell-keyed shuffles, broadcast
+    centroids, zero pair joins — the cheapest member of the
+    embedding-quality family."""
+    from .operators.similarity import embedding_outliers as _f
+    emb = _t(spark, sf_dir, "embeddings")
+    return _f(emb, z=3, min_cell=8)
+
+
+@register(
     "jsonl_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "sources", "llm",

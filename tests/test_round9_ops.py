@@ -235,6 +235,65 @@ class TestSemanticDecontaminate:
         assert (row.vec_id, row.bench_id, row.cosine) == (7, 3, 1.0)
 
 
+class TestEmbeddingOutliers:
+    def _cell(self, spark, spread, with_corrupt):
+        # one centroid (1 % 7 == 1) plus 20 members: `spread` puts
+        # them 5 degrees off-axis in distinct dims; otherwise they
+        # are colinear scaled copies (cosine exactly 1 for all)
+        import math
+        dim = 24
+        rows = [(1, [1.0] + [0.0] * (dim - 1))]
+        t = math.radians(5)
+        for i in range(20):
+            v = [0.0] * dim
+            if spread:
+                v[0] = math.cos(t)
+                v[2 + i] = math.sin(t)
+            else:
+                v[0] = 2.0 + i
+            rows.append((7 * i + 2, v))     # 7i+2 % 7 == 2: members
+        if with_corrupt:
+            v = [0.0] * dim
+            v[0], v[1] = 0.2, 0.9           # ccos ~ 0.22: corrupt
+            rows.append((699, v))           # 699 % 7 == 6
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_planted_corrupt_vector_flagged(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            embedding_outliers)
+
+        out = embedding_outliers(self._cell(spark, True, True), z=3,
+                                 min_cell=8, centroid_mod=7).collect()
+        assert [r.vec_id for r in out] == [699]
+        assert out[0].cell_n == 22
+
+    def test_zero_variance_cell_flags_nothing(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            embedding_outliers)
+
+        # every member colinear with the centroid -> every
+        # milli-cosine is exactly 1000 -> integer variance exactly 0
+        # -> the strict inequality can never fire (0 > 0); a float
+        # implementation could flag on rounding dust here
+        out = embedding_outliers(self._cell(spark, False, False), z=3,
+                                 min_cell=8, centroid_mod=7).collect()
+        assert out == []
+
+    def test_small_cells_exempt(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            embedding_outliers)
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]),
+             (2, [0.9, 0.1, 0.0, 0.0]),
+             (3, [0.1, 0.9, 0.2, 0.0])],
+            "vec_id long, embedding array<double>")
+        out = embedding_outliers(emb, z=3, min_cell=8,
+                                 centroid_mod=7).collect()
+        assert out == []  # 3-member cell: no meaningful variance
+
+
 class TestBpeFertilityByLang:
     def test_rollup_matches_per_doc_stats(self, spark):
         from examples_scala_spark.operators import text
