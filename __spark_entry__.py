@@ -33,24 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks ALL entries every time — including under the driver-identical
 # vanilla session (--vanilla).
 PRIORITY = [
-    # --- round-9 additions (same-round rule: never-evaluated names
-    # lead the gate the round they are born; verified vanilla at
-    # sf0.01 before landing) ---
-    "top_ngram_char_fraction", "semantic_dedup_delta",
-    "softdedup_weights", "dedup_source_overlap", "bpe_fertility_by_lang",
-    "semantic_dedup_snm", "semantic_dedup_snm_recall",
-    "semantic_decontaminate", "pipeline_weighted_mixture",
-    "stream_decontaminate_gate", "embedding_outliers",
-    # --- round-9: semantics changed this round (modulo-derived ANN
-    # query sets now hard-capped via orderBy(id).limit(max_queries),
-    # VERDICT r8 #2) — results differ from their last green rows, so
-    # they must re-prove inside this round's gate budget ---
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
-    "ann_topk_hamming", "ann_hamming_recall", "ann_recall_lsh",
-    "ann_topk_ivf", "ann_ndcg_mrr", "ann_recall_truncated",
-    # centroid-sample cap (same family): affinity stages were
-    # corpus x corpus/23 — now corpus x min(corpus/23, 256)
-    "ann_topk_ivfpq", "embedding_semantic_dedup", "ivf_incremental_assign",
+    # --- round-10: semantics changed this round (ADVICE r9 #2: the
+    # corpus side now anti-joins the CAPPED bench id set instead of
+    # the raw modulo predicate, so modulo-sampled rows beyond the cap
+    # are audited/gated as ordinary corpus — results can differ from
+    # their last green rows wherever the sample outgrows the cap) ---
+    "semantic_decontaminate", "stream_decontaminate_gate",
+    # --- round-10: plan-only rewrites re-proved same-round out of
+    # caution (hashes verified unchanged locally at sf0.001+sf0.01:
+    # window-argmax -> max_by partial aggregation across the
+    # IVF/SemDeDup/outlier assignment stages; vocab-scaling LM/df
+    # joins de-broadcast to pinned shuffle_hash; outlier z-test's
+    # shared n factor divided out) ---
+    "ann_topk_ivf", "ann_topk_ivfpq", "embedding_semantic_dedup",
+    "semantic_dedup_snm", "embedding_outliers", "softdedup_weights",
+    "doc_bigram_logppl", "pipeline_weighted_mixture",
 ]
 
 

