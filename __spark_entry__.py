@@ -33,6 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks ALL entries every time — including under the driver-identical
 # vanilla session (--vanilla).
 PRIORITY = [
+    # --- round-10 addition (same-round rule: never-evaluated names
+    # lead the gate the round they are born) ---
+    "semantic_dedup_auto",
     # --- round-10: semantics changed this round (ADVICE r9 #2: the
     # corpus side now anti-joins the CAPPED bench id set instead of
     # the raw modulo predicate, so modulo-sampled rows beyond the cap
@@ -48,6 +51,12 @@ PRIORITY = [
     "ann_topk_ivf", "ann_topk_ivfpq", "embedding_semantic_dedup",
     "semantic_dedup_snm", "embedding_outliers", "softdedup_weights",
     "doc_bigram_logppl", "pipeline_weighted_mixture",
+    # --- round-10: execution strategy changed (assignment + brute
+    # scoring now the vectorized bit-exact Arrow kernel,
+    # nearest_ref_vec / local-topk) — hashes verified unchanged at
+    # sf0.001+0.01, re-proved same-round out of caution ---
+    "ann_topk_bruteforce", "semantic_dedup_delta",
+    "ivf_incremental_assign",
 ]
 
 

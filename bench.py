@@ -217,7 +217,9 @@ def main() -> None:
                  # round-9 late additions: sorted-neighborhood SemDeDup
                  "semantic_dedup_snm", "semantic_dedup_snm_recall",
                  "semantic_decontaminate", "pipeline_weighted_mixture",
-                 "stream_decontaminate_gate", "embedding_outliers"]:
+                 "stream_decontaminate_gate", "embedding_outliers",
+                 # round-10 addition: sqrt-budget SemDeDup
+                 "semantic_dedup_auto"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

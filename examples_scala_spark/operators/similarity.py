@@ -77,35 +77,183 @@ def argmax_by(df: DataFrame, part_col: str, ord_col: str, tie_col: str,
                     *[F.col(f"__m.{c}").alias(c) for c in keep]))
 
 
+# hard bound on how many reference vectors nearest_ref_vec may collect
+# to the driver — the same bounded-collect contract as ivfpq_topk's
+# query table; every caller's reference set is ordered-limit capped
+# far below this
+_MAX_REF_COLLECT = 65536
+
+
+def nearest_ref_vec(base: DataFrame, refs: DataFrame,
+                    id_col: str = "vec_id",
+                    ref_id_col: str = "cent_id",
+                    ref_vec_col: str = "cv",
+                    ref_norm_col: str = "cnorm",
+                    carry_vec: bool = False) -> DataFrame:
+    """Nearest-reference argmax-cosine, VECTORIZED and BIT-EXACT:
+    for every base vector, the reference row maximizing
+    cosine(v, rv) with ties broken by the SMALLEST reference id —
+    the same contract as argmax_by over the relational affinity, as
+    one Arrow-batched mapInPandas pass with zero joins, zero
+    exchanges, and zero sorts.
+
+    Why this is the 100 TB shape (measured at the 100x probe,
+    SCALE.md r10): the relational form must materialize corpus x
+    n_refs rows and either window-sort or sort-aggregate them; with
+    the 256-centroid cap that is 256x the corpus through an
+    interpreted per-element cosine — ~30 s at 100x vs ~2.5-5 s for
+    this pass, 12x, and the gap widens with n_refs. The reference
+    side is COLLECTED (bounded: every caller caps it by ordered-limit
+    at <= 256 — sampled_centroids/bench sets — and this function
+    refuses more than 65536 rows) and shipped via broadcast exactly
+    like ivfpq_topk's ADC tables.
+
+    Bit-exactness contract (the reason this is NOT np.dot): the
+    kernel accumulates the dot product DIMENSION-SEQUENTIALLY —
+    acc starts at 0.0 and adds v[i]*r[i] one dimension at a time,
+    vectorized across rows — reproducing F.aggregate's left fold
+    ((0.0 + x0) + x1) + ... exactly, one IEEE rounding per step in
+    the same order; the division runs as dot / (norm * rnorm), the
+    same association as the `cosine` helper. np.argmax returns the
+    FIRST maximal index and NaN ranks greatest (first NaN wins),
+    so with references sorted by id ascending the tie-break and NaN
+    semantics equal the relational (ccos DESC, ref_id ASC) order.
+    Verified bit-identical against argmax_by on the 10x and 100x
+    probe corpora and hash-checked against the DuckDB oracles at
+    both driver SFs.
+
+    Returns (id_col, ref_id_col, ccos [, v, norm] ) — carry_vec=True
+    passes the base vector/norm through the Arrow batch so consumers
+    (pair joins, k-means updates) need no corpus join-back."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (refs.select(ref_id_col, ref_vec_col, ref_norm_col)
+            .orderBy(ref_id_col).collect())
+    if len(rows) > _MAX_REF_COLLECT:
+        raise ValueError(
+            f"nearest_ref_vec: {len(rows)} reference vectors exceed the "
+            f"bounded-collect contract ({_MAX_REF_COLLECT}); cap the "
+            "reference set (ordered-limit) or use argmax_by")
+    schema_str = f"{id_col} bigint, {ref_id_col} bigint, ccos double"
+    if carry_vec:
+        schema_str += ", v array<double>, norm double"
+    if not rows:
+        # no references (e.g. the id-sample is empty on a tiny corpus)
+        # -> no assignments, matching the relational join's empty result
+        return base.sparkSession.createDataFrame([], schema_str)
+    C = np.asarray([r[ref_vec_col] for r in rows], dtype=np.float64)
+    cn = np.asarray([r[ref_norm_col] for r in rows], dtype=np.float64)
+    rid = np.asarray([r[ref_id_col] for r in rows], dtype=np.int64)
+    bc = base.sparkSession.sparkContext.broadcast((C, cn, rid))
+    out_ref = ref_id_col
+
+    def kernel(batches):
+        C, cn, rid = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            acc = np.zeros((len(V), len(rid)))
+            for i in range(C.shape[1]):
+                # dimension-sequential: one rounding per step, fold order
+                acc = acc + V[:, i:i + 1] * C[:, i][None, :]
+            ccos = acc / (pdf["norm"].to_numpy()[:, None] * cn[None, :])
+            best = np.argmax(ccos, axis=1)
+            out = {id_col: pdf[id_col].to_numpy(),
+                   out_ref: rid[best],
+                   "ccos": ccos[np.arange(len(V)), best]}
+            if carry_vec:
+                out["v"] = list(pdf["v"])
+                out["norm"] = pdf["norm"].to_numpy()
+            yield pd.DataFrame(out)
+
+    return (base.select(id_col, "v", "norm")
+            .mapInPandas(kernel, schema_str))
+
+
 def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      max_queries: int = 256) -> DataFrame:
     """Exact cosine top-k for query vectors (id % query_mod == 0).
-    Output: (query_id, neighbor_id, rank, cos). Broadcast the small
-    query side; rank ties broken by neighbor id for determinism.
+    Output: (query_id, neighbor_id, rank, cos). Rank ties broken by
+    neighbor id for determinism.
 
     The modulo-derived query set is hard-capped at max_queries via a
-    distributed ordered-limit (TakeOrdered) BEFORE the broadcast —
-    the same bounded-query contract as pq_adc_topk/ivfpq_topk
-    (VERDICT r8 #2): without it the broadcast side is corpus/mod and
-    candidate pairs grow quadratically with scale."""
+    distributed ordered-limit (TakeOrdered) BEFORE the collect —
+    the same bounded contract as pq_adc_topk/ivfpq_topk (VERDICT
+    r8 #2): without it the shipped side is corpus/mod and candidate
+    pairs grow quadratically with scale.
+
+    Execution (r10): the corpus x 256-query scoring runs as ONE
+    vectorized Arrow pass (nearest_ref_vec's bit-exact
+    dimension-sequential kernel) that emits only each query's
+    per-batch top-k — k x |queries| rows per Arrow batch instead of
+    corpus x |queries| scored rows through the interpreted cosine.
+    The final window re-ranks |batches| x |queries| x k candidates
+    (tiny) with the exact (cos DESC, neighbor_id) order, so the
+    result is bit-identical to the pure-relational form: a per-batch
+    top-k by the SAME total order can never drop a global top-k row
+    (NaN cosines rank greatest, matching Spark's DESC NaN ordering,
+    via a -inf sort key substitution). Measured 24.2 s -> ~4 s at
+    the 100x probe."""
+    import numpy as np
+    import pandas as pd
+
     base = with_norm(emb, vec_col)
-    queries = (base.filter((F.col(id_col) % query_mod) == 0)
-               .orderBy(id_col).limit(int(max_queries))
-               .select(F.col(id_col).alias("query_id"),
-                       F.col("v").alias("qv"),
-                       F.col("norm").alias("qnorm")))
-    scored = base.alias("b").join(F.broadcast(queries)) \
-        .filter(F.col(id_col) != F.col("query_id")) \
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias("cos"),
-        )
+    qrows = (base.filter((F.col(id_col) % query_mod) == 0)
+             .orderBy(id_col).limit(int(max_queries))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv"),
+                     F.col("norm").alias("qnorm")).collect())
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, cos double")
+    Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
+    qn = np.asarray([r.qnorm for r in qrows], dtype=np.float64)
+    qid = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((Q, qn, qid))
+
+    def local_topk(batches):
+        Q, qn, qid = bc.value
+        nq = len(qid)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            acc = np.zeros((len(V), nq))
+            for i in range(Q.shape[1]):
+                # dimension-sequential: fold order, one rounding/step
+                acc = acc + V[:, i:i + 1] * Q[:, i][None, :]
+            cos = acc / (pdf["norm"].to_numpy()[:, None] * qn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                mask = ids != qid[j]
+                cids, cj = ids[mask], cos[mask][:, j]
+                if not len(cids):
+                    continue
+                # NaN ranks greatest (Spark DESC semantics): sort key
+                # -inf pushes NaN rows to the front of the ascending
+                # lexsort; ties resolve to the smallest neighbor id
+                key = np.where(np.isnan(cj), -np.inf, -cj)
+                take = np.lexsort((cids, key))[:k]
+                out_q.append(np.full(len(take), qid[j]))
+                out_n.append(cids[take])
+                out_c.append(cj[take])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c)})
+
+    local = (base.select(F.col(id_col), "v", "norm")
+             .mapInPandas(local_topk,
+                          "query_id bigint, neighbor_id bigint, cos double"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
@@ -192,14 +340,9 @@ def train_centroids(emb: DataFrame, centroid_mod: int = 23,
         F.col(id_col), F.col("v"), F.col("norm"))
     cents = sampled_centroids(base, centroid_mod, id_col)
     for _ in range(iterations):
-        aff = (
-            base.join(F.broadcast(cents))
-            .select(F.col(id_col), F.col("cent_id"), F.col("v"),
-                    cosine(F.col("v"), F.col("cv"),
-                           F.col("norm"), F.col("cnorm")).alias("ccos"))
-        )
-        assign = argmax_by(aff, id_col, "ccos", "cent_id",
-                           keep=("cent_id", "v"))
+        # vectorized exact assignment; one bounded centroid collect
+        # per Lloyd round (<= 256 rows, the cap contract)
+        assign = nearest_ref_vec(base, cents, id_col, carry_vec=True)
         mean_vec = F.array(*[F.avg(F.col("v")[i]) for i in range(dim)])
         cents = (
             assign.groupBy("cent_id")
@@ -225,10 +368,9 @@ def cell_affinity(base: DataFrame, cents: DataFrame,
 def assign_cells(base: DataFrame, cents: DataFrame,
                  id_col: str = "vec_id") -> DataFrame:
     """Nearest-centroid cell per vector: (id, cell), argmax cosine,
-    ties broken by centroid id — one map-combined aggregate, no
-    window (argmax_by)."""
-    return (argmax_by(cell_affinity(base, cents, id_col),
-                      id_col, "ccos", "cent_id", keep=("cent_id",))
+    ties broken by centroid id — one vectorized Arrow pass, no joins,
+    no exchanges (nearest_ref_vec)."""
+    return (nearest_ref_vec(base, cents, id_col)
             .select(F.col(id_col), F.col("cent_id").alias("cell")))
 
 
@@ -317,8 +459,9 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
     1. centroids: trained means passed via `centroids`, else the
        deterministic id sample (oracle-reproducible).
-    2. assign: every vector -> argmax-cosine centroid (broadcast join +
-       map-combined max_by argmax; ties broken by centroid id).
+    2. assign: every vector -> argmax-cosine centroid (vectorized
+       Arrow pass over the collected capped centroid table,
+       bit-exact; ties broken by centroid id — nearest_ref_vec).
     3. probe: each query keeps its nprobe best cells.
     4. score: candidates = vectors whose cell is probed (equi-join on
        cell — the partition-pruned path at scale), exact cosine, top-k.
@@ -333,17 +476,14 @@ def ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
         F.col(id_col), F.col("v"), F.col("norm"))
     cents = (centroids if centroids is not None
              else sampled_centroids(base, centroid_mod, id_col))
-    # cell affinity of every vector to every centroid (C is small)
+    # cell affinity of every vector to every centroid — used only by
+    # the probes branch, where the query semi-join prunes it to the
+    # capped 256-query set before the cosine ever runs
     affinity = cell_affinity(base, cents, id_col)
-    # assignment carries v/norm through the argmax payload so the
-    # former corpus<->corpus join-back (base JOIN assign ON id) is
-    # gone: one map-combined aggregate replaces window + join
-    aff_full = base.join(F.broadcast(cents)).select(
-        F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
-        cosine(F.col("v"), F.col("cv"),
-               F.col("norm"), F.col("cnorm")).alias("ccos"))
-    data = (argmax_by(aff_full, id_col, "ccos", "cent_id",
-                      keep=("cent_id", "v", "norm"))
+    # assignment: vectorized exact argmax carrying v/norm through the
+    # Arrow batch — no affinity materialization, no window, no
+    # corpus<->corpus join-back
+    data = (nearest_ref_vec(base, cents, id_col, carry_vec=True)
             .withColumnRenamed("cent_id", "cell"))
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
@@ -609,14 +749,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
-    aff = (
-        base.join(F.broadcast(cents))
-        .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
-                cosine(F.col("v"), F.col("cv"),
-                       F.col("norm"), F.col("cnorm")).alias("ccos"))
-    )
-    assign = argmax_by(aff, id_col, "ccos", "cent_id",
-                       keep=("cent_id", "v", "norm"))
+    assign = nearest_ref_vec(base, cents, id_col, carry_vec=True) \
+        .select(F.col(id_col), "cent_id", "v", "norm")
     left, right = assign.alias("l"), assign.alias("r")
     nbr_min = (
         left.join(right, "cent_id")
@@ -632,6 +766,43 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
         F.col(id_col), F.col("cent_id").alias("cell"),
         keep.cast("long").alias("keep_id"),
         (F.col(id_col) == keep).alias("kept"))
+
+
+def semantic_dedup_auto(emb: DataFrame, threshold: float = 0.35,
+                        centroid_mod: int = 23, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        min_nlist: int = 16,
+                        max_nlist: int = 65536) -> DataFrame:
+    """Occupancy-held-constant SemDeDup: semantic_dedup with the
+    centroid budget tuned to floor(sqrt(corpus rows)) instead of a
+    fixed 256 — the self-tuning answer to the measured trade in the
+    fixed-nlist variant (SCALE.md r9: cell occupancy grows linearly
+    under a fixed budget, and the within-cell pair join is QUADRATIC
+    in occupancy, 18.4x per 10x data). With nlist ~ sqrt(n), expected
+    occupancy is also ~ sqrt(n), so the total pair-compare volume is
+    nlist * occupancy^2 ~ n^1.5 instead of n^2 — and both the
+    assignment stage (corpus x nlist) and the pair stage grow at the
+    same n^1.5 rate: neither half silently becomes the bottleneck as
+    the corpus scales. This is exactly the sqrt(corpus) guidance the
+    fixed-cap docstring gives pair-join consumers, made the default
+    instead of a knob the caller must remember.
+
+    Determinism contract: nlist = clamp(floor(sqrt(n)), min_nlist,
+    max_nlist) from ONE count action (scan-bound, scalar result —
+    the same bounded-driver-roundtrip class as ivfpq_topk's query
+    collect); floor(sqrt(.)) over IEEE doubles is correctly rounded
+    on both engines, so the DuckDB oracle reproduces the budget with
+    a computed LIMIT and the whole path stays hash-checkable.
+
+    Same output contract as semantic_dedup: (id, cell, keep_id,
+    kept)."""
+    import math
+
+    n = emb.count()
+    nlist = max(min_nlist, min(max_nlist, int(math.floor(math.sqrt(n)))))
+    return semantic_dedup(emb, threshold=threshold,
+                          centroid_mod=centroid_mod, id_col=id_col,
+                          vec_col=vec_col, max_centroids=nlist)
 
 
 def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
@@ -672,14 +843,7 @@ def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
-    aff = (
-        base.join(F.broadcast(cents))
-        .select(F.col(id_col), F.col("cent_id"), F.col("v"), F.col("norm"),
-                cosine(F.col("v"), F.col("cv"),
-                       F.col("norm"), F.col("cnorm")).alias("ccos"))
-    )
-    assign = argmax_by(aff, id_col, "ccos", "cent_id",
-                       keep=("cent_id", "v", "norm", "ccos"))
+    assign = nearest_ref_vec(base, cents, id_col, carry_vec=True)
     rw = Window.partitionBy("cent_id").orderBy(
         F.col("ccos").desc(), F.col(id_col))
     ranked = (assign
@@ -749,14 +913,15 @@ def semantic_decontaminate(emb: DataFrame, threshold: float = 0.35,
     corpus = base.join(
         F.broadcast(bench.select(F.col("bench_id").alias(id_col))),
         id_col, "left_anti")
-    scored = (corpus.crossJoin(F.broadcast(bench))
-              .withColumn("cos", cosine(F.col("v"), F.col("bv"),
-                                        F.col("norm"), F.col("bnorm")))
-              .filter(F.col("cos") >= threshold))
-    return (argmax_by(scored, id_col, "cos", "bench_id",
-                      keep=("bench_id", "cos"))
+    # vectorized best-match (argmax over ALL benches, then the
+    # threshold filter — equivalent to filter-then-argmax since a
+    # best below threshold means no bench clears it)
+    best = nearest_ref_vec(corpus, bench, id_col,
+                           ref_id_col="bench_id", ref_vec_col="bv",
+                           ref_norm_col="bnorm")
+    return (best.filter(F.col("ccos") >= threshold)
             .select(F.col(id_col), "bench_id",
-                    F.round("cos", 6).alias("cosine")))
+                    F.round("ccos", 6).alias("cosine")))
 
 
 def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
@@ -785,22 +950,15 @@ def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
     non-ANSI Spark decimal overflow would NULL the comparison and
     fail open, which is why the shared n factor stays divided out.
 
-    Plan: the assignment argmax (broadcast centroids) plus ONE
-    cell-keyed aggregate joined back to the members — two shuffles,
-    both keyed on the cell; no pair joins at all, so this is the
-    cheapest member of the embedding-quality family.
+    Plan: the vectorized zero-exchange assignment (nearest_ref_vec)
+    plus ONE cell-keyed aggregate joined back to the members — two
+    shuffles, both keyed on the cell; no pair joins at all, so this
+    is the cheapest member of the embedding-quality family.
     """
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
-    aff = (
-        base.join(F.broadcast(cents))
-        .select(F.col(id_col), F.col("cent_id"),
-                cosine(F.col("v"), F.col("cv"),
-                       F.col("norm"), F.col("cnorm")).alias("ccos"))
-    )
-    assign = argmax_by(aff, id_col, "ccos", "cent_id",
-                       keep=("cent_id", "ccos"))
+    assign = nearest_ref_vec(base, cents, id_col)
     u = assign.select(
         F.col(id_col), F.col("cent_id"),
         F.round(F.col("ccos") * 1000).cast("long").alias("x"))
@@ -879,7 +1037,8 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     oracle-checked halves (assign_cells' argmax-cosine quantizer,
     pq_encode's m-byte codes) exactly as FAISS's IndexIVFPQ does:
 
-    1. every vector -> its best cell (broadcast centroids, rank-1);
+    1. every vector -> its best cell (vectorized exact argmax over
+       the collected capped centroid table — nearest_ref_vec);
     2. each query probes its nprobe best cells;
     3. candidates = equi-join of the CODE table against the probed
        (query, cell) pairs — at scale this is a partition-pruned read
@@ -903,8 +1062,7 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     affinity = cell_affinity(base, cents, id_col)
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cent_id"))
-    assign = (argmax_by(affinity, id_col, "ccos", "cent_id",
-                        keep=("cent_id",))
+    assign = (nearest_ref_vec(base, cents, id_col)
               .select(F.col(id_col), F.col("cent_id").alias("cell")))
 
     books = pq_codebooks(emb, m, codes, dim, sample_mod, id_col, vec_col)

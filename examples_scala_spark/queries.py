@@ -6500,6 +6500,57 @@ def embedding_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.35)
 
 
+_SEMDEDUP_AUTO_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id
+      -- the self-tuned budget: clamp(floor(sqrt(corpus)), 16, 65536)
+      LIMIT (SELECT greatest(16, least(65536,
+               CAST(floor(sqrt(count(*))) AS BIGINT))) FROM n)),
+    a AS (
+      SELECT vec_id, cent_id, v, norm FROM (
+        SELECT n.vec_id, c.cent_id, n.v, n.norm,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm)
+                   DESC, c.cent_id) AS r
+        FROM n CROSS JOIN c) WHERE r = 1),
+    p AS (
+      SELECT l.vec_id, min(r.vec_id) AS nbr_min
+      FROM a l JOIN a r USING (cent_id)
+      WHERE l.vec_id <> r.vec_id
+        AND list_dot_product(l.v, r.v) / (l.norm * r.norm) >= 0.35
+      GROUP BY l.vec_id)
+    SELECT a.vec_id, a.cent_id AS cell,
+           least(a.vec_id, COALESCE(nbr_min, a.vec_id))::BIGINT AS keep_id,
+           (a.vec_id = least(a.vec_id, COALESCE(nbr_min, a.vec_id))) AS kept
+    FROM a LEFT JOIN p USING (vec_id)"""
+
+
+@register(
+    "semantic_dedup_auto",
+    _SEMDEDUP_AUTO_SQL,
+    "llm", "dedup", "similarity",
+)
+def semantic_dedup_auto(spark, sf_dir):
+    """Occupancy-held-constant SemDeDup
+    (operators/similarity.py:semantic_dedup_auto): the centroid
+    budget self-tunes to floor(sqrt(corpus rows)) — clamped to
+    [16, 65536] — so cell occupancy stays ~sqrt(n) and the
+    within-cell pair join grows n^1.5 instead of the fixed-256
+    variant's measured occupancy-quadratic 18.4x per decade. The
+    budget comes from one count action and the oracle reproduces it
+    with a computed LIMIT, so the whole path — budget, assignment
+    argmax, pair pruning, keeper election — stays hash-checked."""
+    from .operators.similarity import semantic_dedup_auto as _f
+    emb = _t(spark, sf_dir, "embeddings")
+    return _f(emb, threshold=0.35)
+
+
 _SEMDEDUP_SNM_SQL = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

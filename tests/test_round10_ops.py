@@ -123,6 +123,111 @@ class TestOutlierZTestHeadroom:
         assert flagged == [20]
 
 
+class TestNearestRefVec:
+    def test_bit_identical_to_relational_argmax(self, spark, sf_dir):
+        from examples_scala_spark.operators.similarity import (
+            cell_affinity,
+            nearest_ref_vec,
+            sampled_centroids,
+            with_norm,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = with_norm(emb).select("vec_id", "v", "norm")
+        cents = sampled_centroids(base, 23)
+        rel = argmax_by(cell_affinity(base, cents), "vec_id", "ccos",
+                        "cent_id", keep=("cent_id", "ccos"))
+        vec = nearest_ref_vec(base, cents).select(
+            "vec_id", "cent_id", "ccos")
+        assert sorted(map(tuple, rel.collect())) == \
+            sorted(map(tuple, vec.collect()))
+
+    def test_carry_vec_roundtrips_vectors(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            nearest_ref_vec,
+            sampled_centroids,
+            with_norm,
+        )
+        emb = _emb(spark, [(i, [float(i), 1.0]) for i in range(40)])
+        base = with_norm(emb).select("vec_id", "v", "norm")
+        cents = sampled_centroids(base, 23)  # ids 1, 24
+        out = {r.vec_id: r for r in
+               nearest_ref_vec(base, cents, carry_vec=True).collect()}
+        assert len(out) == 40
+        assert out[7].v == [7.0, 1.0]           # exact Arrow round-trip
+        assert out[7].norm == pytest.approx((49 + 1) ** 0.5)
+
+    def test_empty_reference_set_yields_empty(self, spark):
+        from examples_scala_spark.operators.similarity import (
+            nearest_ref_vec,
+            with_norm,
+        )
+        emb = _emb(spark, [(2, [1.0, 0.0]), (4, [0.0, 1.0])])
+        base = with_norm(emb).select("vec_id", "v", "norm")
+        refs = base.filter("vec_id < 0").select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"))
+        assert nearest_ref_vec(base, refs).count() == 0
+
+    def test_refuses_unbounded_reference_collect(self, spark):
+        from examples_scala_spark.operators import similarity as sim
+        emb = _emb(spark, [(i, [1.0, float(i)]) for i in range(10)])
+        base = sim.with_norm(emb).select("vec_id", "v", "norm")
+        refs = base.select(F.col("vec_id").alias("cent_id"),
+                           F.col("v").alias("cv"),
+                           F.col("norm").alias("cnorm"))
+        old = sim._MAX_REF_COLLECT
+        sim._MAX_REF_COLLECT = 5
+        try:
+            with pytest.raises(ValueError, match="bounded-collect"):
+                sim.nearest_ref_vec(base, refs)
+        finally:
+            sim._MAX_REF_COLLECT = old
+
+
+class TestSemanticDedupAuto:
+    def test_equals_explicit_sqrt_budget(self, spark, sf_dir):
+        import math
+
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_auto,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        nlist = max(16, min(65536, int(math.floor(math.sqrt(n)))))
+        auto = sorted(map(tuple, semantic_dedup_auto(emb).collect()))
+        explicit = sorted(map(tuple, semantic_dedup(
+            emb, max_centroids=nlist).collect()))
+        assert auto == explicit
+        # and the budget genuinely binds at test SF (differs from the
+        # fixed-256 default's output universe only if nlist != 256)
+        assert nlist != 256
+
+    def test_min_clamp_on_tiny_corpus(self, spark):
+        # 30 vectors -> floor(sqrt(30)) = 5, clamped up to min_nlist=16;
+        # candidate pool (id % 23 == 1 -> ids 1, 24) is under the
+        # budget, so every candidate is a centroid and output covers
+        # the whole corpus
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup_auto,
+        )
+        emb = _emb(spark, [(i, [float(i % 7), 1.0]) for i in range(30)])
+        out = semantic_dedup_auto(emb)
+        assert out.count() == 30
+
+    def test_oracle_agrees_at_test_sf(self, spark, sf_dir):
+        from examples_scala_spark.queries import REGISTRY
+        q = REGISTRY["semantic_dedup_auto"]
+        got = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        exp = sorted((int(a), int(b), int(c), bool(k))
+                     for a, b, c, k in con.execute(q.oracle).fetchall())
+        assert got == exp
+
+
 class TestLmJoinsNotBroadcast:
     @pytest.mark.parametrize("name", ["softdedup_weights",
                                       "doc_bigram_logppl",
