@@ -328,7 +328,8 @@ def train_centroids(emb: DataFrame, centroid_mod: int = 23,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Lloyd's k-means over the embedding table, as DataFrame ops:
-    assign = broadcast-centroid argmax-cosine (narrow), update = one
+    assign = vectorized exact argmax (nearest_ref_vec, one bounded
+    centroid collect per round), update = one
     groupBy(cell) computing all `dim` component means map-side. Init =
     the deterministic id sample, so results are reproducible.
     `localCheckpoint` per round truncates the growing plan (same

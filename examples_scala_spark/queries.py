@@ -7450,6 +7450,59 @@ def stream_decontaminate_gate(spark, sf_dir):
 
 
 @register(
+    "stream_semantic_decon_gate",
+    # oracle = the batch twin's SQL verbatim: the stream gate scores
+    # the same capped-bench/anti-joined corpus, so batch and stream
+    # must hash-match
+    REGISTRY["semantic_decontaminate"].oracle,
+    "streaming", "llm", "decontamination", "similarity",
+)
+def stream_semantic_decon_gate(spark, sf_dir):
+    """Embedding-level decontamination ON INGEST — the paraphrase
+    member of the streaming gate family (stream_decontaminate_gate
+    catches verbatim n-gram leaks; reworded eval items share no
+    4-gram but still sit next to the original in embedding space).
+    The embeddings table replays as a bounded stream and every
+    incoming vector is scored against the CAPPED benchmark set
+    (vec_id % 97 == 3, ordered-limit 64 — the ANN query-set
+    contract; the staged corpus anti-joins those capped ids, so
+    sampled vectors beyond the cap are ordinary corpus and still
+    gated) by the same vectorized bit-exact kernel as the batch twin
+    (similarity.py:nearest_ref_vec, dimension-sequential fold-order
+    accumulation): the whole gate is STATELESS — per-batch Arrow
+    argmax against a driver-collected 64-row reference, no joins, no
+    state store; nothing to checkpoint beyond source offsets. Flags
+    rows whose best benchmark cosine clears 0.35; oracle = the batch
+    semantic_decontaminate SQL, so streaming and batch results are
+    hash-identical."""
+    import tempfile
+
+    from .operators.similarity import nearest_ref_vec, with_norm
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = with_norm(emb).select("vec_id", "v", "norm")
+    bench = (base.filter(F.col("vec_id") % 97 == 3)
+             .orderBy("vec_id").limit(64)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("v").alias("bv"), F.col("norm").alias("bnorm")))
+    d = tempfile.mkdtemp(prefix="sgs_sem_gate_")
+    (emb.join(F.broadcast(bench.select(F.col("bench_id").alias("vec_id"))),
+              "vec_id", "left_anti")
+     .select("vec_id", "embedding").repartition(4)
+     .write.mode("overwrite").parquet(d))
+    src = (spark.readStream.schema("vec_id bigint, embedding array<float>")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    sbase = with_norm(src).select("vec_id", "v", "norm")
+    best = nearest_ref_vec(sbase, bench, ref_id_col="bench_id",
+                           ref_vec_col="bv", ref_norm_col="bnorm")
+    out = (best.filter(F.col("ccos") >= 0.35)
+           .select("vec_id", "bench_id",
+                   F.round("ccos", 6).alias("cosine")))
+    return _run_to_memory(spark, out, "stream_semantic_decon_gate_result")
+
+
+@register(
     "stream_trending_tokens",
     """
     WITH toks AS (

@@ -228,6 +228,20 @@ class TestSemanticDedupAuto:
         assert got == exp
 
 
+class TestStreamSemanticDeconGate:
+    def test_stream_equals_batch_twin(self, spark, sf_dir):
+        # the gate's whole contract: replaying the corpus as a stream
+        # through the vectorized kernel flags EXACTLY the rows the
+        # batch semantic_decontaminate flags
+        from examples_scala_spark.queries import REGISTRY
+        got = sorted(map(tuple, REGISTRY["stream_semantic_decon_gate"]
+                         .fn(spark, sf_dir).collect()))
+        want = sorted(map(tuple, REGISTRY["semantic_decontaminate"]
+                          .fn(spark, sf_dir).collect()))
+        assert got == want
+        assert len(got) > 0   # non-vacuous at test SF
+
+
 class TestLmJoinsNotBroadcast:
     @pytest.mark.parametrize("name", ["softdedup_weights",
                                       "doc_bigram_logppl",
