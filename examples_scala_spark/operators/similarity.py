@@ -122,6 +122,15 @@ def nearest_ref_vec(base: DataFrame, refs: DataFrame,
     probe corpora and hash-checked against the DuckDB oracles at
     both driver SFs.
 
+    Zero-norm vectors are REJECTED loudly (ValueError), matching the
+    relational path's behavior under Spark's default ANSI mode,
+    where cosine's division throws DIVIDE_BY_ZERO: a silent numpy
+    inf/NaN here (or DuckDB's divide-by-zero NULL) would let the
+    three engines quietly disagree on exactly the rows where cosine
+    is undefined. Screen such vectors out upstream (they are corrupt
+    embeddings by definition) rather than relying on any engine's
+    div-by-zero convention.
+
     Returns (id_col, ref_id_col, ccos [, v, norm] ) — carry_vec=True
     passes the base vector/norm through the Arrow batch so consumers
     (pair joins, k-means updates) need no corpus join-back."""
@@ -145,6 +154,11 @@ def nearest_ref_vec(base: DataFrame, refs: DataFrame,
     C = np.asarray([r[ref_vec_col] for r in rows], dtype=np.float64)
     cn = np.asarray([r[ref_norm_col] for r in rows], dtype=np.float64)
     rid = np.asarray([r[ref_id_col] for r in rows], dtype=np.int64)
+    if (cn == 0).any():
+        raise ValueError(
+            "nearest_ref_vec: zero-norm reference vector — cosine is "
+            "undefined (ANSI Spark would raise DIVIDE_BY_ZERO); screen "
+            "corrupt references upstream")
     bc = base.sparkSession.sparkContext.broadcast((C, cn, rid))
     out_ref = ref_id_col
 
@@ -154,11 +168,17 @@ def nearest_ref_vec(base: DataFrame, refs: DataFrame,
             if not len(pdf):
                 continue
             V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            norms = pdf["norm"].to_numpy()
+            if (norms == 0).any():
+                raise ValueError(
+                    "nearest_ref_vec: zero-norm input vector — cosine "
+                    "is undefined (ANSI Spark would raise "
+                    "DIVIDE_BY_ZERO); screen corrupt vectors upstream")
             acc = np.zeros((len(V), len(rid)))
             for i in range(C.shape[1]):
                 # dimension-sequential: one rounding per step, fold order
                 acc = acc + V[:, i:i + 1] * C[:, i][None, :]
-            ccos = acc / (pdf["norm"].to_numpy()[:, None] * cn[None, :])
+            ccos = acc / (norms[:, None] * cn[None, :])
             best = np.argmax(ccos, axis=1)
             out = {id_col: pdf[id_col].to_numpy(),
                    out_ref: rid[best],
@@ -213,6 +233,10 @@ def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
     qn = np.asarray([r.qnorm for r in qrows], dtype=np.float64)
     qid = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    if (qn == 0).any():
+        raise ValueError(
+            "brute_force_topk: zero-norm query vector — cosine is "
+            "undefined (ANSI Spark would raise DIVIDE_BY_ZERO)")
     bc = emb.sparkSession.sparkContext.broadcast((Q, qn, qid))
 
     def local_topk(batches):
@@ -223,11 +247,17 @@ def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
                 continue
             V = np.asarray(list(pdf["v"]), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
+            norms = pdf["norm"].to_numpy()
+            if (norms == 0).any():
+                raise ValueError(
+                    "brute_force_topk: zero-norm corpus vector — "
+                    "cosine is undefined (ANSI Spark would raise "
+                    "DIVIDE_BY_ZERO)")
             acc = np.zeros((len(V), nq))
             for i in range(Q.shape[1]):
                 # dimension-sequential: fold order, one rounding/step
                 acc = acc + V[:, i:i + 1] * Q[:, i][None, :]
-            cos = acc / (pdf["norm"].to_numpy()[:, None] * qn[None, :])
+            cos = acc / (norms[:, None] * qn[None, :])
             out_q, out_n, out_c = [], [], []
             for j in range(nq):
                 mask = ids != qid[j]

@@ -168,6 +168,68 @@ class TestNearestRefVec:
             F.col("norm").alias("cnorm"))
         assert nearest_ref_vec(base, refs).count() == 0
 
+    def test_bit_identical_on_adversarial_nonzero_inputs(self, spark):
+        # exact ties (duplicate vectors -> identical ccos for the
+        # duplicated centroid pair), negative components, and a
+        # denormal-adjacent norm — the cases where argmax/tie
+        # semantics could diverge between numpy and Spark. The
+        # relational form is ground truth.
+        from examples_scala_spark.operators.similarity import (
+            cell_affinity,
+            nearest_ref_vec,
+            with_norm,
+        )
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),     # duplicate of 1
+            (3, [-1.0, -2.0, 3.0]),
+            (4, [0.5, 0.5, 0.5]),
+            # NB 1e-300 would UNDERFLOW: norm = sqrt(1e-600) -> 0.0
+            (5, [1e-150, 0.0, 0.0]),  # tiny but representable norm
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        base = with_norm(emb).select("vec_id", "v", "norm")
+        # duplicate reference pair: guaranteed bitwise ccos tie for
+        # EVERY vector -> tie-break must pick cent_id 10, never 11
+        refs = spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0], 1.0),
+             (11, [1.0, 0.0, 0.0], 1.0),
+             (13, [0.0, 1.0, 0.0], 1.0)],
+            "cent_id long, cv array<double>, cnorm double")
+        rel = argmax_by(cell_affinity(base, refs), "vec_id", "ccos",
+                        "cent_id", keep=("cent_id", "ccos"))
+        vec = nearest_ref_vec(base, refs).select(
+            "vec_id", "cent_id", "ccos")
+        got_rel = sorted(map(tuple, rel.collect()))
+        got_vec = sorted(map(tuple, vec.collect()))
+        assert got_rel == got_vec
+        assert all(c == 10 for _, c, s in got_vec if s == 1.0)
+
+    def test_zero_norm_vectors_fail_loudly(self, spark):
+        # under Spark 4's default ANSI mode the relational cosine
+        # THROWS DIVIDE_BY_ZERO on zero-norm vectors; a silent numpy
+        # inf/NaN would let engines disagree exactly where cosine is
+        # undefined, so the kernel matches the loud failure
+        from examples_scala_spark.operators.similarity import (
+            nearest_ref_vec,
+            with_norm,
+        )
+        emb = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        base = with_norm(emb).select("vec_id", "v", "norm")
+        refs = spark.createDataFrame(
+            [(10, [1.0, 0.0], 1.0)],
+            "cent_id long, cv array<double>, cnorm double")
+        with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+            nearest_ref_vec(base, refs).collect()
+        zrefs = spark.createDataFrame(
+            [(10, [0.0, 0.0], 0.0)],
+            "cent_id long, cv array<double>, cnorm double")
+        with pytest.raises(ValueError, match="zero-norm reference"):
+            nearest_ref_vec(base.filter("vec_id = 1"), zrefs)
+
     def test_refuses_unbounded_reference_collect(self, spark):
         from examples_scala_spark.operators import similarity as sim
         emb = _emb(spark, [(i, [1.0, float(i)]) for i in range(10)])
