@@ -219,8 +219,9 @@ def main() -> None:
                  "semantic_decontaminate", "pipeline_weighted_mixture",
                  "stream_decontaminate_gate", "embedding_outliers",
                  # round-10 additions: sqrt-budget SemDeDup, embedding
-                 # decontamination gate on ingest
-                 "semantic_dedup_auto", "stream_semantic_decon_gate"]:
+                 # decontamination gate on ingest, threshold sweep
+                 "semantic_dedup_auto", "stream_semantic_decon_gate",
+                 "semantic_dedup_sweep"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

@@ -836,6 +836,61 @@ def semantic_dedup_auto(emb: DataFrame, threshold: float = 0.35,
                           vec_col=vec_col, max_centroids=nlist)
 
 
+def semantic_dedup_sweep(emb: DataFrame,
+                         thresholds: tuple[float, ...] = (0.30, 0.35,
+                                                          0.40, 0.45),
+                         centroid_mod: int = 23, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_centroids: int = 256) -> DataFrame:
+    """Threshold SWEEP for semantic dedup — "how much of the corpus
+    would each cosine threshold drop?", the tuning pass a curation
+    team runs BEFORE committing a SemDeDup threshold (the semantic
+    sibling of lsh_band_sweep's banding sweep). One vectorized
+    assignment + ONE within-cell pair pass computes every
+    threshold's answer simultaneously: per doc, the maximum cosine
+    to any LOWER-id cell-mate (`best_lower`) — a doc is dropped at
+    threshold t iff best_lower >= t, because the keeper election
+    drops exactly the docs with a qualifying lower-id neighbor. The
+    thresholds then read off the SAME per-doc aggregate; no
+    per-threshold re-join, no re-scan.
+
+    Exactness: cosines compare to double literals both engines parse
+    identically; counts are integers; the only emitted double is the
+    6-dp drop fraction. Same cell machinery (capped id-sampled
+    quantizer, within-cell confinement) as semantic_dedup, so a
+    sweep row at t equals semantic_dedup(threshold=t)'s drop count.
+
+    Output: (threshold, n_docs, n_dropped, drop_frac), one row per
+    threshold, ascending."""
+    base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
+    cents = sampled_centroids(base, centroid_mod, id_col,
+                              max_centroids=max_centroids)
+    assign = nearest_ref_vec(base, cents, id_col, carry_vec=True) \
+        .select(F.col(id_col), "cent_id", "v", "norm")
+    left, right = assign.alias("l"), assign.alias("r")
+    best_lower = (
+        left.join(right, "cent_id")
+        .filter(F.col(f"r.{id_col}") < F.col(f"l.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias(id_col))
+        .agg(F.max(cosine(F.col("l.v"), F.col("r.v"),
+                          F.col("l.norm"), F.col("r.norm")))
+             .alias("best_lower")))
+    per_doc = (assign.select(F.col(id_col))
+               .join(best_lower, id_col, "left"))
+    ts = F.explode(F.array(*[F.lit(float(t)) for t in
+                             sorted(thresholds)])).alias("threshold")
+    return (per_doc.select(F.col(id_col), "best_lower", ts)
+            .groupBy("threshold")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("best_lower") >= F.col("threshold"),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_dropped"))
+            .select("threshold", "n_docs", "n_dropped",
+                    F.round(F.col("n_dropped")
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("drop_frac")))
+
+
 def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
                        chunk: int = 16, centroid_mod: int = 23,
                        id_col: str = "vec_id", vec_col: str = "embedding",

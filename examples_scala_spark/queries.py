@@ -6551,6 +6551,60 @@ def semantic_dedup_auto(spark, sf_dir):
     return _f(emb, threshold=0.35)
 
 
+@register(
+    "semantic_dedup_sweep",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+      FROM n WHERE vec_id % 23 = 1 ORDER BY vec_id LIMIT 256),
+    a AS (
+      SELECT vec_id, cent_id, v, norm FROM (
+        SELECT n.vec_id, c.cent_id, n.v, n.norm,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm)
+                   DESC, c.cent_id) AS r
+        FROM n CROSS JOIN c) WHERE r = 1),
+    bl AS (
+      SELECT l.vec_id,
+             max(list_dot_product(l.v, r.v) / (l.norm * r.norm))
+               AS best_lower
+      FROM a l JOIN a r USING (cent_id)
+      WHERE r.vec_id < l.vec_id
+      GROUP BY l.vec_id),
+    pd AS (
+      SELECT a.vec_id, bl.best_lower
+      FROM a LEFT JOIN bl USING (vec_id)),
+    ts AS (SELECT unnest([0.30, 0.35, 0.40, 0.45])::DOUBLE AS threshold)
+    SELECT ts.threshold,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN pd.best_lower >= ts.threshold
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+           round(sum(CASE WHEN pd.best_lower >= ts.threshold
+                          THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS drop_frac
+    FROM pd CROSS JOIN ts GROUP BY ts.threshold""",
+    "llm", "dedup", "similarity", "diagnostics",
+)
+def semantic_dedup_sweep(spark, sf_dir):
+    """SemDeDup threshold sweep
+    (operators/similarity.py:semantic_dedup_sweep): drop counts and
+    fractions at cosine thresholds 0.30/0.35/0.40/0.45 from ONE
+    assignment + ONE within-cell pair pass — per doc, the max cosine
+    to any lower-id cell-mate; dropped at t iff that max clears t.
+    The tuning diagnostic to run before committing a threshold (the
+    semantic sibling of lsh_band_sweep); each row's n_dropped equals
+    embedding_semantic_dedup(threshold=t)'s drop count by
+    construction."""
+    from .operators.similarity import semantic_dedup_sweep as _f
+    emb = _t(spark, sf_dir, "embeddings")
+    return _f(emb)
+
+
 _SEMDEDUP_SNM_SQL = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -290,6 +290,26 @@ class TestSemanticDedupAuto:
         assert got == exp
 
 
+class TestSemanticDedupSweep:
+    def test_sweep_row_equals_single_threshold_dedup(self, spark, sf_dir):
+        # the sweep's whole contract: the t=0.35 row's n_dropped must
+        # equal embedding_semantic_dedup(threshold=0.35)'s drop count
+        from examples_scala_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_sweep,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sweep = {r.threshold: (r.n_docs, r.n_dropped)
+                 for r in semantic_dedup_sweep(emb).collect()}
+        single = semantic_dedup(emb, threshold=0.35)
+        dropped = single.filter(~F.col("kept")).count()
+        total = single.count()
+        assert sweep[0.35] == (total, dropped)
+        # monotone: higher threshold can only drop fewer
+        drops = [sweep[t][1] for t in sorted(sweep)]
+        assert drops == sorted(drops, reverse=True)
+
+
 class TestStreamSemanticDeconGate:
     def test_stream_equals_batch_twin(self, spark, sf_dir):
         # the gate's whole contract: replaying the corpus as a stream
