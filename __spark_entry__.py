@@ -36,7 +36,7 @@ PRIORITY = [
     # --- round-10 additions (same-round rule: never-evaluated names
     # lead the gate the round they are born) ---
     "semantic_dedup_auto", "stream_semantic_decon_gate",
-    "semantic_dedup_sweep",
+    "semantic_dedup_sweep", "mixture_epoch_plan",
     # --- round-10: semantics changed this round (ADVICE r9 #2: the
     # corpus side now anti-joins the CAPPED bench id set instead of
     # the raw modulo predicate, so modulo-sampled rows beyond the cap

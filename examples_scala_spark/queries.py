@@ -2983,6 +2983,125 @@ def mixture_waterfill_alloc(spark, sf_dir):
     return out
 
 
+@register(
+    "mixture_epoch_plan",
+    r"""
+    WITH s AS (
+      SELECT source,
+             sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n
+      FROM documents GROUP BY source),
+    s2 AS (
+      SELECT source, n,
+             CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w,
+             n * 4 AS c
+      FROM s),
+    t AS (SELECT sum(n)::BIGINT AS tn, sum(w)::BIGINT AS tw,
+                 count(*)::BIGINT AS m FROM s2),
+    r AS (
+      SELECT s2.source, s2.n, s2.w, s2.c, t.tn, t.tw, t.m,
+             t.tn AS b,
+             row_number() OVER (ORDER BY s2.c::DOUBLE / s2.w, s2.source)
+               AS j,
+             sum(s2.c) OVER (ORDER BY s2.c::DOUBLE / s2.w, s2.source
+                             ROWS UNBOUNDED PRECEDING) AS pc,
+             sum(s2.w) OVER (ORDER BY s2.c::DOUBLE / s2.w, s2.source
+                             ROWS UNBOUNDED PRECEDING) AS pw
+      FROM s2, t),
+    k AS (
+      SELECT coalesce(max(CASE WHEN c::HUGEINT * (tw - pw)
+                               <= w::HUGEINT * (b - pc) THEN j END), 0)
+               AS kk
+      FROM r),
+    lam AS (
+      SELECT k.kk,
+             coalesce((SELECT pc FROM r, k WHERE j = k.kk), 0) AS pck,
+             coalesce((SELECT pw FROM r, k WHERE j = k.kk), 0) AS pwk
+      FROM k),
+    alloc AS (
+      SELECT r.source, r.n, r.w, r.j <= lam.kk AS capped,
+             CASE WHEN r.j <= lam.kk THEN r.c::HUGEINT
+                  ELSE (r.w::HUGEINT * (r.b - lam.pck))
+                       // greatest(r.tw - lam.pwk, 1) END AS a
+      FROM r, lam)
+    SELECT source, n AS n_tokens, w AS weight_units, capped,
+           a::BIGINT AS alloc_tokens,
+           round(a::DOUBLE / n, 6) AS epochs
+    FROM alloc""",
+    "llm", "sampling", "mixture",
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Epoch-capped WEIGHTED mixture allocation — the multi-epoch
+    sampling plan a training run actually consumes (the Pile/Dolma
+    recipe refined by the repetition literature: small high-quality
+    sources may repeat, but never past ~4 epochs): spend exactly one
+    corpus-worth of tokens B = sum(n_s), allocating proportional to
+    temperature weights w_s = round(sqrt(n_s) * 1e6) (tau = 2
+    temperature mixing, integer micro-units) under per-source
+    ceilings c_s = 4 * n_s. alloc_s = min(c_s, lambda * w_s) with
+    lambda chosen so the total hits B — WEIGHTED water-filling with
+    ceilings, the weights+epochs generalization of
+    mixture_waterfill_alloc (whose shares are equal and whose
+    ceiling is one epoch).
+
+    Exactly like the unweighted form, the whole solve is one pass
+    over the per-source AGGREGATE: sort by the binding order c/w,
+    find the capped prefix with exact integer cross-multiplications
+    (c * suffix_w <= w * remaining_budget — DECIMAL(38,0)/HUGEINT
+    products, BIGINT-safe at any corpus size), and every uncapped
+    allocation is one exact floor division floor(w * num / den),
+    computed remainder-style on Spark so no decimal rounding can
+    perturb the floor. Total allocated lands in (B - m, B] — the
+    only slack is the per-source floor, deterministic on both
+    engines. The global sort window runs over #sources rows, never
+    the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    s = (docs.select("source",
+                     F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                      .cast("long").alias("nt"))
+         .groupBy("source").agg(F.sum("nt").cast("long").alias("n")))
+    s2 = (s.withColumn("w", F.round(F.sqrt(F.col("n")) * 1_000_000)
+                       .cast("long"))
+          .withColumn("c", (F.col("n") * 4).cast("long")))
+    t = s2.agg(F.sum("n").cast("long").alias("tn"),
+               F.sum("w").cast("long").alias("tw"),
+               F.count("*").cast("long").alias("m"))
+    wnd = Window.orderBy(F.col("c") / F.col("w"), "source")
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    r = (s2.crossJoin(F.broadcast(t))
+         .withColumn("b", F.col("tn"))
+         .withColumn("j", F.row_number().over(wnd).cast("long"))
+         .withColumn("pc", F.sum("c").over(
+             wnd.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)).cast("long"))
+         .withColumn("pw", F.sum("w").over(
+             wnd.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)).cast("long"))
+         .localCheckpoint(eager=False))
+    cond = (d19("c") * (d19("tw") - d19("pw"))
+            <= d19("w") * (d19("b") - d19("pc")))
+    k = r.agg(F.coalesce(F.max(F.when(cond, F.col("j"))), F.lit(0))
+              .cast("long").alias("kk"))
+    at_k = (r.join(F.broadcast(k), F.col("j") == F.col("kk"))
+            .agg(F.coalesce(F.max("pc"), F.lit(0)).cast("long")
+                 .alias("pck"),
+                 F.coalesce(F.max("pw"), F.lit(0)).cast("long")
+                 .alias("pwk")))
+    wnum = d19("w") * (d19("b") - d19("pck"))
+    den = F.greatest(d19("tw") - d19("pwk"), F.lit(1).cast("decimal(19,0)"))
+    # exact floor division: subtract the remainder first so the
+    # decimal divide is an exact multiple (no rounding can move it)
+    q = ((wnum - F.pmod(wnum, den)) / den).cast("decimal(38,0)")
+    a = F.when(F.col("j") <= F.col("kk"),
+               F.col("c").cast("decimal(38,0)")).otherwise(q)
+    return (r.crossJoin(F.broadcast(k)).crossJoin(F.broadcast(at_k))
+            .select("source", F.col("n").alias("n_tokens"),
+                    F.col("w").alias("weight_units"),
+                    (F.col("j") <= F.col("kk")).alias("capped"),
+                    a.cast("long").alias("alloc_tokens"),
+                    F.round(a.cast("double") / F.col("n"), 6)
+                    .alias("epochs")))
+
+
 def _substring_incremental_sql() -> str:
     rewrite = REGISTRY["substring_dedup_rewrite"].oracle
     return f"""

@@ -310,6 +310,31 @@ class TestSemanticDedupSweep:
         assert drops == sorted(drops, reverse=True)
 
 
+class TestMixtureEpochPlan:
+    def test_budget_caps_and_epochs(self, spark, sf_dir):
+        from examples_scala_spark.queries import REGISTRY
+        rows = REGISTRY["mixture_epoch_plan"].fn(spark, sf_dir).collect()
+        assert len(rows) > 1
+        budget = sum(r.n_tokens for r in rows)       # B = one corpus
+        total = sum(r.alloc_tokens for r in rows)
+        # exact-budget up to the per-source floor slack
+        assert budget - len(rows) < total <= budget
+        for r in rows:
+            assert 0 <= r.alloc_tokens <= 4 * r.n_tokens
+            assert r.epochs <= 4.0
+            if r.capped:
+                assert r.alloc_tokens == 4 * r.n_tokens
+        # water-filling invariant: every capped source's ceiling sits
+        # below lambda * weight, i.e. its tokens-per-weight ratio is
+        # below every uncapped source's
+        capped = [r.alloc_tokens / r.weight_units for r in rows
+                  if r.capped]
+        uncapped = [r.alloc_tokens / r.weight_units for r in rows
+                    if not r.capped]
+        if capped and uncapped:
+            assert max(capped) <= min(uncapped) * (1 + 1e-9)
+
+
 class TestStreamSemanticDeconGate:
     def test_stream_equals_batch_twin(self, spark, sf_dir):
         # the gate's whole contract: replaying the corpus as a stream
