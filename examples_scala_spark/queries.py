@@ -7623,6 +7623,83 @@ def stream_decontaminate_gate(spark, sf_dir):
 
 
 @register(
+    "decontamination_by_benchmark",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+    b AS (
+      SELECT vec_id AS bench_id, v AS bv, norm AS bnorm
+      FROM n WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 64),
+    c AS (SELECT * FROM n
+          WHERE vec_id NOT IN (SELECT bench_id FROM b)),
+    s AS (
+      SELECT b.bench_id, c.vec_id,
+             list_dot_product(c.v, b.bv) / (c.norm * b.bnorm) AS cos
+      FROM c CROSS JOIN b
+      WHERE list_dot_product(c.v, b.bv) / (c.norm * b.bnorm) >= 0.35),
+    agg AS (
+      SELECT bench_id, count(*)::BIGINT AS n_contaminated,
+             round(max(cos), 6) AS max_cosine
+      FROM s GROUP BY bench_id),
+    worst AS (
+      SELECT bench_id, vec_id AS worst_vec_id FROM (
+        SELECT bench_id, vec_id,
+               row_number() OVER (PARTITION BY bench_id
+                                  ORDER BY cos DESC, vec_id) AS r
+        FROM s) WHERE r = 1)
+    SELECT b.bench_id,
+           coalesce(agg.n_contaminated, 0)::BIGINT AS n_contaminated,
+           agg.max_cosine,
+           worst.worst_vec_id
+    FROM b LEFT JOIN agg USING (bench_id)
+           LEFT JOIN worst USING (bench_id)""",
+    "llm", "similarity", "decontamination", "diagnostics",
+)
+def decontamination_by_benchmark(spark, sf_dir):
+    """Decontamination ATTRIBUTION — the per-eval-item view of the
+    embedding decontamination pass (semantic_decontaminate answers
+    "which corpus docs are contaminated?"; this answers "which
+    BENCHMARK items leaked, how badly, and what is the worst
+    offending doc?" — the report an eval team reads to decide which
+    eval items to retire). Per capped benchmark vector: the count of
+    corpus vectors above the cosine threshold, the max cosine, and
+    the worst offender's id (ties to the smallest id); benches with
+    no hit report 0/NULL so the row set is always the full capped
+    bench. One corpus x |bench| broadcast scan — same linear shape
+    as the per-doc pass, aggregated the other way."""
+    from .operators.similarity import cosine, with_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = with_norm(emb).select("vec_id", "v", "norm")
+    bench = (base.filter(F.col("vec_id") % 97 == 3)
+             .orderBy("vec_id").limit(64)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("v").alias("bv"), F.col("norm").alias("bnorm")))
+    corpus = base.join(
+        F.broadcast(bench.select(F.col("bench_id").alias("vec_id"))),
+        "vec_id", "left_anti")
+    s = (corpus.crossJoin(F.broadcast(bench))
+         .withColumn("cos", cosine(F.col("v"), F.col("bv"),
+                                   F.col("norm"), F.col("bnorm")))
+         .filter(F.col("cos") >= 0.35)
+         .select("bench_id", "vec_id", "cos"))
+    agg = s.groupBy("bench_id").agg(
+        F.count("*").cast("long").alias("n_contaminated"),
+        F.round(F.max("cos"), 6).alias("max_cosine"),
+        # max of (cos, -vec_id): highest cosine, ties -> smallest id
+        (-F.max(F.struct(F.col("cos"),
+                         (-F.col("vec_id")).alias("nv"))).getField("nv"))
+        .cast("long").alias("worst_vec_id"))
+    return (bench.select("bench_id").join(agg, "bench_id", "left")
+            .select("bench_id",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"),
+                    "max_cosine", "worst_vec_id"))
+
+
+@register(
     "stream_semantic_decon_gate",
     # oracle = the batch twin's SQL verbatim: the stream gate scores
     # the same capped-bench/anti-joined corpus, so batch and stream

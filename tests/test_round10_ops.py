@@ -335,6 +335,84 @@ class TestMixtureEpochPlan:
             assert max(capped) <= min(uncapped) * (1 + 1e-9)
 
 
+def _epoch_plan_reference(tokens: dict[str, int], max_epochs: int = 4):
+    """Brute-force weighted water-fill with ceilings, independent of
+    the SQL formulation: binary-search lambda over the exact rational
+    grid, then floor-allocate. Mirrors the operator's integer
+    contract (w = round(sqrt(n) * 1e6), B = sum(n), c = n * max_epochs,
+    alloc = min(c, floor(lambda * w)))."""
+    import math
+    ns = dict(tokens)
+    w = {s: round(math.sqrt(n) * 1_000_000) for s, n in ns.items()}
+    c = {s: n * max_epochs for s, n in ns.items()}
+    B = sum(ns.values())
+    # lambda* solves sum(min(c_s, lam * w_s)) = B over the reals;
+    # iterate the capped set to a fixed point (<= #sources rounds)
+    capped: set = set()
+    while True:
+        denom = sum(w[s] for s in ns if s not in capped)
+        num = B - sum(c[s] for s in capped)
+        newly = {s for s in ns if s not in capped
+                 and c[s] * denom <= w[s] * num}
+        if not newly:
+            break
+        capped |= newly
+    denom = sum(w[s] for s in ns if s not in capped)
+    num = B - sum(c[s] for s in capped)
+    return {s: (c[s] if s in capped else (w[s] * num) // max(denom, 1))
+            for s in ns}
+
+
+class TestEpochPlanAgainstReference:
+    @pytest.mark.parametrize("tokens", [
+        {"a": 1000},                                   # single source
+        {"a": 500, "b": 500, "c": 500},                # all equal
+        {"a": 10, "b": 10_000},                        # extreme skew:
+        # tiny source caps at 4 epochs, surplus flows to the big one
+        {"a": 7, "b": 7, "c": 9_000, "d": 12},         # several capped
+        {"a": 123, "b": 456, "c": 789, "d": 1011, "e": 5},
+    ])
+    def test_matches_python_reference(self, spark, tokens):
+        from examples_scala_spark.queries import REGISTRY
+        import tempfile
+
+        # build a documents table whose per-source token counts are
+        # exactly `tokens` (one doc per source, n single-char words)
+        rows = [(i, " ".join(["x"] * n), "en", s, n)
+                for i, (s, n) in enumerate(tokens.items())]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        d = tempfile.mkdtemp(prefix="sgs_epoch_ref_")
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r.source: r.alloc_tokens for r in
+               REGISTRY["mixture_epoch_plan"].fn(spark, d).collect()}
+        assert got == _epoch_plan_reference(tokens)
+
+
+class TestDecontaminationByBenchmark:
+    def test_consistent_with_per_doc_view(self, spark, sf_dir):
+        # the two views aggregate the SAME scored pairs: every per-doc
+        # flag's best bench must report at least one contamination,
+        # and the bench-side pair count can only exceed the per-doc
+        # count (a doc may hit several benches but is flagged once)
+        from examples_scala_spark.queries import REGISTRY
+        per_doc = REGISTRY["semantic_decontaminate"].fn(
+            spark, sf_dir).collect()
+        per_bench = {r.bench_id: r for r in REGISTRY[
+            "decontamination_by_benchmark"].fn(spark, sf_dir).collect()}
+        assert len(per_bench) > 0
+        for r in per_doc:
+            b = per_bench[r.bench_id]
+            assert b.n_contaminated >= 1
+            assert b.max_cosine >= r.cosine
+        total_pairs = sum(r.n_contaminated for r in per_bench.values())
+        assert total_pairs >= len(per_doc)
+        clean = [r for r in per_bench.values() if r.n_contaminated == 0]
+        for r in clean:
+            assert r.max_cosine is None and r.worst_vec_id is None
+
+
 class TestStreamSemanticDeconGate:
     def test_stream_equals_batch_twin(self, spark, sf_dir):
         # the gate's whole contract: replaying the corpus as a stream
