@@ -37,7 +37,7 @@ PRIORITY = [
     # lead the gate the round they are born) ---
     "semantic_dedup_auto", "stream_semantic_decon_gate",
     "semantic_dedup_sweep", "mixture_epoch_plan",
-    "decontamination_by_benchmark",
+    "decontamination_by_benchmark", "stream_embedding_outlier_gate",
     # --- round-10: semantics changed this round (ADVICE r9 #2: the
     # corpus side now anti-joins the CAPPED bench id set instead of
     # the raw modulo predicate, so modulo-sampled rows beyond the cap

@@ -222,7 +222,8 @@ def main() -> None:
                  # decontamination gate on ingest, threshold sweep
                  "semantic_dedup_auto", "stream_semantic_decon_gate",
                  "semantic_dedup_sweep", "mixture_epoch_plan",
-                 "decontamination_by_benchmark"]:
+                 "decontamination_by_benchmark",
+                 "stream_embedding_outlier_gate"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",

@@ -7753,6 +7753,77 @@ def stream_semantic_decon_gate(spark, sf_dir):
 
 
 @register(
+    "stream_embedding_outlier_gate",
+    # oracle = the batch outlier screen's SQL verbatim: gating the
+    # replayed corpus against stats frozen FROM that corpus must
+    # reproduce the batch flag set exactly
+    REGISTRY["embedding_outliers"].oracle,
+    "streaming", "llm", "similarity", "quality",
+)
+def stream_embedding_outlier_gate(spark, sf_dir):
+    """Corrupt-vector screening ON INGEST — the streaming member of
+    the embedding-quality family (embedding_outliers is its batch
+    twin): a batch pass freezes per-cell statistics (occupancy n,
+    integer milli-cosine sums s and q — the same once-quantized
+    integers as the batch z-test), then the embeddings table replays
+    as a bounded stream and every incoming vector is assigned by the
+    vectorized bit-exact kernel (nearest_ref_vec) and z-tested
+    against the FROZEN stats of its cell via a stream-static join —
+    the production shape for poisoning/corruption screening of a
+    live embedding feed against a trusted reference distribution.
+    Fully STATELESS: per-batch Arrow assignment + a broadcastable
+    #cells-sized static join; offsets-only checkpoint. Because the
+    frozen stats come from the same corpus being replayed, the
+    flagged set is BIT-IDENTICAL to the batch screen — the oracle is
+    embedding_outliers' SQL verbatim, and the same pure-integer
+    cross-multiplication decides the flag on every engine."""
+    import tempfile
+
+    from .operators.similarity import (
+        nearest_ref_vec,
+        sampled_centroids,
+        with_norm,
+    )
+
+    tune(spark)
+    z, min_cell = 3, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = with_norm(emb).select("vec_id", "v", "norm")
+    cents = sampled_centroids(base, 23, "vec_id")
+    # freeze per-cell integer stats from the trusted batch pass
+    u = nearest_ref_vec(base, cents, "vec_id").select(
+        "vec_id", "cent_id",
+        F.round(F.col("ccos") * 1000).cast("long").alias("x"))
+    st = (u.groupBy("cent_id")
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum("x").cast("decimal(38,0)").alias("s"),
+               F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)")
+               .alias("q"))
+          .localCheckpoint(eager=True))
+
+    d = tempfile.mkdtemp(prefix="sgs_outlier_gate_")
+    emb.select("vec_id", "embedding").repartition(4) \
+       .write.mode("overwrite").parquet(d)
+    src = (spark.readStream.schema("vec_id bigint, embedding array<float>")
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    sbase = with_norm(src).select("vec_id", "v", "norm")
+    su = nearest_ref_vec(sbase, cents, "vec_id").select(
+        "vec_id", "cent_id",
+        F.round(F.col("ccos") * 1000).cast("long").alias("x"))
+    j = su.join(st, "cent_id")          # stream-static, #cells-sized
+    nd = F.col("n").cast("decimal(38,0)")
+    dlt = nd * F.col("x").cast("decimal(38,0)") - F.col("s")
+    lhs = dlt * dlt
+    rhs = F.lit(z * z) * (nd * F.col("q") - F.col("s") * F.col("s"))
+    out = (j.filter((F.col("n") >= min_cell) & (lhs > rhs))
+           .select("vec_id", F.col("cent_id").alias("cell"),
+                   F.col("x").alias("ccos_milli"),
+                   F.col("n").alias("cell_n")))
+    return _run_to_memory(spark, out,
+                          "stream_embedding_outlier_gate_result")
+
+
+@register(
     "stream_trending_tokens",
     """
     WITH toks AS (

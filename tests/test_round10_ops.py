@@ -413,6 +413,19 @@ class TestDecontaminationByBenchmark:
             assert r.max_cosine is None and r.worst_vec_id is None
 
 
+class TestStreamEmbeddingOutlierGate:
+    def test_stream_equals_batch_twin(self, spark, sf_dir):
+        # gating the replayed corpus against stats frozen FROM that
+        # corpus must reproduce the batch outlier set exactly
+        from examples_scala_spark.queries import REGISTRY
+        got = sorted(map(tuple, REGISTRY["stream_embedding_outlier_gate"]
+                         .fn(spark, sf_dir).collect()))
+        want = sorted(map(tuple, REGISTRY["embedding_outliers"]
+                          .fn(spark, sf_dir).collect()))
+        assert got == want
+        assert len(got) > 0
+
+
 class TestStreamSemanticDeconGate:
     def test_stream_equals_batch_twin(self, spark, sf_dir):
         # the gate's whole contract: replaying the corpus as a stream
