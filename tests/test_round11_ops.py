@@ -1,0 +1,183 @@
+"""Round-11 changes: the sqrt-corpus centroid budget becomes
+semantic_dedup's / semantic_dedup_sweep's DEFAULT (VERDICT r10 #1),
+and the nearest_ref_vec kernel closes the three ADVICE r10 items —
+ref-axis slicing (executor-memory bound), streaming-safe empty-refs
+fallback, and the broadcast lifecycle in train_centroids."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from examples_scala_spark.operators import similarity as sim
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgs_r11_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ------------------------------------------------ sqrt-budget default flip
+
+class TestSqrtBudgetDefault:
+    def test_semantic_dedup_default_equals_auto(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        flipped = sorted(map(tuple, sim.semantic_dedup(emb).collect()))
+        auto = sorted(map(tuple, sim.semantic_dedup_auto(emb).collect()))
+        assert flipped == auto
+        # and the flip genuinely binds: the sqrt budget differs from
+        # the old fixed default at test SF
+        assert sim.sqrt_budget(emb.count()) != 256
+
+    def test_sweep_default_equals_explicit_sqrt_budget(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        nlist = sim.sqrt_budget(emb.count())
+        flipped = sorted(map(tuple, sim.semantic_dedup_sweep(emb).collect()))
+        explicit = sorted(map(tuple, sim.semantic_dedup_sweep(
+            emb, max_centroids=nlist).collect()))
+        assert flipped == explicit
+
+    def test_sqrt_budget_clamps(self):
+        assert sim.sqrt_budget(0) == 16          # min clamp
+        assert sim.sqrt_budget(100) == 16        # floor(10) < 16
+        assert sim.sqrt_budget(10_000) == 100
+        assert sim.sqrt_budget(10_001) == 100    # floor
+        assert sim.sqrt_budget(10 ** 12) == 65536  # max clamp
+
+    def test_recall_gate_subset_invariant_survives_flip(self, spark, sf_dir):
+        # the gate pins max_centroids=256 on BOTH variants, so
+        # dropped_snm <= dropped_plain must still hold post-flip
+        from examples_scala_spark.queries import REGISTRY
+        row = REGISTRY["semantic_dedup_snm_recall"].fn(
+            spark, sf_dir).collect()[0]
+        assert row.dropped_snm <= row.dropped_plain
+        assert row.dropped_both <= row.dropped_snm
+
+
+# ------------------------------------------- kernel ref-axis slicing
+
+class TestKernelRefSlicing:
+    def _base_refs(self, spark, n=60, nref=11, dim=8):
+        import math
+        rows = [(i, [math.sin(0.37 * (i + 1) * (j + 1)) + 0.05
+                     for j in range(dim)]) for i in range(n)]
+        base = sim.with_norm(_emb(spark, rows)).select("vec_id", "v", "norm")
+        # refs include an EXACT duplicate pair (ids 3 and 7 share a
+        # vector) so the smallest-id tie-break is exercised across a
+        # slice boundary at tiny budgets
+        ref_rows = [(i, rows[i * 3 % n][1]) for i in range(nref)]
+        if nref > 7:
+            ref_rows[7] = (7, ref_rows[3][1])
+        refs = sim.with_norm(_emb(spark, ref_rows)).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"))
+        return base, refs
+
+    def test_sliced_equals_unsliced_bit_exact(self, spark):
+        base, refs = self._base_refs(spark)
+        old = sim._KERNEL_CELL_BUDGET
+        try:
+            sim._KERNEL_CELL_BUDGET = 1 << 30   # one slice
+            want = sorted(map(tuple,
+                              sim.nearest_ref_vec(base, refs).collect()))
+            # width = max(1, 2//rows) = 1 -> one slice PER REFERENCE,
+            # the most adversarial slicing possible
+            sim._KERNEL_CELL_BUDGET = 2
+            got = sorted(map(tuple,
+                             sim.nearest_ref_vec(base, refs).collect()))
+        finally:
+            sim._KERNEL_CELL_BUDGET = old
+        assert got == want  # bit-exact: ccos doubles compare equal
+
+    def test_sliced_carry_vec_and_tie_break(self, spark):
+        base, refs = self._base_refs(spark)
+        old = sim._KERNEL_CELL_BUDGET
+        try:
+            sim._KERNEL_CELL_BUDGET = 3
+            out = sim.nearest_ref_vec(base, refs, carry_vec=True)
+            rows = out.collect()
+        finally:
+            sim._KERNEL_CELL_BUDGET = old
+        assert len(rows) == 60
+        assert set(out.columns) == {"vec_id", "cent_id", "ccos", "v",
+                                    "norm"}
+        # the duplicated reference (ids 3 == 7) can only ever win as
+        # id 3: first-max argmax == smallest ref id on exact ties
+        assert all(r.cent_id != 7 for r in rows)
+
+    def test_default_callers_fit_one_slice(self):
+        # the budget contract: 10k-row Arrow batches x 256 refs must
+        # stay a single slice so default callers see zero change
+        assert sim._KERNEL_CELL_BUDGET // 10_000 >= 256
+        # and the OOM case the slicing exists for: at the collect
+        # bound the per-slice accumulator stays <= the budget cells
+        assert sim._KERNEL_CELL_BUDGET * 8 <= 64 << 20  # <=64 MB/array
+
+
+# --------------------------------------- streaming empty-refs fallback
+
+class TestStreamingEmptyRefs:
+    def test_empty_refs_on_streaming_base(self, spark, tmpdir):
+        import math
+        path = os.path.join(tmpdir, "in")
+        rows = [(i, [math.cos(0.1 * i * (j + 1)) + 0.2 for j in range(4)])
+                for i in range(20)]
+        _emb(spark, rows).repartition(1).write.parquet(path)
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(path))
+        base = sim.with_norm(stream).select("vec_id", "v", "norm")
+        refs = spark.createDataFrame(
+            [], "cent_id bigint, cv array<double>, cnorm double")
+        out = sim.nearest_ref_vec(base, refs)
+        # ADVICE r10: must stay a STREAMING plan (a batch
+        # createDataFrame under writeStream raises AnalysisException)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("r11_empty_refs")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM r11_empty_refs")
+        assert got.count() == 0
+        assert got.columns == ["vec_id", "cent_id", "ccos"]
+
+    def test_empty_refs_on_batch_base_unchanged(self, spark):
+        base = sim.with_norm(_emb(spark, [(1, [1.0, 0.0])])).select(
+            "vec_id", "v", "norm")
+        refs = spark.createDataFrame(
+            [], "cent_id bigint, cv array<double>, cnorm double")
+        out = sim.nearest_ref_vec(base, refs)
+        assert not out.isStreaming and out.count() == 0
+
+
+# --------------------------------------------- broadcast lifecycle
+
+class TestBroadcastLifecycle:
+    def test_kernel_exposes_broadcast_handle(self, spark):
+        base, refs = TestKernelRefSlicing()._base_refs(spark, n=10, nref=3)
+        out = sim.nearest_ref_vec(base, refs)
+        bc = getattr(out, "_nearest_ref_bc", None)
+        assert bc is not None
+        assert out.count() == 10
+        bc.unpersist()                      # non-destructive
+        assert out.count() == 10            # recompute re-ships it
+
+    def test_train_centroids_still_converges(self, spark, sf_dir):
+        # the per-round unpersist must not perturb results: Lloyd
+        # rounds run off eagerly checkpointed inputs
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = sim.train_centroids(emb, iterations=2)
+        rows = cents.collect()
+        assert 0 < len(rows) <= 256
+        assert all(r.cnorm > 0 for r in rows)
