@@ -115,6 +115,34 @@ class TestKernelRefSlicing:
         # id 3: first-max argmax == smallest ref id on exact ties
         assert all(r.cent_id != 7 for r in rows)
 
+    def test_sliced_kernel_matches_relational_argmax(self, spark):
+        # moderate-nlist regime (ADVICE r10: prior tests only small
+        # nlist): 4k rows x 300 refs with the budget forcing ~8
+        # slices, checked against the RELATIONAL argmax (max_by over
+        # the broadcast affinity) — the independent implementation,
+        # not the kernel itself
+        import math
+        dim = 16
+        rows = [(i, [math.sin(0.11 * (i + 3) * (j + 1)) + 0.02
+                     for j in range(dim)]) for i in range(4000)]
+        base = sim.with_norm(_emb(spark, rows)).select("vec_id", "v",
+                                                       "norm")
+        refs = sim.with_norm(_emb(spark, rows[::13][:300])).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"))
+        want = sorted(map(tuple, sim.argmax_by(
+            sim.cell_affinity(base, refs), "vec_id", "ccos", "cent_id",
+            ("cent_id", "ccos")).select(
+                "vec_id", "cent_id", "ccos").collect()))
+        old = sim._KERNEL_CELL_BUDGET
+        try:
+            sim._KERNEL_CELL_BUDGET = 4000 * 40   # ~8 slices per batch
+            got = sorted(map(tuple, sim.nearest_ref_vec(
+                base, refs).collect()))
+        finally:
+            sim._KERNEL_CELL_BUDGET = old
+        assert got == want
+
     def test_default_callers_fit_one_slice(self):
         # the budget contract: 10k-row Arrow batches x 256 refs must
         # stay a single slice so default callers see zero change
