@@ -47,11 +47,17 @@ PRIORITY = [
     # --- round-11: the shared assignment kernel gained ref-axis
     # slicing (ADVICE r10, executor-memory bound) — bit-identity is
     # asserted by test and the slicing is a single slice at every
-    # default caller, but the kernel's consumers are re-proved
-    # same-round out of caution ---
-    "ann_topk_ivf", "ann_topk_bruteforce", "embedding_outliers",
+    # default caller, but EVERY registry consumer of nearest_ref_vec
+    # (transitive, computed from the call graph — including the two
+    # gates that drive it under a STREAMING plan) is re-proved
+    # same-round out of caution. brute_force_topk has its own
+    # untouched local-topk kernel, so ann_topk_bruteforce rotates
+    # normally ---
+    "ann_topk_ivf", "ann_topk_ivfpq", "embedding_outliers",
     "semantic_dedup_snm", "semantic_dedup_delta",
     "ivf_incremental_assign", "semantic_decontaminate",
+    "decontamination_by_benchmark", "stream_semantic_decon_gate",
+    "stream_embedding_outlier_gate", "stream_decontaminate_gate",
 ]
 
 

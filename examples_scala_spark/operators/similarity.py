@@ -277,7 +277,14 @@ def brute_force_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     top-k by the SAME total order can never drop a global top-k row
     (NaN cosines rank greatest, matching Spark's DESC NaN ordering,
     via a -inf sort key substitution). Measured 24.2 s -> ~4 s at
-    the 100x probe."""
+    the 100x probe.
+
+    BATCH-ONLY by construction (unlike nearest_ref_vec, whose collect
+    is on the batch reference side while the scored base may stream):
+    the query-set ordered-limit collect runs on the INPUT, so a
+    streaming emb fails loudly at the collect — the empty-qrows
+    fallback below never sees a stream and needs no streaming-safe
+    variant. The same contract holds for pq_adc_topk."""
     import numpy as np
     import pandas as pd
 

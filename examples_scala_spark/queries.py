@@ -6668,7 +6668,14 @@ def semantic_dedup_auto(spark, sf_dir):
     variant's measured occupancy-quadratic 18.4x per decade. The
     budget comes from one count action and the oracle reproduces it
     with a computed LIMIT, so the whole path — budget, assignment
-    argmax, pair pruning, keeper election — stays hash-checked."""
+    argmax, pair pruning, keeper election — stays hash-checked.
+
+    Since the r11 default flip this is hash-identical to
+    embedding_semantic_dedup BY CONSTRUCTION (both run the sqrt
+    budget at threshold 0.35) — retained deliberately as the named
+    self-tuning contract and the registration point for the clamp
+    bounds; drop-count parity between the two names is itself a
+    cross-check."""
     from .operators.similarity import semantic_dedup_auto as _f
     emb = _t(spark, sf_dir, "embeddings")
     return _f(emb, threshold=0.35)
