@@ -411,7 +411,14 @@ def sqrt_budget(n: int, min_nlist: int = 16,
     occupancy-quadratic, 88.6 s vs the sqrt budget's 58.9 s already at
     the 100x probe). floor(sqrt(.)) over IEEE doubles is correctly
     rounded on both engines, so a DuckDB oracle reproduces the budget
-    with a computed LIMIT and the path stays hash-checkable."""
+    with a computed LIMIT and the path stays hash-checkable.
+
+    Scale horizon: the max_nlist clamp (= the kernel's bounded-collect
+    cap) means the n^1.5 contract holds up to n = max_nlist^2 ~ 4.3B
+    vectors; past that, occupancy grows linearly again under the
+    clamped budget. Beyond the horizon use semantic_dedup_snm (cost
+    linear in occupancy) or the relational argmax_by assignment,
+    which supports any nlist without a driver collect."""
     import math
 
     return max(min_nlist, min(max_nlist, int(math.floor(math.sqrt(n)))))
