@@ -58,6 +58,18 @@ PRIORITY = [
     "ivf_incremental_assign", "semantic_decontaminate",
     "decontamination_by_benchmark", "stream_semantic_decon_gate",
     "stream_embedding_outlier_gate", "stream_decontaminate_gate",
+    # --- round-11 streaming-review fixes (self-review of
+    # streaming/): early-firing partials deduped on stalled
+    # watermarks, traced delta-alert default aligned, interval-join
+    # semi/anti alias normalization, upsert sink's Hadoop-FS
+    # existence probe — all 9 consumers re-verified at 3 SFs locally
+    # (hashes unchanged; the dedupe only binds in stalled-wm regimes
+    # the replay doesn't produce), re-proved same-round out of
+    # caution ---
+    "stream_early_firing", "stream_early_firing_multibatch",
+    "stream_delta_alerts", "stream_delta_alerts_smallbatch",
+    "stream_interval_join", "stream_left_outer_join",
+    "stream_full_outer_join", "stream_semi_join", "stream_upsert_state",
 ]
 
 

@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.sensor import sensor_source_stream
-from ..operators.aggregations import dec
 
 
 def average_sensor_readings(spark: SparkSession,
@@ -83,7 +82,14 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         rw = rw.select(*[F.col(c).alias(f"__r_{c}") if c in keys else F.col(c)
                          for c in rw.columns])
     out = lw.join(rw, cond, how)
-    if keys and how not in ("leftSemi", "leftAnti"):
+    # Spark accepts many spellings for semi/anti ('leftSemi', 'semi',
+    # 'left_semi', ...); normalize before deciding whether the right
+    # side's columns survived the join — matching only the camelCase
+    # spellings sent the alias forms into the key-restore step, where
+    # F.col('__r_k') no longer exists (r11 review find)
+    semi_anti = how.lower().replace("_", "") in ("leftsemi", "semi",
+                                                 "leftanti", "anti")
+    if keys and not semi_anti:
         # Right-side-preserving joins null the left's key columns on
         # unmatched right rows — restore the key from whichever side
         # has it before dropping the renamed copies. Semi/anti joins

@@ -149,10 +149,17 @@ def parquet_upsert_writer(table_dir: str, key_col: str, val_col: str,
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            "dynamic")
-            has_table = any(
-                name.startswith("bucket=")
-                for name in (os.listdir(table_dir)
-                             if os.path.isdir(table_dir) else []))
+            # probe through the Hadoop FileSystem API, NOT the driver's
+            # local filesystem: os.listdir on an s3a://-style table_dir
+            # always said "no table", skipping the merge and silently
+            # truncating every touched bucket to the current batch —
+            # data loss on exactly the remote-storage path this sink
+            # advertises (r11 review find)
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(table_dir)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            has_table = fs.exists(jpath) and any(
+                st.getPath().getName().startswith("bucket=")
+                for st in fs.listStatus(jpath))
             out = b
             if has_table:
                 cur = spark.read.parquet(table_dir)

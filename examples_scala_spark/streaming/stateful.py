@@ -15,7 +15,7 @@ driver.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 
@@ -99,7 +99,7 @@ WARNING_SCHEMA = StructType([
 
 _RISE_STATE = StructType([
     StructField("last_temp", DoubleType()),
-    StructField("rising_since_ms", LongType()),
+    StructField("deadline_ms", LongType()),
 ])
 
 
@@ -109,45 +109,62 @@ def temperature_rise_warnings(readings: DataFrame,
     (chapter6/ProcessFunctionTimers.scala:42-97): warn when a sensor's
     temperature rises monotonically for `rise_ms` of processing time.
 
-    The reference registers a processing-time timer on the first rise
-    and deletes it on any fall; here the group timeout plays the timer:
-    each batch updates (last_temp, rising_since); on timeout expiry with
-    a still-armed rising_since, the warning fires — timeout expiry is
-    Spark's onTimer() (state.hasTimedOut), evaluated at the next
-    micro-batch, a documented cadence difference vs Flink's exact
-    timer thread.
+    The reference registers a processing-time timer at firstRise +
+    rise_ms, deletes it on any fall, and RE-ARMS on the next rising
+    element after a fire — so a long monotonic rise warns roughly once
+    per rise_ms. GroupState timeouts alone cannot express that
+    deadline: Spark cancels the previous timeout on EVERY invocation
+    of the key, so naively calling setTimeoutDuration(rise_ms) per
+    batch resets the clock whenever data keeps arriving and the
+    warning never fires under a continuous rise (r11 review find).
+    The port therefore stores the DEADLINE in state:
+      - data path: a fall clears it; a first rise arms
+        deadline = now + rise_ms; a batch observed past the deadline
+        with the rise intact fires the warning inline (Flink's timer
+        thread, played by the next micro-batch touching the key) and
+        clears the deadline so the next rising row re-arms;
+      - silent path: the group timeout is re-armed every invocation
+        with the REMAINING duration (deadline - now), so a key whose
+        data stops mid-rise still fires via state.hasTimedOut.
+    Both paths share the firing cadence contract: expiry is evaluated
+    at micro-batch boundaries, the documented difference vs Flink's
+    exact timer thread.
     """
+    import time as _time
+
     def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (sensor_id,) = key
+        msg = (f"Temperature of sensor '{sensor_id}' "
+               f"monotonically increased for {rise_ms} ms.")
         if state.hasTimedOut:
-            last, since = state.get
-            if since is not None:
-                yield pd.DataFrame({
-                    "id": [sensor_id],
-                    "message": [f"Temperature of sensor '{sensor_id}' "
-                                f"monotonically increased for {rise_ms} ms."],
-                })
+            last, deadline = state.get
+            if deadline is not None:
+                yield pd.DataFrame({"id": [sensor_id], "message": [msg]})
             state.update((last, None))
             return
-        last, since = state.get if state.exists else (None, None)
-        now = None
+        last, deadline = state.get if state.exists else (None, None)
+        now = int(_time.time() * 1000)
+        fired = False
         pdf = ordered_batch(pdfs, "timestamp")
         if pdf is not None:
             for _, row in pdf.iterrows():
                 t = float(row["temperature"])
                 if last is not None and t > last:
-                    if since is None:
-                        since = int(row["timestamp"])
+                    if deadline is None:
+                        deadline = now + rise_ms
                 else:
-                    since = None
+                    deadline = None
                 last = t
-                now = int(row["timestamp"])
-        state.update((last, since))
-        if since is not None:
-            state.setTimeoutDuration(rise_ms)
-        return
-        yield  # generator protocol; nothing to emit on the data path
+        if deadline is not None and now >= deadline:
+            fired = True
+            deadline = None   # next rising row re-arms (Flink onTimer
+            # clears currentTimer; the rise itself re-registers)
+        state.update((last, deadline))
+        if deadline is not None:
+            state.setTimeoutDuration(max(1, deadline - now))
+        if fired:
+            yield pd.DataFrame({"id": [sensor_id], "message": [msg]})
 
     return readings.groupBy("id").applyInPandasWithState(
         fn, outputStructType=WARNING_SCHEMA, stateStructType=_RISE_STATE,
@@ -212,13 +229,26 @@ FORWARD_SCHEMA = StructType([
 _SWITCH_STATE = StructType([StructField("disable_at_ms", LongType())])
 
 
-def switchable_forwarder(readings: DataFrame, switches: DataFrame) -> DataFrame:
+def switchable_forwarder(readings: DataFrame, switches: DataFrame,
+                         cleanup_ttl_ms: int = 3_600_000) -> DataFrame:
     """J2 — ReadingFilter (chapter6/CoProcessFunctionTimers.scala:49-102):
     two-input keyed co-process as a union of tagged rows into one
     stateful operator. A switch row (tag='switch') arms forwarding of
     that sensor for duration_ms; reading rows (tag='data') pass while
-    armed. The disable timer is the state value (checked per record),
-    with a processing-time timeout as the cleanup path.
+    armed. The disable timer is the state value (checked per record,
+    event-ms based for determinism where the reference uses
+    processing time).
+
+    State cleanup: every invocation re-arms a processing-time timeout
+    of cleanup_ttl_ms; a key silent that long has its one-row state
+    removed (the r11 review found the hasTimedOut branch was
+    unreachable — ProcessingTimeTimeout was declared but no timeout
+    was ever SET, so per-key state accumulated forever under key
+    churn). Removal emits nothing, so query output is unchanged; the
+    TTL is deliberately >> any switch duration — the reference's own
+    timer disables forwarding after duration_ms of PROCESSING time,
+    so dropping a key's disable_at after an hour of silence is
+    strictly more permissive than Flink's semantics.
 
     Both inputs must share the schema: (id, timestamp, temperature,
     tag, duration_ms).
@@ -255,6 +285,7 @@ def switchable_forwarder(readings: DataFrame, switches: DataFrame) -> DataFrame:
                     out_ts.append(int(row["timestamp"]))
                     out_t.append(float(row["temperature"]))
         state.update((disable_at,))
+        state.setTimeoutDuration(cleanup_ttl_ms)
         if out_ts:
             yield pd.DataFrame({
                 "id": [sensor_id] * len(out_ts),
@@ -399,14 +430,17 @@ TRACED_ALERT_SCHEMA = StructType([
 
 
 def temperature_delta_alerts_traced(readings: DataFrame,
-                                    threshold: float = 17.0) -> DataFrame:
+                                    threshold: float = 1.7) -> DataFrame:
     """F2's TemperatureAlertFunction with the emitted rows carrying
     event_id and the per-batch scan ordered by it — the hash-checkable
     form of temperature_delta_alerts: under an event_id-ordered replay
     (range-partitioned staging) the alert set is IDENTICAL to the
     batch lag() twin, so the gate can value-hash this stream against
     the same DuckDB oracle instead of recording rows-only. State and
-    semantics are unchanged: one last_temp double per key."""
+    semantics are unchanged: one last_temp double per key — including
+    the DEFAULT threshold (1.7, matching temperature_delta_alerts; it
+    was 17.0 until the r11 review caught the silent 10x divergence —
+    registry/gate call sites always pass threshold=17.0 explicitly)."""
     def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (sensor_id,) = key

@@ -70,7 +70,8 @@ def early_firing_window_counts(readings: DataFrame,
 
     readings: (id string, timestamp long event-ms, temperature double).
     """
-    def fire(sensor_id: str, counts: dict, wm: int) -> list[tuple]:
+    def fire(sensor_id: str, counts: dict, fired: dict,
+             wm: int) -> list[tuple]:
         out = []
         for start in sorted(counts):
             end = start + window_ms
@@ -78,28 +79,42 @@ def early_firing_window_counts(readings: DataFrame,
                 # FIRE_AND_PURGE (onEventTime t == window.getEnd)
                 out.append((sensor_id, start, end, end, counts[start], True))
             elif wm >= start + interval_ms:
-                # early FIRE at the latest due tick (coalesced)
+                # early FIRE at the latest due tick (coalesced); emit
+                # only if the tick ADVANCED since this window's last
+                # early fire — a data-arrival invocation under a
+                # stalled watermark would otherwise re-emit a
+                # byte-identical partial into the append output, a
+                # duplicate the reference's timer-only trigger never
+                # produces (r11 review find)
                 tick = wm - (wm % interval_ms)
-                out.append((sensor_id, start, end, tick, counts[start], False))
+                if tick > fired.get(start, -1):
+                    out.append((sensor_id, start, end, tick,
+                                counts[start], False))
         for row in out:
             if row[5]:
-                del counts[row[1]]
+                counts.pop(row[1], None)
+                fired.pop(row[1], None)
+            else:
+                fired[row[1]] = row[3]
         return out
 
     def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (sensor_id,) = key
         wm = state.getCurrentWatermarkMs()
-        counts: dict[int, int] = (
-            {int(k): int(v) for k, v in json.loads(state.get[0]).items()}
-            if state.exists else {})
+        if state.exists:
+            st = json.loads(state.get[0])
+            counts = {int(k): int(v) for k, v in st["c"].items()}
+            fired = {int(k): int(v) for k, v in st["f"].items()}
+        else:
+            counts, fired = {}, {}
         for pdf in pdfs:
             for ts in pdf["timestamp"].astype("int64"):
                 start = int(ts) - int(ts) % window_ms
                 counts[start] = counts.get(start, 0) + 1
-        rows = fire(sensor_id, counts, wm)
+        rows = fire(sensor_id, counts, fired, wm)
         if counts:
-            state.update((json.dumps(counts),))
+            state.update((json.dumps({"c": counts, "f": fired}),))
             # next pending timer: the earliest of (next tick, any window
             # end) strictly beyond the current watermark
             next_tick = wm - (wm % interval_ms) + interval_ms
@@ -242,8 +257,25 @@ def updating_window_counts_stream(readings: DataFrame,
             yield pd.DataFrame(out, columns=[f.name for f in
                                              UPDATING_SCHEMA.fields])
 
-    total_delay = (f"{int(disorder.split()[0]) + lateness_ms // 1000} seconds"
-                   if disorder.endswith("seconds") else disorder)
+    # parse disorder into ms and ADD the allowed lateness, whatever the
+    # unit. The old shortcut (endswith("seconds") -> add whole seconds)
+    # mis-parsed "500 milliseconds" as 500 SECONDS + lateness (state
+    # held ~1000x too long) and silently DROPPED the lateness term for
+    # any other unit ("1 minute"), making SS discard rows the
+    # allowed-lateness contract promises to re-fire (r11 review find).
+    _MS_PER = {"millisecond": 1, "milliseconds": 1,
+               "second": 1_000, "seconds": 1_000,
+               "minute": 60_000, "minutes": 60_000,
+               "hour": 3_600_000, "hours": 3_600_000,
+               "day": 86_400_000, "days": 86_400_000}
+    parts = disorder.split()
+    if len(parts) != 2 or parts[1].lower() not in _MS_PER:
+        raise ValueError(
+            f"updating_window_counts_stream: cannot parse disorder "
+            f"{disorder!r} — use '<n> "
+            f"{'/'.join(sorted(set(_MS_PER)))}'")
+    disorder_ms = int(parts[0]) * _MS_PER[parts[1].lower()]
+    total_delay = f"{disorder_ms + lateness_ms} milliseconds"
     wm_df = readings.withColumn(
         "event_time", F.timestamp_millis(F.col("timestamp"))
     ).withWatermark("event_time", total_delay)

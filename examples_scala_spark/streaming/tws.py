@@ -39,7 +39,7 @@ forward-looking Spark 4 surface for clusters with protobuf.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 
@@ -120,10 +120,18 @@ class EarlyFiringWindowCounter(StatefulProcessor):
                 if prev == 0:
                     # first element of this window (firstSeen ValueState
                     # in the reference): arm the end-of-window timer and
-                    # the next interval tick after the current watermark
+                    # the next interval tick past max(window start,
+                    # watermark). Anchoring at the WINDOW START matters
+                    # on the first batch, where wm == 0 with real
+                    # epoch-ms event times: an absolute tick at
+                    # interval_ms (the old wm-anchored form) is ~50
+                    # years overdue, fires a bogus partial every batch,
+                    # and the one-interval re-arm never catches up to
+                    # the watermark (r11 review find; same anchoring as
+                    # the per-window variant's _first_tick)
                     self.handle.registerTimer(start + self.window_ms)
-                    tick = (wm + (self.interval_ms - wm % self.interval_ms)
-                            if wm > 0 else self.interval_ms)
+                    base = max(start, wm)
+                    tick = base - base % self.interval_ms + self.interval_ms
                     self.handle.registerTimer(tick)
                 self.counts.updateValue((start,), (prev + int(n),))
         return iter(())
@@ -346,7 +354,18 @@ def tag_late_rows(readings: DataFrame,
                   watermark_delay: str = "5 seconds") -> DataFrame:
     """readings: (id, timestamp long event-ms, temperature). The
     watermark column drives `getCurrentWatermarkInMs`; rows older than
-    the watermark at their batch are tagged late instead of dropped."""
+    the watermark at their batch are tagged late instead of dropped.
+
+    timeMode is "none", NOT "eventTime" (r11 review find): in event-time
+    mode transformWithState applies late-record filtering — rows older
+    than the watermark are dropped BEFORE handleInputRows, so the one
+    thing this operator exists to do (tag them) could never happen.
+    "none" disables timers (this processor uses none) while the
+    upstream withWatermark still advances the watermark TimerValues
+    reports — the same construction as the proven
+    applyInPandasWithState twin (timers.py:tag_late_rows, NoTimeout).
+    Pending a protobuf-enabled environment for execution proof
+    (test_tws gates on it); verified against the TWS API semantics."""
     wm = readings.withColumn(
         "event_time", F.timestamp_millis(F.col("timestamp"))
     ).withWatermark("event_time", watermark_delay)
@@ -354,7 +373,7 @@ def tag_late_rows(readings: DataFrame,
         statefulProcessor=LateRowTagger(),
         outputStructType=TAGGED_SCHEMA,
         outputMode="append",
-        timeMode="eventTime",
+        timeMode="none",
     )
 
 

@@ -189,6 +189,166 @@ class TestStreamingEmptyRefs:
         assert not out.isStreaming and out.count() == 0
 
 
+# ---------------------------------------- streaming review fixes (r11)
+
+class TestStreamingReviewFixes:
+    def _run(self, stream_df, tmpdir, name, grace: int = 10):
+        # NB processing-time-timeout queries never self-terminate under
+        # availableNow (Spark keeps scheduling no-data batches so the
+        # timeout can fire — pre-existing behavior, verified on the
+        # pre-r11 code too): wait a bounded grace for the data/timeout
+        # batches, then STOP explicitly — leaving the query active
+        # races the next run's checkpoint (state-commit
+        # FileNotFoundException)
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmpdir,
+                                                        f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(grace):
+            q.stop()
+            q.awaitTermination(60)
+
+    def test_rise_warning_fires_under_continuous_data(self, spark, tmpdir):
+        # the r11 fix: a monotonic rise with data arriving in EVERY
+        # micro-batch must still warn once rise_ms of processing time
+        # has passed. The old code called setTimeoutDuration(rise_ms)
+        # on every data batch, and Spark cancels + re-arms the group
+        # timeout per invocation — so a continuous rise reset the
+        # clock forever and the warning needed the data to STOP. Here
+        # the data never stops: one continuous query, a rising file
+        # appended every ~0.4 s for ~4 s, rise_ms=2500 — the new
+        # deadline-in-state data path must fire mid-stream.
+        import time
+
+        from examples_scala_spark.streaming import stateful
+        path = os.path.join(tmpdir, "in")
+        spark.createDataFrame([("s1", 0, 10.0)],
+                              ["id", "timestamp", "temperature"]) \
+            .repartition(1).write.mode("overwrite").parquet(path)
+        stream = (spark.readStream
+                  .schema("id string, timestamp long, temperature double")
+                  .option("maxFilesPerTrigger", "1").parquet(path))
+        out = stateful.temperature_rise_warnings(stream, rise_ms=2_500)
+        q = (out.writeStream.format("memory").queryName("rise_cont")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(tmpdir, "ck_rc"))
+             .start())
+        try:
+            for i in range(10):
+                spark.createDataFrame(
+                    [("s1", i + 1, 10.0 + i + 1)],
+                    ["id", "timestamp", "temperature"]) \
+                    .repartition(1).write.mode("append").parquet(path)
+                time.sleep(0.4)
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                got = spark.sql("SELECT * FROM rise_cont").collect()
+                if got:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert any(r.id == "s1" and "monotonically increased" in r.message
+                   for r in got)
+
+    def test_early_firing_no_duplicate_partial_on_stalled_wm(
+            self, spark, tmpdir):
+        # same key gets data for a LATER window while the watermark
+        # holds still: the already-fired early partial for window 0
+        # must not be re-emitted byte-identically
+        from examples_scala_spark.streaming import timers
+        path = os.path.join(tmpdir, "in2")
+        ckpt = os.path.join(tmpdir, "ck_ef")
+        got: list = []
+        # batch 1: window 0 data + a row lifting wm to 15000 (20s - 5s)
+        spark.createDataFrame(
+            [("s1", 1_000, 1.0), ("s1", 5_000, 2.0), ("s1", 20_000, 3.0)],
+            ["id", "timestamp", "temperature"]) \
+            .repartition(1).write.mode("overwrite").parquet(path)
+
+        def run_once():
+            stream = (spark.readStream
+                      .schema("id string, timestamp long, "
+                              "temperature double").parquet(path))
+            out = timers.early_firing_window_counts(
+                stream, window_ms=30_000, interval_ms=1_000)
+            q = (out.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(map(tuple, df.collect())))
+                 .outputMode("append").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()
+        # batch 2: data for window 30000 only; max ts unchanged -> wm
+        # stalls at 15000; window 0's tick=15000 partial already fired
+        spark.createDataFrame([("s1", 20_500, 4.0)],
+                              ["id", "timestamp", "temperature"]) \
+            .repartition(1).write.mode("append").parquet(path)
+        run_once()
+        partials = [r for r in got if r[1] == 0 and not r[5]]
+        assert partials, "window 0 must early-fire at tick 15000"
+        assert len(partials) == len(set(partials)), \
+            f"duplicate partials: {partials}"
+
+    def test_updating_window_delay_parser_units(self, spark, tmpdir):
+        # withWatermark is a no-op on batch plans, so assert on a
+        # STREAMING plan's EventTimeWatermark delay (no query started)
+        from examples_scala_spark.streaming import timers
+        path = os.path.join(tmpdir, "in3")
+        spark.createDataFrame(
+            [("s1", 1_000, 1.0)], ["id", "timestamp", "temperature"]) \
+            .repartition(1).write.mode("overwrite").parquet(path)
+        base = (spark.readStream
+                .schema("id string, timestamp long, temperature double")
+                .parquet(path))
+
+        def wm_delay(df) -> str:
+            plan = df._jdf.queryExecution().analyzed()
+            node = plan
+            while True:
+                if node.nodeName() == "EventTimeWatermark":
+                    # CalendarInterval canonical rendering
+                    return node.delay().toString()
+                if node.children().size() == 0:
+                    raise AssertionError("no EventTimeWatermark node")
+                node = node.children().head()
+
+        # 500 ms disorder + 5000 ms lateness = 5.5 s, NOT 505 s
+        out = timers.updating_window_counts_stream(
+            base, disorder="500 milliseconds", lateness_ms=5_000)
+        assert wm_delay(out) == "5.5 seconds"
+        # non-'seconds' units must still ADD the lateness term
+        out2 = timers.updating_window_counts_stream(
+            base, disorder="1 minute", lateness_ms=5_000)
+        assert wm_delay(out2) == "1 minutes 5 seconds"
+        with pytest.raises(ValueError, match="cannot parse"):
+            timers.updating_window_counts_stream(base,
+                                                 disorder="1 fortnight")
+
+    def test_interval_join_semi_anti_aliases(self, spark):
+        from examples_scala_spark.streaming.pipelines import (
+            stream_interval_join,
+        )
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:01:00")],
+            ["user_id", "lts"]).select(
+                "user_id", F.col("lts").cast("timestamp").alias("lts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:05")], ["user_id", "rts"]).select(
+                "user_id", F.col("rts").cast("timestamp").alias("rts"))
+        for how in ("semi", "left_semi", "leftSemi"):
+            got = stream_interval_join(left, right, ["user_id"],
+                                       "lts", "rts", "10 seconds",
+                                       how=how)
+            assert [r.user_id for r in got.collect()] == [1], how
+        for how in ("anti", "left_anti", "leftAnti"):
+            got = stream_interval_join(left, right, ["user_id"],
+                                       "lts", "rts", "10 seconds",
+                                       how=how)
+            assert [r.user_id for r in got.collect()] == [2], how
+
+
 # --------------------------------------------- broadcast lifecycle
 
 class TestBroadcastLifecycle:

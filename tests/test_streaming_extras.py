@@ -42,7 +42,15 @@ def test_temperature_rise_warning_fires(spark, tmpdir):
                 lambda df, bid: got.extend((r.id, r.message) for r in df.collect()))
              .outputMode("append").option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        # a ProcessingTimeTimeout query never self-terminates under
+        # availableNow (Spark keeps scheduling no-data batches so the
+        # timeout can fire): give it a bounded window covering the
+        # data batch + the 500 ms expiry, then stop explicitly —
+        # without this each run burned the full 120 s AND left an
+        # active query racing the next run's checkpoint
+        if not q.awaitTermination(8):
+            q.stop()
+            q.awaitTermination(60)
 
     # batch 1: monotonically rising temperatures for s1 -> timer armed
     spark.createDataFrame([("s1", 1, 10.0), ("s1", 2, 20.0)],

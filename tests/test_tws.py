@@ -146,6 +146,25 @@ def test_tws_rise_warning_timer_register_and_delete(spark, tmpdir):
 
 
 @needs_tws
+def test_tws_late_rows_tagged_not_dropped(spark, tmpdir):
+    # the TWS twin of timers.tag_late_rows: timeMode='none' so the
+    # event-time late-record filter cannot drop the rows this operator
+    # exists to TAG (r11 review find — 'eventTime' mode filtered them
+    # before handleInputRows)
+    tws.enable_tws(spark)
+    stream = _staged_stream(spark, tmpdir, [
+        [("s1", 60_000, 1.0)],
+        [("s1", 10_000, 2.0), ("s1", 70_000, 3.0)],
+    ])
+    out = tws.tag_late_rows(stream, watermark_delay="5 seconds")
+    _run(out, tmpdir, "late_tws")
+    rows = {r.timestamp: r.is_late
+            for r in spark.sql("SELECT * FROM late_tws").collect()}
+    assert rows[10_000] is True      # captured AND tagged, not dropped
+    assert rows[70_000] is False
+
+
+@needs_tws
 def test_tws_early_firing(spark, tmpdir):
     tws.enable_tws(spark)
     stream = _staged_stream(spark, tmpdir, [
