@@ -70,6 +70,12 @@ PRIORITY = [
     "stream_delta_alerts", "stream_delta_alerts_smallbatch",
     "stream_interval_join", "stream_left_outer_join",
     "stream_full_outer_join", "stream_semi_join", "stream_upsert_state",
+    # --- round-11 operator-review fixes with plan-affecting edits
+    # (delta's >=-threshold + cold-start bootstrap is already headed
+    # above; these five had join/select/guard restructurings — all 12
+    # consumers verified 3 SFs locally, hashes unchanged) ---
+    "stratified_split_alloc", "events_value_bands", "ann_topk_pq",
+    "simhash_near_pairs", "dedup_clusters",
 ]
 
 

@@ -141,7 +141,12 @@ def avg_temp_pandas_udaf(df: DataFrame, key: str = "id",
 
     @pandas_udf("double")
     def mean_udaf(v: pd.Series) -> float:
-        return float(v.sum() / len(v)) if len(v) else float("nan")
+        # count() (non-null count), not len(): sum() skips NaN/NULL, so
+        # a len() denominator silently deflated the mean whenever a
+        # reading was null — diverging from the built-in avg() this
+        # claims parity with (r11 review find)
+        n = int(v.count())
+        return float(v.sum() / n) if n else float("nan")
 
     return df.groupBy(key).agg(mean_udaf(F.col(temp_col)).alias("avg_temp"))
 

@@ -226,8 +226,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     hamming 3 of a 32-bit hash must agree on >= 1 of 4 bytes), then
     verify with bit_count(xor)."""
     fp = simhash(docs, bits=bits, **kw)
+    id_col = kw.get("id_col", "doc_id")   # simhash renames its id
     bands = fp.select(
-        "doc_id", "simhash",
+        F.col(id_col).alias("doc_id"), "simhash",
         F.explode(F.array(*[
             F.concat_ws("|", F.lit(str(b)),
                         F.expr(f"(simhash >> {b * 8}) & 255").cast("string"))

@@ -100,6 +100,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             labels = stepped.select("id", "component")
             if changed == 0:
                 break
+        else:
+            # min-label propagation needs <= component diameter
+            # rounds; exhausting the budget with labels still moving
+            # means some component (e.g. a long chain of borderline
+            # near-dup pairs) is SPLIT across labels. Returning those
+            # silently-wrong clusters is worse than failing (r11
+            # review find) — fail loudly with the knob to turn.
+            raise RuntimeError(
+                f"connected_components: labels still changing after "
+                f"{max_iterations} iterations ({changed} moved last "
+                "round) — a component's diameter exceeds the budget; "
+                "raise max_iterations")
     # isolated nodes (never iterated) are their own component
     return (all_nodes.join(labels, "id", "left")
             .select("id", F.coalesce("component", F.col("id"))

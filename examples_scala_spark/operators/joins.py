@@ -195,7 +195,17 @@ def range_join(left: DataFrame, right: DataFrame, value_col: str,
 
     Works for numeric and epoch-time ranges alike; `extra_keys` adds
     equi predicates (e.g. per-type bands). Right-side intervals are
-    half-open [lo, hi)."""
+    half-open [lo, hi).
+
+    `how` supports inner and the LEFT-preserving families (left/
+    leftOuter, semi, anti). For those, containment lives in the JOIN
+    CONDITION — as a post-join filter (the pre-r11 shape) it silently
+    discarded every null-extended row, making how='left' behave
+    exactly like 'inner' (r11 review find). Right/full outer are
+    REFUSED: each interval is exploded once per overlapped grid cell,
+    so an unmatched interval would null-extend once per CELL —
+    duplicate phantom rows, not outer-join semantics."""
+    how_n = how.lower().replace("_", "")
     cells = right.withColumn(
         "__cell",
         F.explode(F.sequence(
@@ -203,8 +213,30 @@ def range_join(left: DataFrame, right: DataFrame, value_col: str,
             F.floor(F.col(hi_col) / granularity).cast("long"))))
     lb = left.withColumn(
         "__cell", F.floor(F.col(value_col) / granularity).cast("long"))
-    on = ["__cell"] + (extra_keys or [])
-    out = lb.join(cells, on, how).filter(
-        (F.col(value_col) >= F.col(lo_col))
-        & (F.col(value_col) < F.col(hi_col)))
-    return out.drop("__cell")
+    if how_n == "inner":
+        on = ["__cell"] + (extra_keys or [])
+        out = lb.join(cells, on, how).filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col)))
+        return out.drop("__cell")
+    if how_n not in ("left", "leftouter", "leftsemi", "semi",
+                     "leftanti", "anti"):
+        raise ValueError(
+            f"range_join: how={how!r} unsupported — the cell explode "
+            "makes right/full outer emit one null-extension per "
+            "overlapped cell; use inner or a left-preserving join")
+    # rename the right side so the expression condition (equi cell +
+    # extra keys + containment) is unambiguous; the equi terms still
+    # drive a hash join, never a nested loop
+    ren = {"__cell": "__rcell"}
+    ren.update({k: f"__r_{k}" for k in (extra_keys or [])})
+    cells_r = cells.select(
+        *[F.col(c).alias(ren.get(c, c)) for c in cells.columns])
+    cond = (F.col("__cell") == F.col("__rcell"))
+    for k in (extra_keys or []):
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    cond = cond & (F.col(value_col) >= F.col(lo_col)) \
+                & (F.col(value_col) < F.col(hi_col))
+    out = lb.join(cells_r, cond, how)
+    return out.drop("__cell", *[c for c in ren.values()
+                                if c in out.columns])

@@ -160,21 +160,32 @@ def stratified_split_exact(df: DataFrame, stratum_col: str, id_col: str,
     mergeable two-stage plan (the corpus never shuffles). Exact total
     whenever total_k <= N and no stratum is allocated past its size.
     Returns (stratum, id, rnk <= k_i)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     rows = df.groupBy(F.col(stratum_col).alias("stratum")) \
              .agg(F.count("*").alias("n_i")).collect()
     N = sum(r["n_i"] for r in rows)
     alloc = [(r["stratum"], (total_k * r["n_i"]) // N,
               (total_k * r["n_i"]) % N) for r in rows]
     extra = total_k - sum(b for _, b, _ in alloc)
-    by_rem = sorted(alloc, key=lambda t: (-t[2], t[0]))
+    # NULL strata are legitimate (the reservoir samples them too):
+    # order None first on remainder ties — a bare t[0] key raised
+    # TypeError on None-vs-value comparison (r11 review find)
+    by_rem = sorted(alloc, key=lambda t: (-t[2], t[0] is not None, t[0]))
     k_of = {s: b + (1 if i < extra else 0)
             for i, (s, b, _) in enumerate(by_rem)}
     kmax = max(k_of.values(), default=0)
     samp = stratified_reservoir(df, stratum_col, kmax, id_col, salt)
+    # allocation table typed from the ACTUAL stratum column (a
+    # hardcoded string schema crashed on numeric strata), joined
+    # null-safely so a NULL stratum's k_i is not silently dropped by
+    # the equi-join (which would shrink the sample below total_k)
     kdf = df.sparkSession.createDataFrame(
         [(s, k) for s, k in k_of.items()],
-        f"{stratum_col} string, __k bigint")
-    return (samp.join(F.broadcast(kdf), stratum_col)
+        StructType([StructField("__s", df.schema[stratum_col].dataType),
+                    StructField("__k", LongType())]))
+    return (samp.join(F.broadcast(kdf),
+                      F.col(stratum_col).eqNullSafe(F.col("__s")))
             .filter(F.col("rnk") <= F.col("__k"))
             .select(stratum_col, id_col, "rnk"))
 

@@ -538,14 +538,22 @@ def semantic_dedup_delta(history: DataFrame, incoming: DataFrame,
 
     Semantics (deterministic, SQL-expressible): the coarse quantizer
     is FIXED from history (id-sampled, capped — index maintenance
-    does not retrain, same contract as ivf_incremental_assign). For
+    does not retrain, same contract as ivf_incremental_assign); on a
+    COLD START (history has no centroid candidates) it bootstraps
+    from the batch instead — without that, an empty quantizer made
+    assignment empty and the whole first batch silently vanished
+    from the output (r11 review find: data loss, where the contract
+    says batch-sized output with every unmatched row kept). For
     each incoming vector v:
       keep_id = min({v} | {u in history + batch : cell(u) = cell(v),
-                            id(u) < id(v), cos(u, v) > threshold})
+                            id(u) < id(v), cos(u, v) >= threshold})
       kept    = (keep_id = id(v))
-    History rows never flip (their keeper decision is already made);
-    output is BATCH-sized: (id, cell, keep_id, kept) for incoming
-    rows only.
+    The comparison is >= threshold — the SAME boundary as
+    semantic_dedup/semantic_dedup_snm (it was strict > until r11,
+    letting the incremental and batch paths disagree on pairs landing
+    exactly on the threshold). History rows never flip (their keeper
+    decision is already made); output is BATCH-sized: (id, cell,
+    keep_id, kept) for incoming rows only.
 
     Plan: centroids broadcast; assignment batch-sized; the comparison
     is an equi-join of the batch against cell members — pinned
@@ -556,6 +564,19 @@ def semantic_dedup_delta(history: DataFrame, incoming: DataFrame,
     base_c = with_norm(incoming, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base_h, centroid_mod, id_col,
                               max_centroids=max_centroids)
+    if not cents.take(1):
+        # cold start: no quantizer can be sampled from history —
+        # bootstrap it from the batch (what a first index build does);
+        # the ≤max_centroids take(1)/sample stays bounded-driver-cheap
+        cents = sampled_centroids(base_c, centroid_mod, id_col,
+                                  max_centroids=max_centroids)
+        if not cents.take(1):
+            # no candidates anywhere (tiny batch missing the modulo):
+            # no comparisons are possible — keep everything, cell null
+            return base_c.select(
+                F.col(id_col), F.lit(None).cast("long").alias("cell"),
+                F.col(id_col).cast("long").alias("keep_id"),
+                F.lit(True).alias("kept"))
     h_asn = assign_cells(base_h, cents, id_col)
     c_asn = assign_cells(base_c, cents, id_col)
     members = (base_h.join(h_asn, id_col)
@@ -568,7 +589,7 @@ def semantic_dedup_delta(history: DataFrame, incoming: DataFrame,
     nbr = (new.join(members.hint("shuffle_hash"), "cell")
            .filter(F.col("rid") < F.col("lid"))
            .filter(cosine(F.col("lv"), F.col("rv"),
-                          F.col("lnorm"), F.col("rnorm")) > threshold)
+                          F.col("lnorm"), F.col("rnorm")) >= threshold)
            .groupBy("lid").agg(F.min("rid").alias("nbr_min")))
     # nbr_min < lid by construction, so keep_id = coalesce(nbr_min, lid)
     return (new.select("lid", "cell")
@@ -743,6 +764,13 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     qrows = (qdf.select(id_col, F.col(vec_col).cast("array<double>")
                         .alias("v"))
              .orderBy(id_col).limit(int(max_queries)).collect())
+    if not qrows:
+        # same explicit empty-query guard as brute_force_topk: an
+        # empty sample otherwise makes qvecs 1-D and the subspace
+        # slicing raises an obscure numpy IndexError (r11 review find)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, "
+                "adist double")
     qids = np.asarray([r[id_col] for r in qrows])
     qvecs = np.asarray([r.v for r in qrows])            # (Q, dim)
     # distance tables: tables[q, s, c] = ||q_sub - book[s,c]||^2
@@ -1265,6 +1293,12 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, query_mod: int = 50,
     qrows = (emb.filter((F.col(id_col) % query_mod) == 0)
              .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
              .orderBy(id_col).limit(int(max_queries)).collect())
+    if not qrows:
+        # explicit empty-query guard (brute_force_topk's contract):
+        # without it the 1-D qvecs crashes the subspace slicing
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, "
+                "adist double")
     qids = np.asarray([r[id_col] for r in qrows])
     qvecs = np.asarray([r.v for r in qrows])
     tables = np.stack([

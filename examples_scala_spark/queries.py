@@ -13261,7 +13261,7 @@ def pipeline_weighted_mixture(spark, sf_dir):
       SELECT l.vec_id AS lid, min(r.vec_id) AS nbr_min
       FROM newv l JOIN m r USING (cell)
       WHERE r.vec_id < l.vec_id
-        AND list_dot_product(l.v, r.v) / (l.norm * r.norm) > 0.35
+        AND list_dot_product(l.v, r.v) / (l.norm * r.norm) >= 0.35
       GROUP BY l.vec_id)
     SELECT newv.vec_id, newv.cell,
            coalesce(nbr.nbr_min, newv.vec_id) AS keep_id,

@@ -369,3 +369,137 @@ class TestBroadcastLifecycle:
         rows = cents.collect()
         assert 0 < len(rows) <= 256
         assert all(r.cnorm > 0 for r in rows)
+
+
+# ------------------------------------- operator review fixes (r11)
+
+class TestOperatorReviewFixes:
+    def test_delta_cold_start_keeps_batch(self, spark):
+        # empty history: the quantizer bootstraps from the batch —
+        # the pre-r11 code returned 0 rows (silent loss of the whole
+        # first ingestion batch)
+        import math
+        history = _emb(spark, [])
+        rows = [(i, [math.sin(0.3 * (i + 1) * (j + 1))
+                     for j in range(8)]) for i in range(40)]
+        incoming = _emb(spark, rows)
+        out = sim.semantic_dedup_delta(history, incoming, threshold=0.99)
+        got = {r.vec_id: r.kept for r in out.collect()}
+        assert len(got) == 40               # batch-sized output
+        # with empty history, delta == the batch dedup of the batch
+        # under the same bootstrapped quantizer
+        want = {r.vec_id: r.kept for r in sim.semantic_dedup(
+            incoming, threshold=0.99, max_centroids=256).collect()}
+        assert got == want
+        assert any(got.values())            # and nothing vanished
+
+    def test_delta_cold_start_no_candidates(self, spark):
+        # batch whose ids all miss the centroid modulo: no quantizer
+        # anywhere -> everything kept with null cell, still batch-sized
+        history = _emb(spark, [])
+        incoming = _emb(spark, [(2, [1.0, 0.0]), (4, [0.0, 1.0])])
+        out = sim.semantic_dedup_delta(history, incoming,
+                                       centroid_mod=23).collect()
+        assert {(r.vec_id, r.kept, r.cell) for r in out} == \
+            {(2, True, None), (4, True, None)}
+
+    def test_delta_threshold_boundary_matches_batch(self, spark):
+        # a pair at cosine EXACTLY the threshold (identical vectors,
+        # threshold 1.0): the batch family drops the higher id with
+        # >=; the delta path used strict > and kept it (r11 fix)
+        v = [3.0, 4.0]
+        history = _emb(spark, [(1, v)])
+        incoming = _emb(spark, [(9, v)])
+        out = {r.vec_id: (r.kept, r.keep_id) for r in
+               sim.semantic_dedup_delta(history, incoming,
+                                        threshold=1.0).collect()}
+        assert out[9] == (False, 1)
+
+    def test_pq_and_ivfpq_empty_query_sample(self, spark):
+        import math
+        rows = [(i, [math.sin(0.2 * (i + 1) * (j + 1)) + 0.1
+                     for j in range(64)]) for i in range(1, 45)]
+        emb = _emb(spark, rows)   # no id % 50 == 0 -> empty sample
+        got = sim.pq_adc_topk(emb, query_mod=50, codes=2)
+        assert got.count() == 0
+        assert got.columns == ["query_id", "neighbor_id", "rank",
+                               "adist"]
+        got2 = sim.ivfpq_topk(emb, query_mod=50, codes=2)
+        assert got2.count() == 0
+
+    def test_range_join_left_outer_and_semi_anti(self, spark):
+        from examples_scala_spark.operators.joins import range_join
+        left = spark.createDataFrame(
+            [(1, 5.0), (2, 55.0)], ["eid", "value"])
+        right = spark.createDataFrame(
+            [(0.0, 10.0, "low")], ["lo", "hi", "band"])
+        l = range_join(left, right, "value", "lo", "hi", 10.0,
+                       how="left").collect()
+        assert {(r.eid, r.band) for r in l} == {(1, "low"), (2, None)}
+        s = range_join(left, right, "value", "lo", "hi", 10.0,
+                       how="semi").collect()
+        assert [r.eid for r in s] == [1]
+        a = range_join(left, right, "value", "lo", "hi", 10.0,
+                       how="left_anti").collect()
+        assert [r.eid for r in a] == [2]
+        with pytest.raises(ValueError, match="unsupported"):
+            range_join(left, right, "value", "lo", "hi", 10.0,
+                       how="full")
+        # inner path unchanged
+        i = range_join(left, right, "value", "lo", "hi", 10.0).collect()
+        assert [(r.eid, r.band) for r in i] == [(1, "low")]
+
+    def test_stratified_split_exact_null_and_int_strata(self, spark):
+        from examples_scala_spark.operators.sampling import (
+            stratified_split_exact,
+        )
+        rows = ([(i, "a") for i in range(40)]
+                + [(i + 100, None) for i in range(40)])
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = stratified_split_exact(df, "lang", "doc_id", 20)
+        assert out.count() == 20            # NULL stratum not dropped
+        assert out.filter(F.col("lang").isNull()).count() == 10
+        # integer strata: typed allocation table, no TypeError
+        df2 = spark.createDataFrame(
+            [(i, i % 2) for i in range(40)], "doc_id long, bucket long")
+        out2 = stratified_split_exact(df2, "bucket", "doc_id", 10)
+        assert out2.count() == 10
+
+    def test_simhash_near_pairs_custom_id_col(self, spark):
+        from examples_scala_spark.operators.dedup import (
+            simhash_near_pairs,
+        )
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"),
+             (3, "zzz yyy xxx www")],
+            ["vec_id", "text"])
+        out = simhash_near_pairs(docs, id_col="vec_id").collect()
+        assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+
+    def test_avg_udaf_skips_nulls_like_builtin(self, spark):
+        from examples_scala_spark.operators.aggregations import (
+            avg_temp_pandas_udaf,
+        )
+        df = spark.createDataFrame(
+            [("s1", 10.0), ("s1", None), ("s2", 4.0)],
+            "id string, temperature double")
+        got = {r.id: r.avg_temp
+               for r in avg_temp_pandas_udaf(df).collect()}
+        want = {r.id: r.avg
+                for r in df.groupBy("id")
+                .agg(F.avg("temperature").alias("avg")).collect()}
+        assert got == want == {"s1": 10.0, "s2": 4.0}
+
+    def test_connected_components_raises_when_unconverged(self, spark):
+        from examples_scala_spark.operators.graph import (
+            connected_components,
+        )
+        n = 12
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+        with pytest.raises(RuntimeError, match="still changing"):
+            connected_components(nodes, chain, max_iterations=3)
+        # and converges fine with budget >= diameter
+        ok = connected_components(nodes, chain, max_iterations=n)
+        assert {r.component for r in ok.collect()} == {0}
