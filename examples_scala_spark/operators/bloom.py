@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _grams_expr, base_hash
+from .dedup import shingle_hashes
 
 DEFAULT_M_BITS = 1 << 17
 DEFAULT_K = 5
@@ -110,15 +110,9 @@ def bloom_benchmark_overlap(docs: DataFrame, bench_docs: DataFrame,
     """
 
     def _sh(d: DataFrame) -> DataFrame:
-        words = d.select(
-            F.col(id_col),
-            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
-        base = words.select(
-            F.col(id_col), F.array_distinct(_grams_expr(n)).alias("__sh"))
-        return (base.select(F.col(id_col), F.size("__sh").alias("sz"),
-                            F.explode("__sh").alias("g"))
-                .select(F.col(id_col), "sz",
-                        base_hash(F.col("g")).alias("shingle")))
+        # the ONE shared shingle pipeline — the bit-identity contract
+        # with dedup.benchmark_overlap requires a single definition
+        return shingle_hashes(d, n, text_col, id_col)
 
     bench_sh = _sh(bench_docs).select("shingle").distinct()
     bitmap = build_bitmap(bench_sh, "shingle", m_bits=m_bits, k=k)

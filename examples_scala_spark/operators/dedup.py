@@ -311,6 +311,27 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     return out
 
 
+def shingle_hashes(d: DataFrame, n: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, sz, shingle): per-doc DISTINCT word-n-gram 60-bit hashes,
+    sz = the doc's distinct shingle count riding on every row. The
+    ONE shingle pipeline behind benchmark_overlap AND
+    bloom.bloom_benchmark_overlap — those two are specified (and
+    tested) bit-identical, so the tokenization must live in exactly
+    one place (r11 review find: it was duplicated line-for-line in
+    both files). The distinct-gram array is materialized once per row
+    before size/explode so array_distinct isn't evaluated twice."""
+    words = d.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+    base = words.select(
+        F.col(id_col), F.array_distinct(_grams_expr(n)).alias("__sh"))
+    return (base.select(F.col(id_col), F.size("__sh").alias("sz"),
+                        F.explode("__sh").alias("g"))
+            .select(F.col(id_col), "sz",
+                    base_hash(F.col("g")).alias("shingle")))
+
+
 def benchmark_overlap(docs: DataFrame, bench_docs: DataFrame, n: int = 5,
                       frac_threshold: float = 0.1,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -326,15 +347,7 @@ def benchmark_overlap(docs: DataFrame, bench_docs: DataFrame, n: int = 5,
     the narrow form wins — see the Jaccard note for the counter-case).
     """
     def _sh(d: DataFrame):
-        words = d.select(
-            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
-        # materialize the distinct-gram array once per row before
-        # size/explode so array_distinct isn't evaluated twice
-        base = words.select(
-            F.col(id_col), F.array_distinct(_grams_expr(n)).alias("__sh"))
-        return (base.select(F.col(id_col), F.size("__sh").alias("sz"),
-                            F.explode("__sh").alias("g"))
-                .select(F.col(id_col), "sz", base_hash(F.col("g")).alias("shingle")))
+        return shingle_hashes(d, n, text_col, id_col)
 
     bench = (_sh(bench_docs).select("shingle").distinct()
              .withColumn("hit", F.lit(1)))
@@ -462,22 +475,15 @@ def substring_dedup_rewrite(docs: DataFrame, L: int = 30,
     whole-stage codegen): sorted removal offsets -> interval union ->
     kept-segment concatenation, one pass, no char-level explode. The
     only corpus-sized shuffle payload is the rebuilt text itself,
-    which is the output."""
-    base = docs.select(
-        F.col(id_col), F.col(text_col).alias("t"),
-        F.length(text_col).cast("bigint").alias("n"))
-    # same scan-parallelism note as substring_dup_stats: the window
-    # md5 dominates, don't inherit a single small file's one task
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    eligible = base.filter(F.col("n") >= L).repartition(par)
-    pos = eligible.select(
-        F.col(id_col), "t", "n",
-        F.posexplode(F.expr(
-            f"transform(sequence(1L, n - {L - 1}L), "
-            f"i -> CAST(conv(substr(md5(substring(t, i, {L})), 1, 15), "
-            f"16, 10) AS BIGINT))"))).select(
-        F.col(id_col), (F.col("pos") + 1).cast("bigint").alias("i"),
-        F.col("col").alias("g")).localCheckpoint(eager=False)
+    which is the output.
+
+    Body = the two shared helpers (the r11 review found the window
+    hashing and the whole interval-union fold duplicated verbatim
+    here; substring_dedup_incremental already composed them):
+    `_window_hashes` for the posexplode scan, the first-occurrence
+    aggregate in between, `_rebuild_from_removals` for the fold."""
+    pos = _window_hashes(docs, L, text_col, id_col) \
+        .localCheckpoint(eager=False)
     # one aggregate gives both the dup filter and the keep-one winner
     firsts = (pos.groupBy("g")
               .agg(F.count("*").alias("c"),
@@ -491,44 +497,12 @@ def substring_dedup_rewrite(docs: DataFrame, L: int = 30,
                .filter(~((F.col(id_col) == F.col("first.d"))
                          & (F.col("i") == F.col("first.i"))))
                .select(id_col, "i"))
-    starts = removed.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("i")).alias("ss"))
-    # fold state: (cov = union coverage end, out = kept text emitted so
-    # far, removed chars, span count). A start extends the current span
-    # when s <= cov + 1, else closes it (emitting the kept gap) and
-    # opens a new one; cov = 0 marks "nothing covered yet".
-    E = L - 1
-    rebuilt = F.expr(f"""
-      aggregate(
-        ss,
-        named_struct('cov', 0L, 'out', '', 'rm', 0L, 'sp', 0L),
-        (st, s) -> named_struct(
-          'cov', greatest(st.cov, s + {E}L),
-          'out', CASE WHEN s > st.cov + 1
-                 THEN concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
-                                               CAST(s - 1 - st.cov AS INT)))
-                 ELSE st.out END,
-          'rm', st.rm + greatest(s + {E}L, st.cov) - greatest(s - 1L, st.cov),
-          'sp', st.sp + CASE WHEN s > st.cov + 1 OR st.cov = 0L
-                        THEN 1L ELSE 0L END),
-        st -> named_struct(
-          'cov', st.cov,
-          'out', concat(st.out, substring(t, CAST(st.cov AS INT) + 1,
-                                          CAST(n - st.cov AS INT))),
-          'rm', st.rm, 'sp', st.sp))""")
-    cleaned = (eligible.join(starts, id_col, "left")
-               .select(F.col(id_col), "t",
-                       F.when(F.col("ss").isNull(), None)
-                        .otherwise(rebuilt).alias("st")))
-    out = cleaned.select(
-        F.col(id_col),
-        F.coalesce(F.col("st.out"), F.col("t")).alias("clean_text"),
-        F.coalesce(F.col("st.rm"), F.lit(0)).cast("bigint")
-         .alias("n_chars_removed"),
-        F.coalesce(F.col("st.sp"), F.lit(0)).cast("bigint")
-         .alias("n_dup_spans"))
-    short = (base.filter(F.col("n") < L)
-             .select(F.col(id_col), F.col("t").alias("clean_text"),
+    out = _rebuild_from_removals(
+        docs.filter(F.length(text_col) >= L), removed, L,
+        text_col, id_col)
+    short = (docs.filter(F.length(text_col) < L)
+             .select(F.col(id_col),
+                     F.col(text_col).alias("clean_text"),
                      F.lit(0).cast("bigint").alias("n_chars_removed"),
                      F.lit(0).cast("bigint").alias("n_dup_spans")))
     return out.unionByName(short)
