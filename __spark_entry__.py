@@ -76,6 +76,9 @@ PRIORITY = [
     # consumers verified 3 SFs locally, hashes unchanged) ---
     "stratified_split_alloc", "events_value_bands", "ann_topk_pq",
     "simhash_near_pairs", "dedup_clusters",
+    # --- round-11 sources/plans review fixes (compact_parquet count
+    # clamp; write_bucketed qualified-name guard) — verified 3 SFs ---
+    "stream_ingest_compact", "bucketed_colocated_join",
 ]
 
 

@@ -21,11 +21,17 @@ def celsius_to_fahrenheit_col(col) -> Column:
     return _c(col) * (9.0 / 5.0) + 32.0
 
 
-def iso_datetime(ts_col) -> Column:
-    """epoch-ms/timestamp → ISO-8601 seconds string, the reference's
-    output formatting (chapter8/TransactionalSinkExample.scala:83-85).
-    Assumes UTC session timezone (set by session.tune)."""
-    return F.date_format(_c(ts_col), "yyyy-MM-dd'T'HH:mm:ss")
+def iso_datetime(ts_col, millis: bool = False) -> Column:
+    """TimestampType → ISO-8601 seconds string, the reference's output
+    formatting (chapter8/TransactionalSinkExample.scala:83-85). For an
+    epoch-MS BIGINT column (the sensor tables' `timestamp`), pass
+    millis=True — a bare numeric column fed to date_format is either
+    rejected under ANSI or coerced as epoch-SECONDS, rendering
+    1704067200000 ms as a year-55xxx date (r11 review find). Assumes
+    UTC session timezone (set by session.tune)."""
+    c = F.timestamp_millis(_c(ts_col).cast("long")) if millis \
+        else _c(ts_col)
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
 
 
 def floor_to_bucket(ts_ms_col, bucket_ms: int) -> Column:

@@ -1,1 +1,6 @@
-from .inspect import explain_str, assert_pushed_filters, assert_no_python_in_plan  # noqa: F401
+from .inspect import (  # noqa: F401
+    assert_broadcast_join,
+    assert_no_python_in_plan,
+    assert_pushed_filters,
+    explain_str,
+)

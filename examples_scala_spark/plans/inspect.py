@@ -27,11 +27,24 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
         assert frag in joined, f"filter {frag!r} not pushed; plan:\n{plan}"
 
 
+# every physical node that ships rows across the JVM<->Python boundary
+# — matching only BatchEvalPython let vectorized Python (ArrowEval,
+# MapInPandas, ...) slip past the "no accidental Python" assertion
+# (r11 review find)
+_PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState",
+                 "PythonMapInArrow", "MapInArrow", "EvalPython",
+                 "TransformWithStateInPandas", "BatchEvalPythonUDTF")
+
+
 def assert_no_python_in_plan(df: DataFrame) -> None:
-    """Hot relational paths must stay JVM-side (no BatchEvalPython /
-    row-at-a-time UDF nodes)."""
+    """Hot relational paths must stay FULLY JVM-side: no row-wise UDF
+    nodes AND no Arrow-vectorized Python stages (those are the
+    sanctioned slow path for ops SQL can't express — never for plans
+    this helper guards)."""
     plan = explain_str(df, "simple")
-    assert "BatchEvalPython" not in plan, f"row-wise Python UDF in plan:\n{plan}"
+    hits = [n for n in _PYTHON_NODES if n in plan]
+    assert not hits, f"Python stage(s) {hits} in plan:\n{plan}"
 
 
 def assert_broadcast_join(df: DataFrame) -> None:

@@ -62,18 +62,33 @@ def delta_table(spark: SparkSession, path: str) -> DataFrame:
 def delta_upsert_writer(path: str, key: str):
     """K3 — idempotent upsert sink as a foreachBatch closure: MERGE
     INTO keyed on `key` (last-write-wins per batch). The Delta twin of
-    streaming/sinks.py:upsert_writer."""
+    streaming/sinks.py:upsert_writer.
+
+    The batch is deduped to ONE row per key before the merge (last by
+    batch arrival order, the same contract as the in-memory twin's
+    sequential dict assignment): without it, an at-least-once batch
+    carrying two updates for one key crashes MERGE with
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW, and the
+    table-doesn't-exist-yet branch would persist duplicate keys that
+    poison every later merge (r11 review find)."""
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
         spark = batch_df.sparkSession
         if not _has_jvm_class(spark, "org.apache.spark.sql.delta.DeltaLog"):
             raise ConnectorUnavailable("Delta not on classpath")
         from delta.tables import DeltaTable  # type: ignore[import-not-found]
 
+        w = Window.partitionBy(key).orderBy(
+            F.monotonically_increasing_id().desc())
+        b = (batch_df.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
         if not DeltaTable.isDeltaTable(spark, path):
-            batch_df.write.format("delta").save(path)
+            b.write.format("delta").save(path)
             return
         (DeltaTable.forPath(spark, path).alias("t")
-         .merge(batch_df.alias("s"), f"t.{key} = s.{key}")
+         .merge(b.alias("s"), f"t.{key} = s.{key}")
          .whenMatchedUpdateAll()
          .whenNotMatchedInsertAll()
          .execute())
@@ -91,6 +106,15 @@ def jdbc_dim(spark: SparkSession, url: str, table: str,
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as e:  # missing driver jar -> clear error
-        raise ConnectorUnavailable(
-            f"JDBC driver for {url!r} not on classpath: {e}") from None
+    except Exception as e:
+        # relabel ONLY genuine missing-driver failures; auth/schema/
+        # network errors must surface as themselves — a blanket
+        # ConnectorUnavailable sent operators chasing the classpath
+        # for what was actually a bad dbtable (r11 review find)
+        msg = str(e)
+        if ("ClassNotFoundException" in msg
+                or "No suitable driver" in msg
+                or "JDBC_DRIVER" in msg):
+            raise ConnectorUnavailable(
+                f"JDBC driver for {url!r} not on classpath: {e}") from e
+        raise

@@ -20,6 +20,15 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     the table back exposes the bucketing to Catalyst: joins and
     aggregations on `key` skip their Exchange (and with sort=True,
     sort-merge joins skip the Sort too)."""
+    if "." in table:
+        # the stale-location probe below derives the managed path as
+        # warehouse/<table> — wrong for db-qualified names (their
+        # location is warehouse/<db>.db/<table>), which would re-expose
+        # the LOCATION_ALREADY_EXISTS failure this block prevents
+        raise ValueError(
+            f"write_bucketed: unqualified table names only, got "
+            f"{table!r} (the stale-location cleanup assumes the "
+            "default database)")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a previous SESSION may have left the managed location behind (the
@@ -60,8 +69,15 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jpath).getLength()
     n_files = max(1, -(-total // target_bytes))
-    spark.read.parquet(path).coalesce(n_files) \
-        .write.mode("overwrite").parquet(out_path)
+    df = spark.read.parquet(path)
+    # coalesce can only REDUCE partition count: when the target asks
+    # for more files than the scan yields (target_bytes below
+    # maxPartitionBytes), the returned count silently overstated what
+    # was written (r11 review find) — clamp to the scan's partition
+    # count; splitting finer than the scan would need a shuffle
+    # (repartition), which defeats compaction's narrow-plan point
+    n_files = min(n_files, df.rdd.getNumPartitions())
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
 
 
