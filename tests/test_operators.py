@@ -344,8 +344,16 @@ def test_connectors_raise_clear_error_when_absent(spark):
         cx.kafka_stream(spark, "localhost:9092", "t")
     with pytest.raises(cx.ConnectorUnavailable):
         cx.delta_table(spark, "/tmp/nope")
+    # an UNKNOWN scheme is a genuine missing-driver failure
     with pytest.raises(cx.ConnectorUnavailable):
+        cx.jdbc_dim(spark, "jdbc:nosuchscheme:db", "SensorLocations")
+    # but a REAL driver error (derby IS shipped; the database isn't
+    # there) must surface as itself — the r11 fix stopped relabeling
+    # auth/schema/connection errors as classpath problems
+    with pytest.raises(Exception) as ei:
         cx.jdbc_dim(spark, "jdbc:derby:memory:db", "SensorLocations")
+    assert not isinstance(ei.value, cx.ConnectorUnavailable)
+    assert "not found" in str(ei.value)
     df = spark.createDataFrame([(1, "a")], ["k", "v"])
     with pytest.raises(cx.ConnectorUnavailable):
         cx.delta_upsert_writer("/tmp/nope", "k")(df, 0)
