@@ -33,52 +33,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks ALL entries every time — including under the driver-identical
 # vanilla session (--vanilla).
 PRIORITY = [
-    # --- round-11: results CHANGED this round (VERDICT r10 #1 — the
-    # sqrt-corpus centroid budget is now semantic_dedup's and
-    # semantic_dedup_sweep's DEFAULT; oracles carry the computed
-    # LIMIT) — same-round PRIORITY re-proof required ---
-    "embedding_semantic_dedup", "semantic_dedup_sweep",
-    # --- round-11: results unchanged but code touched (auto now
-    # routes through the shared sqrt_budget helper; the recall gate
-    # pins max_centroids=256 explicitly to keep its matched-quantizer
-    # subset invariant; assignment kernel gained ref-axis slicing —
-    # bit-identity asserted by test, re-proved out of caution) ---
-    "semantic_dedup_auto", "semantic_dedup_snm_recall",
-    # --- round-11: the shared assignment kernel gained ref-axis
-    # slicing (ADVICE r10, executor-memory bound) — bit-identity is
-    # asserted by test and the slicing is a single slice at every
-    # default caller, but EVERY registry consumer of nearest_ref_vec
-    # (transitive, computed from the call graph — including the two
-    # gates that drive it under a STREAMING plan) is re-proved
-    # same-round out of caution. brute_force_topk has its own
-    # untouched local-topk kernel, so ann_topk_bruteforce rotates
-    # normally ---
-    "ann_topk_ivf", "ann_topk_ivfpq", "embedding_outliers",
-    "semantic_dedup_snm", "semantic_dedup_delta",
-    "ivf_incremental_assign", "semantic_decontaminate",
-    "decontamination_by_benchmark", "stream_semantic_decon_gate",
-    "stream_embedding_outlier_gate", "stream_decontaminate_gate",
-    # --- round-11 streaming-review fixes (self-review of
-    # streaming/): early-firing partials deduped on stalled
-    # watermarks, traced delta-alert default aligned, interval-join
-    # semi/anti alias normalization, upsert sink's Hadoop-FS
-    # existence probe — all 9 consumers re-verified at 3 SFs locally
-    # (hashes unchanged; the dedupe only binds in stalled-wm regimes
-    # the replay doesn't produce), re-proved same-round out of
-    # caution ---
+    # --- round-12: code touched this round (ADVICE fixes: early-firing
+    # legacy-checkpoint decode extracted to _decode_ef_state;
+    # connected_components max_iterations entry guard). Result hashes
+    # unchanged — all 7 call-graph consumers verified at 3 SFs locally
+    # — re-proved same-round in the gate out of caution ---
     "stream_early_firing", "stream_early_firing_multibatch",
-    "stream_delta_alerts", "stream_delta_alerts_smallbatch",
-    "stream_interval_join", "stream_left_outer_join",
-    "stream_full_outer_join", "stream_semi_join", "stream_upsert_state",
-    # --- round-11 operator-review fixes with plan-affecting edits
-    # (delta's >=-threshold + cold-start bootstrap is already headed
-    # above; these five had join/select/guard restructurings — all 12
-    # consumers verified 3 SFs locally, hashes unchanged) ---
-    "stratified_split_alloc", "events_value_bands", "ann_topk_pq",
-    "simhash_near_pairs", "dedup_clusters",
-    # --- round-11 sources/plans review fixes (compact_parquet count
-    # clamp; write_bucketed qualified-name guard) — verified 3 SFs ---
-    "stream_ingest_compact", "bucketed_colocated_join",
+    "dedup_clusters", "dedup_canonical", "leakage_free_split",
+    "pipeline_curation_v3", "doc_pagerank",
+    # --- round-12: retire the r3 evidence generation (VERDICT r11 #2):
+    # the 18 remaining names whose latest driver row is r2/r3
+    # (doc_pagerank, the 19th, is already headed above as a touched
+    # consumer). After this round no name's latest evidence predates
+    # r4 ---
+    "cdc_snapshot_merge", "doc_passage_dup_ratio",
+    "doc_sequence_packing", "events_multires_rollup",
+    "events_scd2_enrich", "events_scd2_intervals",
+    "flatmap_split_udtf", "minhash_incremental", "partition_backfill",
+    "q20_excess_availability", "stratified_reservoir",
+    "stream_incremental_state", "stream_rolling_max_state",
+    "stream_trending_tokens", "token_heavy_hitters", "user_hll_rollup",
+    "value_quantile_sketch", "weighted_reservoir_sample",
 ]
 
 

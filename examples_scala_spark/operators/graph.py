@@ -40,6 +40,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     nodes: one column `id_col`; edges: (`src_col`, `dst_col`),
     undirected (either orientation accepted). Returns (id, component).
     """
+    if max_iterations < 1:
+        # with a zero/negative budget the for/else below would raise
+        # referencing `changed` before any round ran (NameError) —
+        # refuse up front instead (r12 ADVICE fix)
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}")
     # symmetric edge list: propagate along both directions
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = fwd.union(

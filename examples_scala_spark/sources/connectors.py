@@ -59,18 +59,28 @@ def delta_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("delta").load(path)
 
 
-def delta_upsert_writer(path: str, key: str):
+def delta_upsert_writer(path: str, key: str, order_col: str | None = None):
     """K3 — idempotent upsert sink as a foreachBatch closure: MERGE
-    INTO keyed on `key` (last-write-wins per batch). The Delta twin of
+    INTO keyed on `key`. The Delta twin of
     streaming/sinks.py:upsert_writer.
 
-    The batch is deduped to ONE row per key before the merge (last by
-    batch arrival order, the same contract as the in-memory twin's
-    sequential dict assignment): without it, an at-least-once batch
-    carrying two updates for one key crashes MERGE with
-    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW, and the
+    The batch is deduped to ONE row per key before the merge: without
+    it, an at-least-once batch carrying two updates for one key crashes
+    MERGE with DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW, and the
     table-doesn't-exist-yet branch would persist duplicate keys that
-    poison every later merge (r11 review find)."""
+    poison every later merge (r11 review find).
+
+    Which row wins (r12 ADVICE fix): pass `order_col` (a sequence or
+    event-time column from the stream) and the per-key max-`order_col`
+    row wins — the only way to get a deterministic last-write-wins in a
+    distributed batch. Without it the winner is an ARBITRARY row of the
+    key's batch rows (any-one-row semantics): a micro-batch DataFrame
+    has no arrival order for rows spanning partitions, and the previous
+    monotonically_increasing_id().desc() tiebreak only encoded the
+    partition index in its high bits — arbitrary dressed up as ordered.
+    The in-memory twin's sequential dict assignment is a parallelism-1
+    behavior that does not distribute; callers who care must say what
+    "last" means via `order_col`."""
     def write(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
@@ -80,8 +90,9 @@ def delta_upsert_writer(path: str, key: str):
             raise ConnectorUnavailable("Delta not on classpath")
         from delta.tables import DeltaTable  # type: ignore[import-not-found]
 
-        w = Window.partitionBy(key).orderBy(
-            F.monotonically_increasing_id().desc())
+        order = (F.col(order_col).desc_nulls_last() if order_col
+                 else F.monotonically_increasing_id().desc())
+        w = Window.partitionBy(key).orderBy(order)
         b = (batch_df.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") == 1).drop("__rn"))
         if not DeltaTable.isDeltaTable(spark, path):

@@ -47,6 +47,21 @@ EARLY_FIRING_SCHEMA = StructType([
 _EF_STATE = StructType([StructField("counts_json", StringType())])
 
 
+def _decode_ef_state(raw: str) -> tuple[dict, dict]:
+    """Decode early-firing persisted state. r11 changed the layout
+    from a flat {start: count} dict to {"c": counts, "f": fired}; a
+    checkpoint written by the pre-r11 code must restore, not
+    KeyError('c') (r12 ADVICE fix). Legacy keys are stringified window
+    starts, so "c" can never collide with a legacy key; a legacy
+    restore starts with an empty fired map — worst case one
+    re-emitted early partial on the first post-upgrade batch, never a
+    wrong count."""
+    st = json.loads(raw)
+    counts = {int(k): int(v) for k, v in st.get("c", st).items()}
+    fired = {int(k): int(v) for k, v in st.get("f", {}).items()}
+    return counts, fired
+
+
 def early_firing_window_counts(readings: DataFrame,
                                window_ms: int = 30_000,
                                interval_ms: int = 1_000,
@@ -103,9 +118,7 @@ def early_firing_window_counts(readings: DataFrame,
         (sensor_id,) = key
         wm = state.getCurrentWatermarkMs()
         if state.exists:
-            st = json.loads(state.get[0])
-            counts = {int(k): int(v) for k, v in st["c"].items()}
-            fired = {int(k): int(v) for k, v in st["f"].items()}
+            counts, fired = _decode_ef_state(state.get[0])
         else:
             counts, fired = {}, {}
         for pdf in pdfs:

@@ -356,16 +356,24 @@ def tag_late_rows(readings: DataFrame,
     watermark column drives `getCurrentWatermarkInMs`; rows older than
     the watermark at their batch are tagged late instead of dropped.
 
-    timeMode is "none", NOT "eventTime" (r11 review find): in event-time
-    mode transformWithState applies late-record filtering — rows older
-    than the watermark are dropped BEFORE handleInputRows, so the one
-    thing this operator exists to do (tag them) could never happen.
-    "none" disables timers (this processor uses none) while the
-    upstream withWatermark still advances the watermark TimerValues
-    reports — the same construction as the proven
-    applyInPandasWithState twin (timers.py:tag_late_rows, NoTimeout).
+    timeMode is "processingTime", NOT "eventTime" and NOT "none"
+    (r12 fix of an r11 fix): in event-time mode transformWithState
+    applies late-record filtering — rows older than the watermark are
+    dropped BEFORE handleInputRows, so the one thing this operator
+    exists to do (tag them) could never happen. But "none" (the r11
+    choice) is just as dead: pyspark 4.1.2's
+    StatefulProcessorApiClient.get_timestamps() hard-returns (-1, -1)
+    for time_mode="none" without ever asking the JVM, so
+    getCurrentWatermarkInMs() would always be -1 and is_late always
+    False. "processingTime" keeps late-record filtering off (it is
+    event-time-mode-only) while get_timestamps() fetches the real
+    event-time watermark driven by the upstream withWatermark — the
+    semantics of the proven applyInPandasWithState twin
+    (timers.py:tag_late_rows, NoTimeout). This processor registers no
+    timers, so the processing-time timer machinery stays idle.
     Pending a protobuf-enabled environment for execution proof
-    (test_tws gates on it); verified against the TWS API semantics."""
+    (test_tws gates on it); verified against the installed pyspark
+    source (stateful_processor_api_client.get_timestamps)."""
     wm = readings.withColumn(
         "event_time", F.timestamp_millis(F.col("timestamp"))
     ).withWatermark("event_time", watermark_delay)
@@ -373,7 +381,7 @@ def tag_late_rows(readings: DataFrame,
         statefulProcessor=LateRowTagger(),
         outputStructType=TAGGED_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        timeMode="processingTime",
     )
 
 

@@ -1,0 +1,79 @@
+"""Round-12 ADVICE fixes: early-firing legacy-checkpoint tolerance,
+connected_components max_iterations validation, delta_upsert_writer's
+explicit order_col, and the tws late-tagger timeMode flip (the last is
+execution-proven only under protobuf — test_tws carries it)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from examples_scala_spark.operators.graph import connected_components
+from examples_scala_spark.sources.connectors import delta_upsert_writer
+from examples_scala_spark.streaming.timers import _decode_ef_state
+
+
+# ------------------------------------------- early-firing state migration
+
+class TestEarlyFiringStateMigration:
+    def test_current_layout_roundtrip(self):
+        raw = json.dumps({"c": {"0": 3, "30000": 1}, "f": {"0": 5000}})
+        counts, fired = _decode_ef_state(raw)
+        assert counts == {0: 3, 30000: 1}
+        assert fired == {0: 5000}
+
+    def test_legacy_flat_layout_restores(self):
+        # pre-r11 checkpoints persisted a flat {start: count} dict;
+        # restoring one must not KeyError('c') (r12 ADVICE fix)
+        raw = json.dumps({"0": 3, "30000": 1})
+        counts, fired = _decode_ef_state(raw)
+        assert counts == {0: 3, 30000: 1}
+        assert fired == {}  # worst case: one re-emitted early partial
+
+    def test_legacy_empty_dict(self):
+        counts, fired = _decode_ef_state(json.dumps({}))
+        assert counts == {} and fired == {}
+
+
+# --------------------------------------- connected_components guard rails
+
+class TestConnectedComponentsBudgetGuard:
+    @pytest.mark.parametrize("bad", [0, -1])
+    def test_nonpositive_budget_raises_valueerror(self, spark, bad):
+        # previously raised NameError('changed') from the for/else
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="max_iterations"):
+            connected_components(nodes, edges, max_iterations=bad)
+
+    def test_minimal_sufficient_budget_still_runs(self, spark):
+        # diameter-1 edge needs 1 propagation round + 1 confirming
+        # round (changed == 0) to converge
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        got = {(r.id, r.component)
+               for r in connected_components(
+                   nodes, edges, max_iterations=2).collect()}
+        assert got == {(1, 1), (2, 1)}
+
+    def test_exhausted_budget_raises_runtime_not_nameerror(self, spark):
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="still changing"):
+            connected_components(nodes, edges, max_iterations=1)
+
+
+# ----------------------------------------- delta upsert order_col surface
+
+class TestDeltaUpsertOrderCol:
+    def test_order_col_accepted_and_gated(self, spark, tmp_path):
+        # Delta jars absent in this container: the writer must still
+        # accept order_col and fail with the documented gate error,
+        # not a Py4J stack
+        from examples_scala_spark.sources.connectors import (
+            ConnectorUnavailable)
+        w = delta_upsert_writer(str(tmp_path / "t"), "k", order_col="seq")
+        batch = spark.createDataFrame([("a", 1, 10)], "k string, seq long, v long")
+        with pytest.raises(ConnectorUnavailable):
+            w(batch, 0)

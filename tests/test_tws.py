@@ -147,10 +147,13 @@ def test_tws_rise_warning_timer_register_and_delete(spark, tmpdir):
 
 @needs_tws
 def test_tws_late_rows_tagged_not_dropped(spark, tmpdir):
-    # the TWS twin of timers.tag_late_rows: timeMode='none' so the
-    # event-time late-record filter cannot drop the rows this operator
-    # exists to TAG (r11 review find — 'eventTime' mode filtered them
-    # before handleInputRows)
+    # the TWS twin of timers.tag_late_rows: timeMode='processingTime'
+    # (r12 fix) — 'eventTime' mode late-record-filters the rows this
+    # operator exists to TAG before handleInputRows (r11 find), and
+    # 'none' (the r11 choice) makes get_timestamps() hard-return
+    # (-1, -1) so is_late would always be False (r12 ADVICE find);
+    # processingTime keeps late filtering off while the real event-time
+    # watermark is still fetched from the JVM
     tws.enable_tws(spark)
     stream = _staged_stream(spark, tmpdir, [
         [("s1", 60_000, 1.0)],
