@@ -41,6 +41,17 @@ PRIORITY = [
     "stream_early_firing", "stream_early_firing_multibatch",
     "dedup_clusters", "dedup_canonical", "leakage_free_split",
     "pipeline_curation_v3", "doc_pagerank",
+    # --- round-12 queries.py review: forced F.broadcast hints removed
+    # from every SF-scaled side (customer/supplier/part and part-keyed
+    # aggregates) — a hard hint is honored regardless of size and
+    # would OOM at 100 TB; the planner still broadcasts these at test
+    # SF and AQE converts at runtime. Hashes re-proven at 3 SFs
+    # locally; re-proved same-round in the gate ---
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
+    "q10_returned_items", "q11_important_stock",
+    "q20_excess_availability", "q21_waiting_supplier",
+    "stream_static_enrich", "part_cooccurrence_lift",
+    "part_neighbors_cosine",
     # --- round-12: retire the r3 evidence generation (VERDICT r11 #2):
     # the 18 remaining names whose latest driver row is r2/r3
     # (doc_pagerank, the 19th, is already headed above as a touched

@@ -826,8 +826,13 @@ def q1_pricing_summary(spark, sf_dir):
     "relational", "bench",
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3: top-10 unshipped orders by revenue. customer dim is
-    broadcast; orders↔lineitem is the only big shuffle."""
+    """TPC-H Q3: top-10 unshipped orders by revenue. The customer side
+    is left to the planner (r12 review fix: a hard F.broadcast hint is
+    honored regardless of size, and customer scales with SF — forcing
+    it would OOM the driver at 100 TB; at test SF the static size
+    estimate broadcasts it anyway, and AQE converts at runtime
+    wherever the built side measures small). orders↔lineitem is the
+    only unavoidable big shuffle."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-03-15 00:00:00")
@@ -835,7 +840,7 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > "1998-03-15 00:00:00")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     out = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -910,8 +915,11 @@ def q5_local_supplier(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
+        # customer/supplier are SF-scaled: no broadcast hint (r12 —
+        # planner/AQE broadcasts them while they measure small, shuffle
+        # at 100 TB); nation (25) / region (5) stay hinted
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp,
               (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -975,7 +983,7 @@ def q10_returned_items(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)  # SF-scaled: no hint
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     out = j.groupBy("c_custkey", "c_name", "n_name").agg(
@@ -3994,9 +4002,15 @@ def stream_static_enrich(spark, sf_dir):
     the reference's per-record lookup."""
     tune(spark)
     ev = _events_stream(spark, sf_dir)
-    dim = F.broadcast(
-        load_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment"))
+    # no broadcast hint (r12 review fix): the stand-in dim here is the
+    # SF-scaled customer table, and a hard hint is honored regardless
+    # of size. The static size estimate broadcasts it while it is
+    # small (stream-static joins plan the static side from file
+    # stats); a dim that outgrows the threshold degrades to a shuffle
+    # join instead of OOMing the driver — the documented J3/J4 cutover
+    # (SCALE.md §4).
+    dim = (load_table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_name", "c_mktsegment"))
     out = ev.join(dim, ev.user_id == dim.c_custkey, "inner").select(
         "event_id", "user_id", "c_name", "c_mktsegment", "value")
     return _run_to_memory(spark, out, "stream_static_enrich_result")
@@ -4616,7 +4630,7 @@ def q21_waiting_supplier(spark, sf_dir):
               "left_anti")
     )
     return (
-        waiting.join(F.broadcast(sup),
+        waiting.join(sup,  # supplier is SF-scaled: no hint (r12)
                      F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct(F.col("l1.l_orderkey")).alias("numwait"))
@@ -4756,9 +4770,13 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 adapted to the derived partsupp: cheapest EUROPE
     supplier(s) per qualifying part. The correlated min-cost subquery
     becomes a partkey aggregate joined back on (partkey, exact-decimal
-    cost equality). One wide stage builds ps; the part filter and the
-    min-cost table are both small and broadcast, so the join-back adds
-    no shuffle at 100 TB. The filtered (part, supplier) table is
+    cost equality). One wide stage builds ps. The supplier/part/
+    min-cost sides are SF-scaled, so they carry NO broadcast hint (r12
+    review fix — the previous docstring's "small and broadcast ... at
+    100 TB" claim was false: a filtered part table still scales
+    linearly with SF and a forced hint OOMs at 100 TB; the planner
+    broadcasts them statically at test SF and AQE converts at runtime
+    while they measure small). The filtered (part, supplier) table is
     lazily checkpointed so the min-cost branch and the join-back share
     ONE derived-partsupp computation (was two full lineitem
     scans+aggs; r6 plan fix, byte-identical, 1.13 -> 0.99 s)."""
@@ -4766,8 +4784,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    europe = (ps.join(F.broadcast(sup),
-                      ps.ps_suppkey == sup.s_suppkey)
+    europe = (ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
               .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
               .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
               .select("ps_partkey", "ps_supplycost", "s_acctbal",
@@ -4775,12 +4792,11 @@ def q2_min_cost_supplier(spark, sf_dir):
     parts = (_t(spark, sf_dir, "part")
              .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
              .select("p_partkey", "p_name"))
-    withp = (europe.join(F.broadcast(parts),
-                         europe.ps_partkey == parts.p_partkey)
+    withp = (europe.join(parts, europe.ps_partkey == parts.p_partkey)
              .localCheckpoint(eager=False))
     mc = (withp.groupBy("ps_partkey")
           .agg(F.min("ps_supplycost").alias("mincost")))
-    return (withp.join(F.broadcast(mc), "ps_partkey")
+    return (withp.join(mc, "ps_partkey")
             .filter(F.col("ps_supplycost") == F.col("mincost"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                     F.col("ps_supplycost").cast("double").alias("supplycost"))
@@ -4819,10 +4835,12 @@ def q11_important_stock(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     nat = (_t(spark, sf_dir, "nation")
            .filter(F.col("n_name") == "NATION_7"))
-    in_nation = (ps.join(F.broadcast(
+    # the one-nation supplier set is still ~1/25 of an SF-scaled
+    # table: no hint on it (r12) — nation itself (25 rows) stays hinted
+    in_nation = (ps.join(
                      sup.join(F.broadcast(nat),
                               sup.s_nationkey == nat.n_nationkey)
-                     .select("s_suppkey")),
+                     .select("s_suppkey"),
                      ps.ps_suppkey == F.col("s_suppkey"))
                  .select("ps_partkey",
                          (F.col("ps_supplycost") * F.col("ps_availqty"))
@@ -4874,7 +4892,7 @@ def q20_excess_availability(spark, sf_dir):
     parts = (_t(spark, sf_dir, "part")
              .filter(F.col("p_name").like("small%"))
              .select("p_partkey"))
-    cand = (pq.join(F.broadcast(parts),
+    cand = (pq.join(parts,  # filtered part is still SF-scaled: no hint
                     pq.l_partkey == parts.p_partkey)
             .filter(F.col("qty_1996") * 2 > F.col("total_qty"))
             .select("l_suppkey").distinct())
@@ -8861,8 +8879,10 @@ def part_cooccurrence_lift(spark, sf_dir):
     sb = supp.select(F.col("p").alias("part_b"), F.col("s").alias("sb"))
     lift = F.round(F.col("pair_cnt") * F.col("n_orders")
                    / (F.col("sa") * F.col("sb")), 6)
-    return (pairs.join(F.broadcast(sa), "part_a")
-            .join(F.broadcast(sb), "part_b")
+    # sa/sb are part-keyed (SF-scaled): no broadcast hint (r12) — the
+    # scalar n stays hinted
+    return (pairs.join(sa, "part_a")
+            .join(sb, "part_b")
             .crossJoin(F.broadcast(n))
             .select("part_a", "part_b", "pair_cnt",
                     F.round(F.col("pair_cnt") / F.col("sa"), 6)
@@ -10406,8 +10426,9 @@ def part_neighbors_cosine(spark, sf_dir):
                                      F.col("pa").alias("neighbor"), "c")))
     si = supp.select(F.col("p").alias("item"), F.col("s").alias("si"))
     sn = supp.select(F.col("p").alias("neighbor"), F.col("s").alias("sn"))
-    cos = (sym.join(F.broadcast(si), "item")
-           .join(F.broadcast(sn), "neighbor")
+    # si/sn are part-keyed (SF-scaled): no broadcast hint (r12)
+    cos = (sym.join(si, "item")
+           .join(sn, "neighbor")
            .select("item", "neighbor", "c",
                    F.round(F.col("c")
                            / F.sqrt(F.col("si") * F.col("sn")), 6)
