@@ -51,17 +51,17 @@ PRIORITY = [
     "q10_returned_items", "q11_important_stock",
     "q20_excess_availability", "q21_waiting_supplier",
     "stream_static_enrich", "part_cooccurrence_lift",
-    "part_neighbors_cosine",
+    "part_neighbors_cosine", "data_quality_checks",
     # --- round-12: retire the r3 evidence generation (VERDICT r11 #2):
-    # the 18 remaining names whose latest driver row is r2/r3
-    # (doc_pagerank, the 19th, is already headed above as a touched
-    # consumer). After this round no name's latest evidence predates
-    # r4 ---
+    # the 17 remaining names whose latest driver row is r2/r3
+    # (doc_pagerank and q20_excess_availability, the other two of the
+    # 19, are already headed above as touched consumers). After this
+    # round no name's latest evidence predates r4 ---
     "cdc_snapshot_merge", "doc_passage_dup_ratio",
     "doc_sequence_packing", "events_multires_rollup",
     "events_scd2_enrich", "events_scd2_intervals",
     "flatmap_split_udtf", "minhash_incremental", "partition_backfill",
-    "q20_excess_availability", "stratified_reservoir",
+    "stratified_reservoir",
     "stream_incremental_state", "stream_rolling_max_state",
     "stream_trending_tokens", "token_heavy_hitters", "user_hll_rollup",
     "value_quantile_sketch", "weighted_reservoir_sample",

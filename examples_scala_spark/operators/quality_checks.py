@@ -6,9 +6,13 @@ Scale design: every intra-table check is a conditional aggregate, so
 ALL of a table's checks ride ONE pass over it (one scan, one partial
 agg, no shuffle of fact rows — the count partials merge map-side).
 Uniqueness and referential checks are the only wide ops: uniqueness is
-one groupBy on the key; orphan detection is a left-anti join where the
-dimension side broadcasts. Results are a tiny (check, violations)
-table — cheap to store per batch and diff across runs.
+one groupBy on the key; orphan detection is a left-anti join whose
+dimension-key side the planner broadcasts while it fits (r12: no
+forced hint — FK dimensions like customer scale with the corpus, and
+a hard F.broadcast is honored regardless of size; AQE falls back to a
+shuffled anti-join when the key set outgrows the threshold). Results
+are a tiny (check, violations) table — cheap to store per batch and
+diff across runs.
 """
 
 from __future__ import annotations
@@ -46,9 +50,11 @@ def check_unique(df: DataFrame, key_cols: list[str], name: str) -> DataFrame:
 def check_references(fact: DataFrame, fact_key: str, dim: DataFrame,
                      dim_key: str, name: str) -> DataFrame:
     """Orphaned foreign keys: fact rows whose key is absent from the
-    (broadcast) dimension."""
+    dimension. The distinct dim-key side is left to the planner —
+    broadcast while small, shuffled anti-join at scale (r12: the hint
+    was forced, and FK dims are often SF-scaled)."""
     orphans = fact.join(
-        F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct()),
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
         on=fact_key, how="left_anti")
     return orphans.agg(F.count("*").cast("long").alias("violations")) \
         .select(F.lit(name).alias("check"), "violations")

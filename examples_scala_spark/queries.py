@@ -902,9 +902,12 @@ def q4_order_priority(spark, sf_dir):
     "relational", "bench",
 )
 def q5_local_supplier(spark, sf_dir):
-    """TPC-H Q5: local-supplier revenue by nation. All dims broadcast;
-    the plan is one big fact shuffle (orders↔lineitem) with dimension
-    broadcasts hanging off it."""
+    """TPC-H Q5: local-supplier revenue by nation. nation/region
+    (fixed cardinality) are broadcast-hinted; customer/supplier are
+    SF-scaled so the planner decides (broadcast at test SF via the
+    static estimate, AQE-converted or shuffled at scale — r12). The
+    plan is one big fact shuffle (orders↔lineitem) with the dimension
+    joins hanging off it."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01 00:00:00")
@@ -3994,8 +3997,9 @@ def stream_dedup(spark, sf_dir):
     "streaming", "J3",
 )
 def stream_static_enrich(spark, sf_dir):
-    """J3/J4 as REAL streaming: per micro-batch stream-static broadcast
-    enrichment join (the async/sync Derby lookup's Spark idiom —
+    """J3/J4 as REAL streaming: per micro-batch stream-static
+    enrichment join, planner-broadcast while the dim fits (the
+    async/sync Derby lookup's Spark idiom —
     reference chapter8/AsyncFunctionExample.scala:77-83,103-159). The
     static dimension is re-read each micro-batch, so a refreshed dim
     table is picked up at batch boundaries — the micro-batch form of
@@ -4615,7 +4619,8 @@ def q21_waiting_supplier(spark, sf_dir):
     supplier in the order) plus a correlated NOT EXISTS (nobody
     shipped later), expressed as a left-semi and a left-anti self-join
     on l_orderkey. All three legs shuffle on the same orderkey, so AQE
-    plans one co-partitioned pipeline; the supplier dim broadcasts."""
+    plans one co-partitioned pipeline; the SF-scaled supplier join is
+    planner-decided (r12 — broadcast while small, shuffle at scale)."""
     li = (_t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -4880,8 +4885,9 @@ def q20_excess_availability(spark, sf_dir):
     of their total volume of some 'small%' part during 1996 — the
     reference's nested correlated-subquery chain re-expressed as a
     conditional aggregate plus a left-semi join onto supplier. The
-    (part, supp) aggregate is the only wide stage; part and the
-    candidate-supplier list broadcast."""
+    (part, supp) aggregate is the only wide stage; the filtered part
+    table and the candidate-supplier list are SF-scaled, so the
+    planner decides their join strategy (r12 — no forced hints)."""
     li = _t(spark, sf_dir, "lineitem")
     in_1996 = ((F.col("l_shipdate") >= "1996-01-01 00:00:00")
                & (F.col("l_shipdate") < "1997-01-01 00:00:00"))
@@ -7154,9 +7160,10 @@ def data_quality_checks(spark, sf_dir):
     range / nullability expectations ride ONE pass per fact table
     (conditional aggregates, merged map-side), primary-key uniqueness
     is one groupBy on the key, and referential integrity is a
-    left-anti join against the broadcast dimension. Output is the tiny
-    (check, violations) table a pipeline stores per batch and alerts
-    on."""
+    left-anti join against the dimension key set (planner-broadcast
+    while it fits; no forced hint since r12 — the customer dim is
+    SF-scaled). Output is the tiny (check, violations) table a
+    pipeline stores per batch and alerts on."""
     from .operators.quality_checks import (
         check_columns, check_references, check_unique)
     li = _t(spark, sf_dir, "lineitem")
@@ -8860,8 +8867,9 @@ def part_cooccurrence_lift(spark, sf_dir):
     support, confidence, and lift; top-20 by lift. The self-join is
     keyed on the order (pairs are per-basket quadratic, never
     corpus-quadratic — the same bounded-blocking shape as the dedup
-    joins), supports broadcast back onto the pair aggregate, top-k as
-    TakeOrderedAndProject. The min-support HAVING prunes before the
+    joins), part-keyed supports join back onto the pair aggregate
+    planner-decided (SF-scaled: no forced broadcast since r12), top-k
+    as TakeOrderedAndProject. The min-support HAVING prunes before the
     support join, so the heavy pair stream collapses map-side first."""
     li = (_t(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("o"),
