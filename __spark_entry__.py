@@ -41,6 +41,9 @@ PRIORITY = [
     "stream_early_firing", "stream_early_firing_multibatch",
     "dedup_clusters", "dedup_canonical", "leakage_free_split",
     "pipeline_curation_v3", "doc_pagerank",
+    # frame_sample gained a zero-frame guard filter (hash-stable at
+    # 3 SFs — no zero-frame rows exist in the decode paths)
+    "frame_sample",
     # --- round-12 queries.py review: forced F.broadcast hints removed
     # from every SF-scaled side (customer/supplier/part and part-keyed
     # aggregates) — a hard hint is honored regardless of size and

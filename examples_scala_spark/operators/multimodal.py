@@ -460,9 +460,15 @@ def bmp_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
 
 def frame_sample(decoded: DataFrame, every_n: int = 24) -> DataFrame:
     """Frame sampling plan for video rows: one output row per sampled
-    frame index — posexplode of a frame-index sequence, JVM-side."""
+    frame index — posexplode of a frame-index sequence, JVM-side.
+
+    Zero-frame assets are dropped, not crashed on: sequence(0, -1, n)
+    raises in Spark (step sign must match the range direction), and a
+    real video table can carry n_frames = 0 for corrupt/metadata-only
+    rows even though this repo's decode paths always emit >= 1."""
     return (
-        decoded.filter(F.col("mime").startswith("video/"))
+        decoded.filter(F.col("mime").startswith("video/")
+                       & (F.col("n_frames") > 0))
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)))
@@ -510,6 +516,12 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
     UDF shape."""
     import numpy as np
 
+    if bins < 1 or 256 % bins:
+        # bincount(arr // (256 // bins))[:bins] silently DROPS all
+        # bytes past bins * (256 // bins) when bins doesn't divide 256
+        # (e.g. bins=100 loses values 200..255); refuse rather than
+        # ship a histogram that isn't one
+        raise ValueError(f"bins must divide 256, got {bins}")
     width = 256 // bins
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

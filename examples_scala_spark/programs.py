@@ -105,14 +105,26 @@ def rolling_sum(spark):
 def multi_stream_transformations(spark):
     """Fire alert: temp > 100F while the smoke control stream reads
     High within the last 10 s (stream-stream interval join — the
-    relational form of the reference's CoFlatMap shared variable)."""
-    readings = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
+    relational form of the reference's CoFlatMap shared variable).
+
+    SS requires an equality predicate between the two streams, so both
+    sides carry a literal join key: the smoke level is a GLOBAL control
+    signal (the reference shares one variable across all subtasks), so
+    every reading joins the same low-rate smoke state. The single key
+    routes join state through one partition — correct here because the
+    state is O(10 s of a 1 Hz control stream); a per-region control
+    signal would use the region as the key instead."""
+    readings = (sensor_source_stream(spark)
+                .withWatermark("ts", "5 seconds")
+                .withColumn("glob", F.lit(1)))
     smoke = (smoke_level_stream(spark)
              .select(F.col("ts").alias("s_ts"), "level")
+             .withColumn("s_glob", F.lit(1))
              .withWatermark("s_ts", "5 seconds"))
     j = readings.join(
         smoke,
-        F.expr("s_ts BETWEEN ts - INTERVAL 10 SECONDS AND ts")
+        (F.col("glob") == F.col("s_glob"))
+        & F.expr("s_ts BETWEEN ts - INTERVAL 10 SECONDS AND ts")
         & (F.col("level") == "High"),
     )
     return j.filter(F.col("temperature") > 100.0).select(
@@ -181,11 +193,12 @@ def pii_scrub(spark):
     return pii_redact(docs)
 
 
-@program("process_function_timers", "chapter6/ProcessFunctionTimers.scala:14-97",
-         output_mode="update")
+@program("process_function_timers", "chapter6/ProcessFunctionTimers.scala:14-97")
 def process_function_timers(spark):
     """Warn when a sensor rises monotonically for 1 s of processing
-    time (keyed state + timer)."""
+    time (keyed state + timer). Append output: the operator emits each
+    warning once (applyInPandasWithState append mode — an update sink
+    mode is rejected at stream start)."""
     s = sensor_source_stream(spark)
     return stateful.temperature_rise_warnings(s, rise_ms=1_000)
 
@@ -266,10 +279,12 @@ def keyed_state_function(spark):
          "chapter7/StatefulProcessFunction.scala:30-110")
 def stateful_process_function(spark):
     """Self-cleaning delta alert: state dropped after 1 h of key
-    silence (event-time TTL timer)."""
+    silence (event-time TTL timer). The watermarked `ts` column must
+    SURVIVE the projection: dropping it strips the watermark and
+    EventTimeTimeout is rejected at stream start."""
     s = sensor_source_stream(spark).withWatermark("ts", "5 seconds")
     return stateful.self_cleaning_delta_alerts(
-        s.select("id", "timestamp", "temperature"), threshold=1.7)
+        s.select("id", "timestamp", "temperature", "ts"), threshold=1.7)
 
 
 @program("broadcast_state_function",

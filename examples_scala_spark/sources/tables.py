@@ -19,11 +19,6 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Dimensions small enough to broadcast at EVERY scale factor (TPC-H dims
-# scale sublinearly or not at all): always broadcast-join these.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
-
-
 # Timezone-independent epoch extraction from a TIMESTAMP_NTZ wall clock
 # (interpreted as UTC, exactly matching DuckDB's epoch_us on its TIMESTAMP).
 _NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"

@@ -17,11 +17,31 @@ def test_every_program_builds(spark):
         assert df.isStreaming, name
 
 
+# Every distinct piece of streaming machinery a program can exercise
+# is started at least once: plan analysis alone (test above) misses
+# failures Spark raises only at stream START — the r12 sweep caught a
+# stream-stream join without an equality predicate, an update-mode
+# sink over an append-mode applyInPandasWithState, and an event-time
+# timeout whose watermark column was projected away, all of which
+# built fine.
 @pytest.mark.parametrize("name", ["average_sensor_readings",
                                   "keyed_transformations",
                                   "custom_window",
                                   "session_windows",
-                                  "pii_scrub"])
+                                  "pii_scrub",
+                                  # stream-stream interval join
+                                  "multi_stream_transformations",
+                                  # ProcessingTimeTimeout + append sink
+                                  "process_function_timers",
+                                  # EventTimeTimeout (watermark survives
+                                  # the projection)
+                                  "stateful_process_function",
+                                  # union-tagged co-process
+                                  "co_process_function_timers",
+                                  # stream-static per-batch join
+                                  "broadcast_state_function",
+                                  # spark_partition_id keyed op-state
+                                  "operator_list_state"])
 def test_program_runs_live(spark, name):
     """Start on the live rate source, let a few micro-batches run,
     assert the query makes progress without error."""

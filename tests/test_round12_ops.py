@@ -77,3 +77,40 @@ class TestDeltaUpsertOrderCol:
         batch = spark.createDataFrame([("a", 1, 10)], "k string, seq long, v long")
         with pytest.raises(ConnectorUnavailable):
             w(batch, 0)
+
+
+# ------------------------------------------- multimodal guard hardening
+
+class TestFrameSampleZeroFrames:
+    def test_zero_frame_video_dropped_not_crashed(self, spark):
+        # sequence(0, -1, 24) raises in Spark (step-sign check); a real
+        # video table can carry n_frames = 0 for corrupt rows
+        from examples_scala_spark.operators.multimodal import frame_sample
+        decoded = spark.createDataFrame(
+            [(1, "video/mp4", 10, 8, 6, 0),
+             (2, "video/mp4", 10, 8, 6, 49),
+             (3, "audio/wav", 10, 0, 0, 500)],
+            "doc_id long, mime string, n_bytes long, width long, "
+            "height long, n_frames long")
+        got = {(r.doc_id, r.frame_idx)
+               for r in frame_sample(decoded, every_n=24).collect()}
+        assert got == {(2, 0), (2, 24), (2, 48)}
+
+
+class TestExtractFeaturesBinsGuard:
+    @pytest.mark.parametrize("bad", [0, 100, 7])
+    def test_non_divisor_bins_refused(self, bad):
+        # bincount[:bins] silently dropped bytes >= bins*(256//bins)
+        # for non-divisor bins; the guard refuses instead
+        from examples_scala_spark.operators.multimodal import (
+            extract_features)
+        with pytest.raises(ValueError, match="divide 256"):
+            extract_features(None, bins=bad)
+
+    def test_divisor_bins_accepted(self, spark):
+        from examples_scala_spark.operators.multimodal import (
+            extract_features, media_table)
+        docs = spark.createDataFrame([(255, "hello world")],
+                                     "doc_id long, text string")
+        rows = extract_features(media_table(docs), bins=32).collect()
+        assert len(rows) == 1 and abs(sum(rows[0].byte_hist) - 1.0) < 1e-9
