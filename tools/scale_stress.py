@@ -79,7 +79,9 @@ def synthesize(spark, mult: int) -> str:
         .repartition(16)
         .write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet")))
 
-    # dims pass through unchanged (they broadcast at every scale)
+    # dims pass through unchanged — a synthesis choice: the probe
+    # stresses fact-side scaling against driver-sized dims (scaling
+    # the dims too would change join selectivities, not just volume)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem"):
         (load_table(spark, BASE, t)
