@@ -501,7 +501,7 @@ def _wal_stdout_writer():
                                  write_fn=to_stdout)
 
 
-@program("write_ahead_sink", "chapter8/WriteAheadSinkExample.scala:38-197",
+@program("write_ahead_sink", "chapter8/WriteAheadSinkExample.scala:59-193",
          foreach_batch=_wal_stdout_writer)
 def write_ahead_sink(spark):
     """StdOutWriteAheadSink: the global 1 s average (ISO window-end
