@@ -44,6 +44,14 @@ PRIORITY = [
     # frame_sample gained a zero-frame guard filter (hash-stable at
     # 3 SFs — no zero-frame rows exist in the decode paths)
     "frame_sample",
+    # the avg-rounding family moved to engine-exact integer half-up
+    # (_avg6): the full sf0.1 sweep caught stream_sliding_avg on a
+    # round-half tie (65.3103125) where Spark's round and DuckDB's
+    # disagree; all six rounded-average queries now compute the tie
+    # in integer cents on both engines. Re-proven at 3 SFs.
+    "stream_sliding_avg", "stream_windowed_avg", "stream_session_stats",
+    "stream_session_dynamic_gap", "w_session_dynamic_gap",
+    "events_gap_fill",
     # --- round-12 queries.py review: forced F.broadcast hints removed
     # from every SF-scaled side (customer/supplier/part and part-keyed
     # aggregates) — a hard hint is honored regardless of size and

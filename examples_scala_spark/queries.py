@@ -66,6 +66,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 SENSORS_CTE = f"WITH sensors AS ({SENSOR_READINGS_SQL})"
 
 
+# --- engine-exact 6-dp averages over the 2-dp `value` column ----------
+# round(double_division, 6) is NOT engine-neutral at round-half ties:
+# Spark's round goes through the double's SHORTEST decimal repr
+# (BigDecimal.valueOf), DuckDB's rounds the raw binary value — a
+# window at sf0.1 landed on avg = 2089.93/32 = 65.3103125 exactly and
+# the two engines split on the final digit (r12 full-sf0.1-sweep
+# find; the sf0.01 driver gate never hits a tie). The fix computes
+# round-half-up on the EXACT rational instead: sum the values as
+# integer cents, then one integer division implements half-up at 6 dp
+# identically on both engines (value >= 0, exactly 2 dp — asserted of
+# the events fixture; BIGINT headroom to ~4.6e14 cents per group,
+# beyond which widen to DECIMAL(38,0)). The unrounded avg queries
+# (w_avg_temp etc.) need none of this: identical division operands
+# give identical doubles.
+
+#: Spark aggregate: exact integer cent sum of `value`.
+def _cents_sum(col: str = "value") -> F.Column:
+    return F.sum(F.round(F.col(col) * 100).cast("long")).alias("sc")
+
+
+#: Spark post-aggregate: half-up 6-dp average from (sc, cnt) as DOUBLE.
+def _avg6(sc: str = "sc", cnt: str = "cnt") -> F.Column:
+    return (F.expr(f"(2 * {sc} * 10000 + {cnt}) div (2 * {cnt})") / 1e6)
+
+
+#: DuckDB twin of _cents_sum + _avg6 as one aggregate expression.
+AVG6_SQL = ("((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 10000"
+            " + count(*)) // (2 * count(*))) / 1e6")
+
+
 # ======================================================================
 # Reference surface: projections / filters / flatMap (SURVEY §2.2)
 # ======================================================================
@@ -364,7 +394,7 @@ def w_session_stats(spark, sf_dir):
 
 @register(
     "w_session_dynamic_gap",
-    """
+    f"""
     WITH e AS (
       SELECT event_type, epoch_us(ts) AS tu,
              (300 + (event_id % 3) * 600) * 1000000 AS g, value
@@ -386,8 +416,7 @@ def w_session_stats(spark, sf_dir):
            min(tu) AS session_start_us,
            max(tu + g) AS session_end_us,
            count(*)::BIGINT AS cnt,
-           round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
-             AS avg_value
+           {AVG6_SQL} AS avg_value
     FROM s GROUP BY event_type, sid""",
     "reference", "W1", "session", "dynamic-gap",
 )
@@ -412,15 +441,14 @@ def w_session_dynamic_gap(spark, sf_dir):
            .otherwise(F.lit("25 minutes")))
     out = ev.groupBy(F.session_window("ts", gap), "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(dec("value")).alias("sm"))
+        _cents_sum("value"))
     return out.select(
         "event_type",
         F.unix_micros(F.col("session_window.start"))
          .alias("session_start_us"),
         F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
         F.col("cnt").cast("bigint").alias("cnt"),
-        F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
-         .alias("avg_value"),
+        _avg6().alias("avg_value"),
     )
 
 
@@ -5103,7 +5131,7 @@ def doc_passage_dup_ratio(spark, sf_dir):
 
 @register(
     "stream_windowed_avg",
-    """
+    f"""
     WITH e AS (
       SELECT event_type, (epoch_us(ts) // 1000) AS ms, value FROM events),
     w AS (
@@ -5111,8 +5139,7 @@ def doc_passage_dup_ratio(spark, sf_dir):
     a AS (
       SELECT event_type, w_start,
              count(*)::BIGINT AS cnt,
-             round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
-               AS avg_value
+             {AVG6_SQL} AS avg_value
       FROM w GROUP BY event_type, w_start),
     mx AS (SELECT max(ms) AS mx FROM e)
     SELECT event_type, w_start AS window_start_ms,
@@ -5128,27 +5155,27 @@ def stream_windowed_avg(spark, sf_dir):
     The oracle recomputes the windows in SQL and keeps those whose end
     <= the final watermark (max event time, 0 s delay) — the windows a
     real unbounded run would have emitted by end-of-stream. Averages
-    are exact-DECIMAL-sum / count, so streaming state merge order
-    cannot perturb the hash. State is O(open windows x types);
+    are exact integer-cent sums with half-up 6-dp integer rounding
+    (_avg6 — engine-neutral at round-half ties, unlike round(double)),
+    so state merge order cannot perturb the hash. State is O(open
+    windows x types);
     eviction at the watermark bounds memory at any stream length."""
     tune(spark)
     ev = _events_stream(spark, sf_dir)
     agg = (ev.withWatermark("ts", "0 seconds")
            .groupBy(F.window("ts", "1 minute"), "event_type")
-           .agg(F.count("*").alias("cnt"),
-                F.round(F.sum(dec("value")).cast("double") / F.count("*"), 6)
-                 .alias("avg_value")))
+           .agg(F.count("*").alias("cnt"), _cents_sum("value")))
     out = agg.select(
         "event_type",
         F.expr("unix_micros(window.start) div 1000").alias("window_start_ms"),
         F.expr("unix_micros(window.end) div 1000").alias("window_end_ms"),
-        "cnt", "avg_value")
+        "cnt", _avg6().alias("avg_value"))
     return _run_to_memory(spark, out, "stream_windowed_avg_result")
 
 
 @register(
     "stream_session_stats",
-    """
+    f"""
     WITH e AS (
       SELECT event_type, epoch_us(ts) AS tu, value FROM events),
     mx AS (SELECT max(tu) AS mx FROM e),
@@ -5167,8 +5194,7 @@ def stream_windowed_avg(spark, sf_dir):
       SELECT event_type, min(tu) AS session_start_us,
              max(tu) + 600000000 AS session_end_us,
              count(*)::BIGINT AS cnt,
-             round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
-               AS avg_value
+             {AVG6_SQL} AS avg_value
       FROM g GROUP BY event_type, sid)
     SELECT event_type, session_start_us, session_end_us, cnt, avg_value
     FROM s, mx WHERE session_end_us <= mx""",
@@ -5185,29 +5211,28 @@ def stream_session_stats(spark, sf_dir):
     the islands construction and keeps those whose end <= the final
     watermark (max event time) — precisely what an unbounded run
     would have emitted by end-of-stream; trailing still-open sessions
-    correctly stay in state and NOT in the output. Averages are
-    exact-DECIMAL-sum / count, so session-merge order inside the
-    state store cannot perturb the hash. State is O(open sessions x
-    types), evicted at the watermark — bounded at any stream length."""
+    correctly stay in state and NOT in the output. Averages are exact
+    integer-cent sums with half-up 6-dp integer rounding (_avg6), so
+    session-merge order inside the state store cannot perturb the
+    hash. State is O(open sessions x types), evicted at the
+    watermark — bounded at any stream length."""
     tune(spark)
     src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
     agg = (src.withWatermark("ts", "0 seconds")
            .groupBy(F.session_window("ts", "10 minutes"), "event_type")
-           .agg(F.count("*").alias("cnt"),
-                F.sum(dec("value")).alias("sm")))
+           .agg(F.count("*").alias("cnt"), _cents_sum("value")))
     out = agg.select(
         "event_type",
         F.unix_micros("session_window.start").alias("session_start_us"),
         F.unix_micros("session_window.end").alias("session_end_us"),
         F.col("cnt").cast("bigint").alias("cnt"),
-        F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
-         .alias("avg_value"))
+        _avg6().alias("avg_value"))
     return _run_to_memory(spark, out, "stream_session_stats_result")
 
 
 @register(
     "stream_sliding_avg",
-    """
+    f"""
     WITH e AS (
       SELECT event_type, epoch_us(ts) AS tu, value FROM events),
     mx AS (SELECT max(tu) AS mx FROM e),
@@ -5218,8 +5243,7 @@ def stream_session_stats(spark, sf_dir):
     a AS (
       SELECT event_type, w_start,
              count(*)::BIGINT AS cnt,
-             round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
-               AS avg_value
+             {AVG6_SQL} AS avg_value
       FROM m GROUP BY event_type, w_start)
     SELECT event_type, w_start AS window_start, cnt, avg_value
     FROM a, mx WHERE (w_start + 3600) * 1000000 <= mx""",
@@ -5240,13 +5264,12 @@ def stream_sliding_avg(spark, sf_dir):
     src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
     agg = (src.withWatermark("ts", "0 seconds")
            .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-           .agg(F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum(dec("value")).cast("double") / F.count("*"), 6)
-                 .alias("avg_value")))
+           .agg(F.count(F.lit(1)).alias("cnt"), _cents_sum("value")))
     out = agg.select(
         "event_type",
         F.col("window.start").cast("long").alias("window_start"),
-        F.col("cnt").cast("bigint").alias("cnt"), "avg_value")
+        F.col("cnt").cast("bigint").alias("cnt"),
+        _avg6().alias("avg_value"))
     return _run_to_memory(spark, out, "stream_sliding_avg_result")
 
 
@@ -8682,10 +8705,10 @@ def pipeline_curation_v2(spark, sf_dir):
 
 @register(
     "events_gap_fill",
-    """
+    f"""
     WITH b AS (
       SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
-             round(avg(value), 6) AS v
+             {AVG6_SQL} AS v
       FROM events WHERE user_id < 20
       GROUP BY user_id, epoch_us(ts) // 3600000000),
     r AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
@@ -8714,7 +8737,8 @@ def events_gap_fill(spark, sf_dir):
                    F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
                    "value")
          .groupBy("user_id", "bucket")
-         .agg(F.round(F.avg("value"), 6).alias("v")))
+         .agg(F.count("*").alias("cnt"), _cents_sum("value"))
+         .select("user_id", "bucket", _avg6().alias("v")))
     return gap_fill_locf(b, "user_id", "bucket", "v")
 
 
@@ -12822,7 +12846,7 @@ def w_sliding_topk(spark, sf_dir):
 
 @register(
     "stream_session_dynamic_gap",
-    """
+    f"""
     WITH e AS (
       SELECT event_type, epoch_us(ts) AS tu,
              (300 + (event_id % 3) * 600) * 1000000 AS g, value
@@ -12845,8 +12869,7 @@ def w_sliding_topk(spark, sf_dir):
       SELECT event_type, min(tu) AS session_start_us,
              max(tu + g) AS session_end_us,
              count(*)::BIGINT AS cnt,
-             round(SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 6)
-               AS avg_value
+             {AVG6_SQL} AS avg_value
       FROM s GROUP BY event_type, sid)
     SELECT event_type, session_start_us, session_end_us, cnt, avg_value
     FROM a, mx WHERE session_end_us <= mx""",
@@ -12864,8 +12887,9 @@ def stream_session_dynamic_gap(spark, sf_dir):
     watermark passes its end; the oracle keeps sessions whose end <=
     the final watermark (max event time, 0 s delay) — trailing
     still-open sessions correctly stay in state, not in the output.
-    Exact-DECIMAL sums make state-merge order unobservable in the
-    hash. State is O(open sessions x types), watermark-evicted."""
+    Exact integer-cent sums + half-up integer rounding (_avg6) make
+    state-merge order unobservable in the hash. State is O(open
+    sessions x types), watermark-evicted."""
     tune(spark)
     src = _staged_events_stream_ordered(spark, sf_dir, n_files=4)
     gap = (F.when(F.col("event_id") % 3 == 0, F.lit("5 minutes"))
@@ -12873,15 +12897,13 @@ def stream_session_dynamic_gap(spark, sf_dir):
            .otherwise(F.lit("25 minutes")))
     agg = (src.withWatermark("ts", "0 seconds")
            .groupBy(F.session_window("ts", gap), "event_type")
-           .agg(F.count("*").alias("cnt"),
-                F.sum(dec("value")).alias("sm")))
+           .agg(F.count("*").alias("cnt"), _cents_sum("value")))
     out = agg.select(
         "event_type",
         F.unix_micros("session_window.start").alias("session_start_us"),
         F.unix_micros("session_window.end").alias("session_end_us"),
         F.col("cnt").cast("bigint").alias("cnt"),
-        F.round(F.col("sm").cast("double") / F.col("cnt"), 6)
-         .alias("avg_value"))
+        _avg6().alias("avg_value"))
     return _run_to_memory(spark, out, "stream_session_dynamic_gap_result")
 
 

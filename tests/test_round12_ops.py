@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from examples_scala_spark.operators.graph import connected_components
 from examples_scala_spark.sources.connectors import delta_upsert_writer
@@ -114,3 +115,43 @@ class TestExtractFeaturesBinsGuard:
                                      "doc_id long, text string")
         rows = extract_features(media_table(docs), bins=32).collect()
         assert len(rows) == 1 and abs(sum(rows[0].byte_hist) - 1.0) < 1e-9
+
+
+# ------------------------------------- engine-exact average rounding
+
+class TestAvg6EngineExactTies:
+    def test_round_half_tie_matches_duckdb(self, spark):
+        # the r12 sf0.1 find: sum 2089.93 over 32 rows -> avg
+        # 65.3103125 exactly; round(double, 6) split the engines
+        # (Spark HALF_UP on the shortest repr vs DuckDB on the binary
+        # value). _avg6's integer half-up must agree with the SQL twin
+        # bit-for-bit on the engineered tie.
+        import duckdb
+        from examples_scala_spark.queries import (
+            AVG6_SQL, _avg6, _cents_sum)
+        vals = [65.31] * 31 + [65.32]          # cents sum 208993
+        assert round(sum(round(v * 100) for v in vals)) == 208993
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        got = (df.groupBy().agg(F.count("*").alias("cnt"),
+                                _cents_sum("value"))
+               .select(_avg6().alias("avg_value")).collect()[0].avg_value)
+        want = duckdb.sql(
+            "SELECT " + AVG6_SQL + " AS a FROM (SELECT unnest(["
+            + ",".join(str(v) for v in vals) + "]) AS value)"
+        ).fetchone()[0]
+        assert got == want == 65.310313        # half-up, both engines
+
+    def test_plain_average_still_exact(self, spark):
+        import duckdb
+        from examples_scala_spark.queries import (
+            AVG6_SQL, _avg6, _cents_sum)
+        vals = [1.01, 2.02, 3.05]
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        got = (df.groupBy().agg(F.count("*").alias("cnt"),
+                                _cents_sum("value"))
+               .select(_avg6().alias("a")).collect()[0].a)
+        want = duckdb.sql(
+            "SELECT " + AVG6_SQL + " AS a FROM (SELECT unnest(["
+            + ",".join(str(v) for v in vals) + "]) AS value)"
+        ).fetchone()[0]
+        assert got == want == 2.026667
