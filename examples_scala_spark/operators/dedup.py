@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import scoped_shuffle_partitions
+
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 # Deterministic universal-hash parameters; same constants are inlined in
 # the DuckDB oracle SQL.
@@ -554,14 +556,18 @@ def substring_dedup_incremental(history: DataFrame, incoming: DataFrame,
 
 
 def _window_hashes(docs: DataFrame, L: int, text_col: str,
-                   id_col: str) -> DataFrame:
+                   id_col: str, with_len: bool = False) -> DataFrame:
     """(doc_id, i, g): 60-bit hash of every length-L window, offsets
-    1-based — shared by the batch and incremental rewrite operators."""
+    1-based — shared by the batch and incremental rewrite operators.
+    with_len=True additionally carries the doc length `n` (8 bytes) —
+    suffix_dup_spans derives each candidate's remaining-extension
+    bound from it without a second text join."""
     base = docs.select(
         F.col(id_col), F.col(text_col).alias("t"),
         F.length(text_col).cast("bigint").alias("n"))
     par = docs.sparkSession.sparkContext.defaultParallelism
     eligible = base.filter(F.col("n") >= L).repartition(par)
+    extra = [F.col("n")] if with_len else []
     return eligible.select(
         F.col(id_col), "t", "n",
         F.posexplode(F.expr(
@@ -569,7 +575,7 @@ def _window_hashes(docs: DataFrame, L: int, text_col: str,
             f"i -> CAST(conv(substr(md5(substring(t, i, {L})), 1, 15), "
             f"16, 10) AS BIGINT))"))).select(
         F.col(id_col), (F.col("pos") + 1).cast("bigint").alias("i"),
-        F.col("col").alias("g"))
+        F.col("col").alias("g"), *extra)
 
 
 def _rebuild_from_removals(docs: DataFrame, removed: DataFrame, L: int,
@@ -681,24 +687,44 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
         F.length(text_col).cast("bigint").alias("n"))
     par = docs.sparkSession.sparkContext.defaultParallelism
     texts = base.filter(F.col("n") >= L).repartition(par)
-    pos = _window_hashes(docs, L, text_col, id_col)
+    pos = _window_hashes(docs, L, text_col, id_col, with_len=True)
     dup_hashes = (pos.groupBy("g").agg(F.count("*").alias("c"))
                   .filter(F.col("c") >= 2).select("g"))
     # the 100x probe failed HERE pre-fix: the planner broadcast the
     # corpus-derived dup_hashes side (12 GiB HashedRelation) — pin SHJ
+    # `rem` = chars available beyond the already-matched prefix (an
+    # upper bound on the remaining extension) — drives the adaptive
+    # chunk schedule below at the cost of one long per row
     active = (pos.join(dup_hashes.hint("shuffle_hash"), "g")
               .select(F.col(id_col), "i",
                       F.col("g").cast("string").alias("cls"),
-                      F.lit(L).cast("bigint").alias("matched"))
+                      F.lit(L).cast("bigint").alias("matched"),
+                      (F.col("n") - F.col("i") - F.lit(L - 1))
+                      .cast("bigint").alias("rem"))
               .localCheckpoint(eager=True))
     finals: list[DataFrame] = []
     wcls = Window.partitionBy("cls").orderBy("chunk", id_col, "i")
     csize = chunk
-    while active.limit(1).count() > 0:
-        # geometric chunk growth (prefix doubling): log, not linear,
-        # rounds in the longest repeat; the per-member payload grows
-        # only while the member keeps matching, and the active set
-        # shrinks monotonically.
+    n_active = active.count()
+    spark = docs.sparkSession
+    # r12: the loop's shuffles move candidate rows, not the corpus —
+    # size them to that volume (the connected_components convention;
+    # at real scale the candidate count drives the clamp back to the
+    # session setting). Measured at sf0.1: 9.1 -> 6.9 s.
+    with scoped_shuffle_partitions(spark, max(n_active, 1)):
+      while n_active > 0:
+        # adaptive chunk growth (r12): round 0 probes with the cheap
+        # caller-set `chunk`; each later round jumps to the p95 of the
+        # SURVIVORS' remaining-extension bound, clamped to [2x, 64x]
+        # the previous chunk. Survivors proved they match the whole
+        # previous chunk, and repeat lengths are heavy-tailed, so the
+        # classic x2 prefix doubling pays a full candidate+text
+        # shuffle per octave while the jump resolves long repeats in
+        # O(1) extra rounds; the floor keeps the log2 worst-case, the
+        # cap bounds the per-member payload when `rem` (an upper
+        # bound, not an estimate) overshoots the true extension.
+        # Results are chunk-schedule-invariant (brute-force reference
+        # + chunk=8/16 tests + the full-suffix oracle all pin this).
         # candidates x texts is a FACT-FACT join at corpus scale: pin
         # it to a shuffled hash join so the planner can never elect to
         # broadcast the text table (whose in-memory row form is many
@@ -707,7 +733,7 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
         ext = (active.join(texts.hint("shuffle_hash"), id_col)
                .withColumn("chunk", F.expr(
                    f"substring(t, CAST(i + matched AS INT), {csize})"))
-               .select(id_col, "i", "cls", "matched", "chunk"))
+               .select(id_col, "i", "cls", "matched", "rem", "chunk"))
         # compute the extension and the would-be next class BEFORE the
         # checkpoint, then checkpoint only the slim row (ids, matched,
         # e, next class) — materializing chunk + lag + lead strings
@@ -747,9 +773,11 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                                  F.greatest(_lcp_expr("chunk", "pv"),
                                             _lcp_expr("chunk", "nx")))
                              .alias("e")))
-            ext = (ext.select(F.col(id_col), "i", "matched", "cls2")
+            ext = (ext.select(F.col(id_col), "i", "matched", "rem",
+                              "cls2")
                    .join(reps.hint("shuffle_hash"), "cls2")
-                   .select(F.col(id_col), "i", "matched", "e", "cls2")
+                   .select(F.col(id_col), "i", "matched", "rem", "e",
+                           "cls2")
                    .localCheckpoint(eager=True))
         else:
             full = (F.col("chunk").eqNullSafe(F.col("pv"))
@@ -757,7 +785,7 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
             ext = (ext
                    .withColumn("pv", F.lag("chunk").over(wcls))
                    .withColumn("nx", F.lead("chunk").over(wcls))
-                   .select(F.col(id_col), "i", "matched",
+                   .select(F.col(id_col), "i", "matched", "rem",
                            F.when(full, F.length("chunk").cast("bigint"))
                             .otherwise(
                                 F.greatest(_lcp_expr("chunk", "pv"),
@@ -772,8 +800,20 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
         active = (ext.filter(F.col("e") >= csize)
                   .select(F.col(id_col), "i",
                           F.col("cls2").alias("cls"),
-                          (F.col("matched") + csize).alias("matched")))
-        csize *= 2
+                          (F.col("matched") + csize).alias("matched"),
+                          (F.col("rem") - csize).alias("rem")))
+        # one bookkeeping agg on the checkpointed round output gives
+        # BOTH the loop-exit check (replacing a separate limit-count
+        # job) and the survivors' remaining-extension p95 that sizes
+        # the next chunk
+        srow = (ext.filter(F.col("e") >= csize)
+                .agg(F.count("*").alias("c"),
+                     F.percentile_approx(F.col("rem") - csize, F.lit(0.95))
+                     .alias("p95")).collect()[0])
+        n_active = srow["c"]
+        if n_active:
+            csize = int(min(max(int(srow["p95"]), 2 * csize),
+                            64 * csize))
     if not finals:  # no duplicated window anywhere
         return (active.sparkSession
                 .createDataFrame([],
