@@ -578,14 +578,19 @@ def semantic_dedup_delta(history: DataFrame, incoming: DataFrame,
                 F.col(id_col).cast("long").alias("keep_id"),
                 F.lit(True).alias("kept"))
     h_asn = assign_cells(base_h, cents, id_col)
-    c_asn = assign_cells(base_c, cents, id_col)
+    # r12: the batch assignment feeds the member union AND the probe
+    # side; `new` additionally feeds the nbr join and the final
+    # restore — pin both so the batch runs the assignment kernel once
+    c_asn = assign_cells(base_c, cents, id_col) \
+        .localCheckpoint(eager=False)
     members = (base_h.join(h_asn, id_col)
                .unionByName(base_c.join(c_asn, id_col))
                .select(F.col(id_col).alias("rid"), F.col("v").alias("rv"),
                        F.col("norm").alias("rnorm"), "cell"))
     new = (base_c.join(c_asn, id_col)
            .select(F.col(id_col).alias("lid"), F.col("v").alias("lv"),
-                   F.col("norm").alias("lnorm"), "cell"))
+                   F.col("norm").alias("lnorm"), "cell")
+           .localCheckpoint(eager=False))
     nbr = (new.join(members.hint("shuffle_hash"), "cell")
            .filter(F.col("rid") < F.col("lid"))
            .filter(cosine(F.col("lv"), F.col("rv"),
@@ -909,8 +914,15 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
+    # r12: `assign` feeds both pair-join sides AND the keeper
+    # election — unmaterialized, the Arrow assignment kernel ran 3x
+    # per action (3 ArrowEvalPython nodes in the plan). One lazy
+    # checkpoint pins the corpus-x-nlist kernel to a single run; the
+    # stored rows are the operator's own working set (id, cell,
+    # vector, norm) and spill cleanly.
     assign = nearest_ref_vec(base, cents, id_col, carry_vec=True) \
-        .select(F.col(id_col), "cent_id", "v", "norm")
+        .select(F.col(id_col), "cent_id", "v", "norm") \
+        .localCheckpoint(eager=False)
     left, right = assign.alias("l"), assign.alias("r")
     nbr_min = (
         left.join(right, "cent_id")
@@ -999,8 +1011,10 @@ def semantic_dedup_sweep(emb: DataFrame,
     base = with_norm(emb, vec_col).select(F.col(id_col), "v", "norm")
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
+    # same 3-consumer shape as semantic_dedup — pin the kernel output
     assign = nearest_ref_vec(base, cents, id_col, carry_vec=True) \
-        .select(F.col(id_col), "cent_id", "v", "norm")
+        .select(F.col(id_col), "cent_id", "v", "norm") \
+        .localCheckpoint(eager=False)
     left, right = assign.alias("l"), assign.alias("r")
     best_lower = (
         left.join(right, "cent_id")
@@ -1066,11 +1080,15 @@ def semantic_dedup_snm(emb: DataFrame, threshold: float = 0.35,
     assign = nearest_ref_vec(base, cents, id_col, carry_vec=True)
     rw = Window.partitionBy("cent_id").orderBy(
         F.col("ccos").desc(), F.col(id_col))
+    # r12: `ranked` feeds both chunk-join sides and the final keeper
+    # join — pin it so the Arrow assignment kernel + rank window run
+    # once per action instead of three times
     ranked = (assign
               .withColumn("rnk", F.row_number().over(rw))
               .withColumn("ck", F.floor((F.col("rnk") - 1) / chunk)
                           .cast("long"))
-              .select(F.col(id_col), "cent_id", "v", "norm", "ck"))
+              .select(F.col(id_col), "cent_id", "v", "norm", "ck")
+              .localCheckpoint(eager=False))
     right = ranked.select(
         F.col(id_col).alias("rid"), F.col("cent_id").alias("rcell"),
         F.col("v").alias("rv"), F.col("norm").alias("rnorm"),
@@ -1179,9 +1197,13 @@ def embedding_outliers(emb: DataFrame, z: int = 3, min_cell: int = 8,
     cents = sampled_centroids(base, centroid_mod, id_col,
                               max_centroids=max_centroids)
     assign = nearest_ref_vec(base, cents, id_col)
+    # r12: `u` feeds the per-cell stats aggregate AND the member join
+    # — pin the 3-longs-per-row quantized table so the assignment
+    # kernel runs once per action instead of twice
     u = assign.select(
         F.col(id_col), F.col("cent_id"),
-        F.round(F.col("ccos") * 1000).cast("long").alias("x"))
+        F.round(F.col("ccos") * 1000).cast("long").alias("x")) \
+        .localCheckpoint(eager=False)
     st = u.groupBy("cent_id").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("s"),
