@@ -281,9 +281,15 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
             a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
             merges.append((rank, a, b, pc))
             pat, rep = F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            vocab = (vocab.withColumn(
-                "sym", F.replace("sym", pat, rep))
-                .localCheckpoint())
+            vocab = vocab.withColumn("sym", F.replace("sym", pat, rep))
+            # r12: checkpoint every 4th round, not every round — the
+            # lineage between checkpoints is at most 4 single-string
+            # replaces over the vocab table (re-evaluated by the next
+            # round's argmax anyway), while each eager checkpoint is a
+            # full job: 12 jobs -> 3 for the standard trainer. Plan
+            # depth stays bounded at any K.
+            if rank % 4 == 0:
+                vocab = vocab.localCheckpoint()
     return merges, vocab
 
 
@@ -726,8 +732,11 @@ def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
         F.col(id_col),
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
          .alias("__w"))
+    # r12: `toks` feeds the coverage join AND the per-doc totals — pin
+    # it so the split + posexplode runs once per action, not twice
     toks = words.select(
-        F.col(id_col), F.posexplode("__w").alias("pos", "w"))
+        F.col(id_col), F.posexplode("__w").alias("pos", "w")) \
+        .localCheckpoint(eager=False)
     grams = words.select(
         F.col(id_col),
         F.explode(F.expr(

@@ -3883,12 +3883,19 @@ def pipeline_training_data(spark, sf_dir):
     # all per-doc features computed narrowly, BEFORE any shuffle — the
     # only things that ever cross the wire are (doc_id, pred_lang,
     # source, tok_est) and the dedup's (md5, doc_id); text itself
-    # never shuffles
+    # never shuffles.
+    # r12: ONE projection computes every per-doc feature (lang ID,
+    # token estimate, content hash) in a single pass over the
+    # survivors and is pinned — previously the regex-heavy quality
+    # filter ran twice (once under the feature branch, once under the
+    # dedup branch: 2 scans in the plan). The checkpointed rows are
+    # narrow (no text).
     feat = good.select(
         "doc_id", "source",
         text.lang_id_col(F.col("text")).alias("pred_lang"),
-        (F.length("text") / F.lit(4)).cast("long").alias("tok_est"))
-    keep = (good.groupBy(F.md5("text").alias("h"))
+        (F.length("text") / F.lit(4)).cast("long").alias("tok_est"),
+        F.md5("text").alias("h")).localCheckpoint(eager=False)
+    keep = (feat.groupBy("h")
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
     return (
@@ -10226,8 +10233,12 @@ def doc_bigram_logppl(spark, sf_dir):
         "CASE WHEN size(__w) >= 2 THEN transform("
         "sequence(1, size(__w) - 1), i -> array_join(slice(__w, i, 2), ' ')) "
         "ELSE CAST(array() AS array<string>) END")).alias("bigram"))
+    # r12: dbc feeds the LM aggregate AND the scoring join — pin it so
+    # the bigram explode + (doc, bigram) aggregate runs once per
+    # action instead of twice (the softdedup_weights fix, same shape)
     dbc = bg.groupBy("doc_id", "bigram").agg(
-        F.count("*").cast("long").alias("cnt"))
+        F.count("*").cast("long").alias("cnt")) \
+        .localCheckpoint(eager=False)
     lm = dbc.groupBy("bigram").agg(F.sum("cnt").cast("long").alias("c12"))
     w1 = Window.partitionBy(F.split(F.col("bigram"), " ")[0])
     lp = lm.select(
