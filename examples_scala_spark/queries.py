@@ -7571,14 +7571,24 @@ def stream_curation_gate(spark, sf_dir):
     fb = _dsir_doc_buckets(docs, F.col("lang") == "de", 512,
                            "text", "doc_id").localCheckpoint(eager=False)
     model = dsir_model_from_buckets(fb, 512).collect()  # <= 512 rows
-    du_map = F.create_map(
-        *[F.lit(x) for r in model for x in (r["b"], r["du"])])
+    # r12: the bucket domain is DENSE [0, 512) — ship the model as a
+    # positional array literal probed by element_at(arr, b+1), an O(1)
+    # index, instead of a map literal whose GetMapValue is a linear
+    # scan of all entries per feature
+    du_by_b = {r["b"]: r["du"] for r in model}
+    du_arr = F.lit([int(du_by_b.get(b, 0)) for b in range(512)]) \
+        .cast("array<bigint>")
 
     d = tempfile.mkdtemp(prefix="sgs_gate_")
-    (docs.select("doc_id", "text").repartition(4)
+    # r12: parallel staging (the stream_decontaminate_gate fix) — the
+    # per-row tokenize/hash/fold is interpreted HOF work, so a 1-file
+    # micro-batch ran it on one core; 2 x cores files at cores per
+    # trigger keeps the 2-batch replay with a fully parallel scan
+    par = spark.sparkContext.defaultParallelism
+    (docs.select("doc_id", "text").repartition(2 * par)
      .write.mode("overwrite").parquet(d))
     src = (spark.readStream.schema("doc_id bigint, text string")
-           .option("maxFilesPerTrigger", 1).parquet(d))
+           .option("maxFilesPerTrigger", par).parquet(d))
     grams = F.expr(
         "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1), "
         "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) "
@@ -7592,8 +7602,8 @@ def stream_curation_gate(spark, sf_dir):
         F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % 512)
     units = F.aggregate(
         "fs", F.lit(0).cast("long"),
-        lambda acc, f: acc + F.coalesce(F.element_at(du_map, bucket(f)),
-                                        F.lit(0).cast("long")))
+        lambda acc, f: acc + F.element_at(
+            du_arr, (bucket(f) + 1).cast("int")))
     scored = feats.select(
         "doc_id", F.size("fs").cast("long").alias("n_feats"),
         F.round(units / 1e9, 6).alias("logweight"))
@@ -7856,10 +7866,14 @@ def stream_semantic_decon_gate(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="sgs_sem_gate_")
     (emb.join(F.broadcast(bench.select(F.col("bench_id").alias("vec_id"))),
               "vec_id", "left_anti")
-     .select("vec_id", "embedding").repartition(4)
+     .select("vec_id", "embedding").repartition(8)
      .write.mode("overwrite").parquet(d))
+    # r12: 8 staged files, 4 per trigger — still a multi-micro-batch
+    # replay, but each batch's Arrow kernel runs on 4 tasks instead of
+    # serializing on one (measured 3.6 -> 2.2 s; 32 tiny files was
+    # WORSE — per-task Arrow overhead dominates under ~100 rows).
     src = (spark.readStream.schema("vec_id bigint, embedding array<float>")
-           .option("maxFilesPerTrigger", 1).parquet(d))
+           .option("maxFilesPerTrigger", 4).parquet(d))
     sbase = with_norm(src).select("vec_id", "v", "norm")
     best = nearest_ref_vec(sbase, bench, ref_id_col="bench_id",
                            ref_vec_col="bv", ref_norm_col="bnorm")
@@ -7919,10 +7933,12 @@ def stream_embedding_outlier_gate(spark, sf_dir):
           .localCheckpoint(eager=True))
 
     d = tempfile.mkdtemp(prefix="sgs_outlier_gate_")
-    emb.select("vec_id", "embedding").repartition(4) \
+    # r12: same parallel staging as stream_semantic_decon_gate (8
+    # files, 4 per trigger: 2 batches x 4 kernel tasks)
+    emb.select("vec_id", "embedding").repartition(8) \
        .write.mode("overwrite").parquet(d)
     src = (spark.readStream.schema("vec_id bigint, embedding array<float>")
-           .option("maxFilesPerTrigger", 1).parquet(d))
+           .option("maxFilesPerTrigger", 4).parquet(d))
     sbase = with_norm(src).select("vec_id", "v", "norm")
     su = nearest_ref_vec(sbase, cents, "vec_id").select(
         "vec_id", "cent_id",
