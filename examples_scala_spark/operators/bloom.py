@@ -114,7 +114,11 @@ def bloom_benchmark_overlap(docs: DataFrame, bench_docs: DataFrame,
         # with dedup.benchmark_overlap requires a single definition
         return shingle_hashes(d, n, text_col, id_col)
 
-    bench_sh = _sh(bench_docs).select("shingle").distinct()
+    # r12: bench_sh feeds the bitmap build AND the confirm join — pin
+    # the (benchmark-sized) distinct shingle set so the bench shingle
+    # pipeline runs once per action
+    bench_sh = _sh(bench_docs).select("shingle").distinct() \
+        .localCheckpoint(eager=False)
     bitmap = build_bitmap(bench_sh, "shingle", m_bits=m_bits, k=k)
     probe = might_contain_udf(bitmap, m_bits=m_bits, k=k)
 
