@@ -846,11 +846,15 @@ def softdedup_weights(docs: DataFrame, n: int = 4,
           .agg(F.sum("cnt").cast("long").alias("n_grams"),
                F.sum(F.col("cnt") * F.col("lp_units")).cast("long")
                .alias("units")))
+    # NOTE: `m` is intentionally NOT checkpointed — the min-max scalar
+    # and the final join each re-run the (cheap, checkpoint-fed)
+    # scoring join, keeping the pinned ShuffledHashJoin visible in the
+    # final plan (the r10 no-broadcast-LM contract is plan-asserted;
+    # a checkpoint here would hide the join inside RDD lineage).
     m = sc.select(
         F.col(id_col), "n_grams",
         F.round(F.col("units") / F.col("n_grams").cast("double")
-                / F.lit(1_000_000_000.0), 6).alias("mean_logp")) \
-        .localCheckpoint(eager=False)
+                / F.lit(1_000_000_000.0), 6).alias("mean_logp"))
     st = m.agg(F.min("mean_logp").alias("__mn"),
                F.max("mean_logp").alias("__mx"))
     out = (docs.select(F.col(id_col))
