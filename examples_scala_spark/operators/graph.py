@@ -48,9 +48,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             f"max_iterations must be >= 1, got {max_iterations}")
     # symmetric edge list: propagate along both directions
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # r12 job-fold: LAZY checkpoint — the pre-loop `sym.count()` below
+    # is the first action and materializes it in the same job, so the
+    # edge table costs one job instead of two (eager ckpt + count).
+    # Every loop round then reads the persisted RDD as before.
     sym = fwd.union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
 
     # r12: do NOT checkpoint the node list — it is corpus-sized at
     # scale and never iterated (its two consumers, the touched
@@ -69,9 +73,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # broadcast). Semantics are unchanged: labels only ever propagate
     # along edges, so an isolated node can never change its label.
     touched = sym.select("src").distinct().withColumnRenamed("src", "id")
+    # lazy: round 1 references `labels` twice (neighbor_min + the
+    # outer join); the persist-on-first-compute semantics of a lazy
+    # localCheckpoint still guarantee a single computation, without
+    # spending a dedicated materialization job before the loop.
     labels = (all_nodes.join(touched, "id", "leftsemi")
               .select("id", F.col("id").alias("component"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
 
     # size the loop's shuffles to the ITERATED volume, not the session
     # default (the _run_to_memory principle): each round moves only
@@ -81,7 +89,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # scale the edge count drives the clamp back up to the session
     # setting, so a cluster run is unaffected.
     spark = nodes.sparkSession
-    n_edges = sym.count()  # already materialized — near-free
+    n_edges = sym.count()  # materializes the lazy edge checkpoint
     with scoped_shuffle_partitions(spark, n_edges):
         for _ in range(max_iterations):
             # neighbor minimum: per dst, the smallest label among srcs
@@ -104,7 +112,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                     ).alias("component"),
                     F.col("component").alias("prev"),
                 )
-                .localCheckpoint(eager=True)
+                # r12 job-fold: lazy — the convergence count below is
+                # the first action over this round's labels and
+                # materializes the checkpoint WHILE computing the
+                # count, collapsing the round's two jobs (eager ckpt
+                # + count over materialized rows) into one. The next
+                # round's two references then read the persisted RDD.
+                .localCheckpoint(eager=False)
             )
             changed = stepped.filter(
                 F.col("component") != F.col("prev")).count()
@@ -177,8 +191,15 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     n_edges = sym.count()
     with scoped_shuffle_partitions(spark, n_edges):
         for _ in range(iterations):
-            with_deg = ranks.join(degrees, ranks.id == degrees.src,
-                                  "left").select("id", "rank", "deg")
+            # r12: `with_deg` feeds the dangling-mass broadcast AND
+            # the contribs join — unpinned, the ranks x degrees join
+            # executed twice per round (the broadcast build is a
+            # separate subtree, so exchange reuse never applies). A
+            # lazy pin of the 3-narrow-column rows runs it once; the
+            # broadcast job materializes it, the main job reads it.
+            with_deg = (ranks.join(degrees, ranks.id == degrees.src,
+                                   "left").select("id", "rank", "deg")
+                        .localCheckpoint(eager=False))
             # dangling mass as a broadcast 1-row aggregate, NOT a driver
             # .first(): keeps each round ONE job (the eager checkpoint)
             # instead of two — the scalar never leaves the cluster

@@ -155,3 +155,52 @@ class TestAvg6EngineExactTies:
             + ",".join(str(v) for v in vals) + "]) AS value)"
         ).fetchone()[0]
         assert got == want == 2.026667
+
+
+# ------------------------- r12 job-fold: lazy checkpoints in the CC loop
+
+class TestLazyCheckpointFold:
+    """The r12 optimization made every checkpoint in the
+    connected_components loop LAZY, folding each round's
+    materialization into its convergence count (one Spark job per
+    round instead of two) and the edge-table materialization into the
+    pre-loop count. These tests pin the two properties that fold
+    depends on: the convergence decision still sees the fully
+    propagated labels, and the returned frame is stable across
+    repeated actions (a mis-materialized lazy checkpoint would
+    recompute and could legally reshuffle)."""
+
+    def test_two_components_plus_isolated_nodes(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(1, 9)],
+                                      "id long")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "src long, dst long")
+        got = {(r.id, r.component)
+               for r in connected_components(nodes, edges).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+                       (4, 4), (7, 7), (8, 8)}
+
+    def test_result_stable_across_repeated_actions(self, spark):
+        # chain of 6: several propagation rounds, so the final frame
+        # sits on top of a chain of lazily materialized checkpoints
+        nodes = spark.createDataFrame([(i,) for i in range(1, 7)],
+                                      "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "src long, dst long")
+        out = connected_components(nodes, edges)
+        first = sorted((r.id, r.component) for r in out.collect())
+        second = sorted((r.id, r.component) for r in out.collect())
+        assert first == second == [(i, 1) for i in range(1, 7)]
+
+    def test_pagerank_pinned_with_deg_matches_mass_one(self, spark):
+        # the r12 with_deg pin must not change the distribution: ranks
+        # still sum to 1 and the star center still dominates
+        from examples_scala_spark.operators.graph import pagerank
+        nodes = spark.createDataFrame([(i,) for i in range(5)],
+                                      "id long")
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "src long, dst long")
+        ranks = {r.id: r.rank
+                 for r in pagerank(nodes, edges, iterations=25).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+        assert ranks[0] > max(v for k, v in ranks.items() if k)
