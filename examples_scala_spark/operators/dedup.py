@@ -723,7 +723,9 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                       F.lit(L).cast("bigint").alias("matched"),
                       (F.col("n") - F.col("i") - F.lit(L - 1))
                       .cast("bigint").alias("rem"))
-              .localCheckpoint(eager=True))
+              # lazy: the n_active count below materializes it —
+              # one Spark job instead of two (r12 job-fold)
+              .localCheckpoint(eager=False))
     finals: list[DataFrame] = []
     wcls = Window.partitionBy("cls").orderBy("chunk", id_col, "i")
     csize = chunk
@@ -800,7 +802,9 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                    .join(reps.hint("shuffle_hash"), "cls2")
                    .select(F.col(id_col), "i", "matched", "rem", "e",
                            "cls2")
-                   .localCheckpoint(eager=True))
+                   # lazy: the round's bookkeeping agg below
+                   # materializes it (r12 job-fold)
+                   .localCheckpoint(eager=False))
         else:
             full = (F.col("chunk").eqNullSafe(F.col("pv"))
                     | F.col("chunk").eqNullSafe(F.col("nx")))
@@ -814,7 +818,9 @@ def suffix_dup_spans(docs: DataFrame, L: int = 30, chunk: int = 64,
                                            _lcp_expr("chunk", "nx")))
                             .alias("e"),
                            F.md5(F.concat("cls", "chunk")).alias("cls2"))
-                   .localCheckpoint(eager=True))
+                   # lazy: the round's bookkeeping agg below
+                   # materializes it (r12 job-fold)
+                   .localCheckpoint(eager=False))
         finals.append(
             ext.filter(F.col("e") < csize)
             .select(F.col(id_col), "i",

@@ -176,13 +176,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = fwd.union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)  # n_edges count below
+    # materializes the edge pin — one pre-loop job folded (r12)
     degrees = sym.groupBy("src").agg(F.count("*").alias("deg"))
 
     n = nodes.count()
     ranks = nodes.select(
         F.col(id_col).alias("id"), F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
+        # lazy: round 1's eager rank checkpoint materializes the
+        # initial ranks as part of its own job (r12 job-fold)
+    ).localCheckpoint(eager=False)
 
     # size the rounds' shuffles to the iterated volume (same scoped
     # clamp as connected_components — at real scale it returns the
@@ -254,7 +257,11 @@ def triangle_stats(nodes: DataFrame, edges: DataFrame,
     e = (edges.select(F.least(src_col, dst_col).alias("a"),
                       F.greatest(src_col, dst_col).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct()
-         .localCheckpoint(eager=True))
+         # lazy pin: the caller's single action materializes the
+         # oriented edge list once; all four consumers (wedge sides,
+         # triangle close, degree) read the persisted blocks —
+         # no dedicated checkpoint job (r12 job-fold)
+         .localCheckpoint(eager=False))
     # wedges b < c around low endpoint a, closed by edge (b, c)
     e1 = e.select(F.col("a"), F.col("b").alias("x"))
     e2 = e.select(F.col("a"), F.col("b").alias("y"))

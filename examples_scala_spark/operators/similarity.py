@@ -1413,7 +1413,8 @@ def top_principal_component(emb: DataFrame, dim: int = 64,
     # both faster and plan-stable. Each partition emits ONE 64-float
     # partial row, so the driver only ever merges P rows.
     x = (emb.select(F.col(vec_col).cast("array<double>").alias("x"))
-         .localCheckpoint(eager=True))
+         # lazy: the first mean pass materializes it (r12 job-fold)
+         .localCheckpoint(eager=False))
     sc = emb.sparkSession.sparkContext
 
     def pass_fn(payload):

@@ -253,7 +253,9 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
                      F.concat(F.lit("  "),
                               F.regexp_replace("w", "(.)", "$1  "),
                               F.lit(marker + "  ")).alias("sym"))
-             .localCheckpoint())
+             # lazy: the n_vocab count below materializes it —
+             # one Spark job instead of two (r12 job-fold)
+             .localCheckpoint(eager=False))
     pair_expr = F.expr(
         "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), "
         "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) "
@@ -265,7 +267,7 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
     # 32-partition shuffles x 12 rounds is task-scheduling overhead.
     # The vocab-row clamp restores the session setting at real scale.
     spark = docs.sparkSession
-    n_vocab = vocab.count()  # materialized by the checkpoint
+    n_vocab = vocab.count()  # materializes the lazy checkpoint
     with scoped_shuffle_partitions(spark, n_vocab,
                                    rows_per_partition=100_000):
         for rank in range(1, k_merges + 1):
@@ -287,9 +289,11 @@ def _bpe_loop(docs: DataFrame, k_merges: int, text_col: str,
             # replaces over the vocab table (re-evaluated by the next
             # round's argmax anyway), while each eager checkpoint is a
             # full job: 12 jobs -> 3 for the standard trainer. Plan
-            # depth stays bounded at any K.
+            # depth stays bounded at any K. Lazy since r12: the NEXT
+            # round's argmax (or the caller's consumption of the
+            # final vocab) materializes it — zero dedicated jobs.
             if rank % 4 == 0:
-                vocab = vocab.localCheckpoint()
+                vocab = vocab.localCheckpoint(eager=False)
     return merges, vocab
 
 

@@ -204,3 +204,67 @@ class TestLazyCheckpointFold:
                  for r in pagerank(nodes, edges, iterations=25).collect()}
         assert abs(sum(ranks.values()) - 1.0) < 1e-9
         assert ranks[0] > max(v for k, v in ranks.items() if k)
+
+    # ---- session-4 folds: the remaining eager checkpoints became
+    # lazy (suffix loop, BPE vocab, triangle-stats edge pin). Each
+    # test pins the property the fold depends on: the result is
+    # correct AND stable across repeated actions on top of the
+    # lazily materialized chain (a mis-materialized lazy checkpoint
+    # would recompute and could legally reshuffle or re-randomize).
+
+    def test_suffix_spans_lazy_chain_stable(self, spark):
+        from examples_scala_spark.operators.dedup import suffix_dup_spans
+        # four DISTINCT pads (different cyclic steps) so the only
+        # duplicated substring >= L anywhere is `dup` in both docs
+        pads = ["".join(chr(97 + (i * m + c) % 26) for i in range(40))
+                for m, c in ((7, 0), (11, 3), (17, 5), (23, 9))]
+        dup = "the quick brown fox jumps over the lazy dog again"
+        docs = spark.createDataFrame(
+            [(1, pads[0] + dup + pads[1]), (2, pads[2] + dup + pads[3])],
+            "doc_id long, text string")
+        out = suffix_dup_spans(docs, L=30, chunk=8)
+        first = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                       for r in out.collect())
+        second = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                        for r in out.collect())
+        assert first == second
+        # both docs carry exactly the 49-char duplicated span at
+        # character 41 (1-indexed)
+        assert first == [(1, 41, len(dup)), (2, 41, len(dup))]
+
+    def test_bpe_lazy_vocab_stable(self, spark):
+        from examples_scala_spark.operators.text import (
+            bpe_apply_token_counts,
+            bpe_train_merges,
+        )
+        docs = spark.createDataFrame(
+            [(1, "low lower lowest low low"),
+             (2, "new newer newest new lower")],
+            "doc_id long, text string")
+        merges = bpe_train_merges(docs, k_merges=9)
+        m1 = [tuple(r) for r in merges.collect()]
+        m2 = [tuple(r) for r in merges.collect()]
+        assert m1 == m2 and len(m1) > 0
+        vocab = bpe_apply_token_counts(docs, k_merges=9)
+        v1 = sorted(tuple(r) for r in vocab.collect())
+        v2 = sorted(tuple(r) for r in vocab.collect())
+        assert v1 == v2 and len(v1) > 0
+
+    def test_triangle_stats_lazy_edge_pin(self, spark):
+        from examples_scala_spark.operators.graph import triangle_stats
+        nodes = spark.createDataFrame([(i,) for i in range(1, 6)],
+                                      "id long")
+        # triangle 1-2-3 plus a pendant 3-4; node 5 isolated
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+        out = triangle_stats(nodes, edges)
+        got1 = {r.id: (r.degree, r.triangles, r.lcc)
+                for r in out.collect()}
+        got2 = {r.id: (r.degree, r.triangles, r.lcc)
+                for r in out.collect()}
+        assert got1 == got2
+        assert got1[1] == (2, 1, 1.0)
+        assert got1[2] == (2, 1, 1.0)
+        assert got1[3] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+        assert got1[4][0] == 1 and got1[4][1] == 0
+        assert got1[5] == (0, 0, 0.0)
