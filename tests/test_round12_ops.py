@@ -268,3 +268,25 @@ class TestLazyCheckpointFold:
         assert got1[3] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
         assert got1[4][0] == 1 and got1[4][1] == 0
         assert got1[5] == (0, 0, 0.0)
+
+    def test_pagerank_checkpoint_cadence_invariant(self, spark):
+        # thinning the rank checkpoints (every 2nd round, r12) must be
+        # invisible in the output: same graph, every=1 vs every=2 vs
+        # every=3 produce bit-identical ranks, odd AND even iteration
+        # counts (the last round is always checkpointed)
+        from examples_scala_spark.operators.graph import pagerank
+        nodes = spark.createDataFrame([(i,) for i in range(7)],
+                                      "id long")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5)],
+            "src long, dst long")
+        for iters in (4, 5):
+            outs = [sorted((r.id, r.rank)
+                           for r in pagerank(nodes, edges,
+                                             iterations=iters,
+                                             checkpoint_every=k)
+                           .collect())
+                    for k in (1, 2, 3)]
+            assert outs[0] == outs[1] == outs[2]
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            pagerank(nodes, edges, checkpoint_every=0)
