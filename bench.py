@@ -223,7 +223,11 @@ def main() -> None:
                  "semantic_dedup_auto", "stream_semantic_decon_gate",
                  "semantic_dedup_sweep", "mixture_epoch_plan",
                  "decontamination_by_benchmark",
-                 "stream_embedding_outlier_gate"]:
+                 "stream_embedding_outlier_gate",
+                 # round-12 addition: the iterative pagerank loop
+                 # (checkpoint cadence + pinned rank-degree join) —
+                 # added so the round-over-round series tracks it
+                 "doc_pagerank"]:
         extra[name], extra_median[name], n = _best_of(spark, name, sf_dir)
         print(f"# extra {name}: best {extra[name]:.2f}s "
               f"median {extra_median[name]:.2f}s ({n} rows)",
