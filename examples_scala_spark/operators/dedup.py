@@ -150,7 +150,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
 
 def lsh_pairs_from_sigs(sig: DataFrame, num_hashes: int = 16,
                         bands: int = 4, threshold: float = 0.5,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        materialize: bool = True) -> DataFrame:
     """Banding + bucket join + in-aggregate verification over an
     ALREADY-COMPUTED signature table — the re-banding entry point: a
     parameter sweep (or an incremental run against stored signatures)
@@ -167,8 +168,13 @@ def lsh_pairs_from_sigs(sig: DataFrame, num_hashes: int = 16,
     # sides read it; measured at sf0.1: fresh-compute 4.2 s -> 1.0 s,
     # plan scans 4 -> 0. At 100 TB this halves the dominant corpus
     # scan; the checkpoint is the operator's own working set
-    # (MEMORY_AND_DISK, spills cleanly).
-    sig = sig.localCheckpoint(eager=False)
+    # (MEMORY_AND_DISK, spills cleanly). A caller that ALREADY pinned
+    # `sig` (lsh_band_sweep checkpoints the shared signature table once
+    # for three band configs) passes materialize=False so each config
+    # does not persist a redundant copy of the same rows in the block
+    # manager (r12 ADVICE).
+    if materialize:
+        sig = sig.localCheckpoint(eager=False)
 
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}").cast("string")

@@ -39,6 +39,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     nodes: one column `id_col`; edges: (`src_col`, `dst_col`),
     undirected (either orientation accepted). Returns (id, component).
+
+    `nodes` must be DETERMINISTIC (re-evaluation yields the same id
+    set): since r12 it is deliberately NOT checkpointed (corpus-sized
+    at scale, never iterated) and is evaluated twice — the label seed
+    and the final isolated-node restore. A nondeterministic frame
+    (sample(), rand-derived ids) would give the two evaluations
+    different node sets and corrupt the restore; pin such a frame with
+    localCheckpoint() before calling (r12 ADVICE).
     """
     if max_iterations < 1:
         # with a zero/negative budget the for/else below would raise

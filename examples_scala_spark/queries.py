@@ -64,17 +64,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _rebalance_scan(df: DataFrame) -> DataFrame:
-    """Guide §2.5 (input skew / unsplittable files): when the scan
-    yields fewer partitions than cores — here, single-row-group
-    parquet fixtures — every broadcast-join probe and partial
-    aggregate downstream serializes on ONE core. Rebalance once,
-    AFTER the pushed-down filters (Catalyst pushes filters below a
-    Repartition, so only survivors shuffle). Conditional on the
-    actual scan parallelism: at production scale input splits exceed
-    the core count and this returns the input unchanged — no extra
-    exchange ever appears in a real plan. Callers are the decimal-sum
-    aggregates, so result values are exchange-order-independent by
-    construction. Measured on q1 at sf0.1: 1.8 -> 1.1 s."""
+    """UNUSED since r13 — kept as the record of a measured rejection.
+
+    The r12 idea (guide §2.5, input skew / unsplittable files): when
+    the scan yields fewer partitions than cores (single-row-group
+    parquet fixtures), inject `repartition(defaultParallelism)` after
+    the pushed filters so partial aggregates run core-wide; a no-op at
+    production scale where splits >= cores.
+
+    The r13 quiet-window interleaved A/B (18/18 pairs, same session,
+    alternating per run) REVERSED the r12 in-session claim: the
+    identity form beat the rebalanced form on every TPC-H head, 20-40%
+    (q1 0.95 vs 1.10 s, q3 0.81 vs 1.17, q5 0.81 vs 1.40, q10 0.71 vs
+    1.13, q18 1.05 vs 1.64, w_avg_temp 1.05 vs 1.17 — best-of-3 each).
+    The round-robin exchange of the whole filtered scan plus the
+    per-call `.rdd.getNumPartitions()` physical-plan compile cost more
+    than the extra parallelism won back at bench volume, and at scale
+    the helper never fires by construction — so the call sites were
+    removed outright (OPTIMIZATION_r13.md). Plan shape returns to r11.
+
+    BATCH-ONLY if ever reused: `.rdd` throws on a streaming DataFrame
+    (guarded below, r12 VERDICT #4); the decision depends on core
+    count and fixture layout, so plan dumps record defaultParallelism
+    in their header (tools/dump_plans.py, r12 ADVICE)."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:  # plan-only, no job
@@ -273,7 +287,7 @@ def w_avg_temp(spark, sf_dir):
     10 s window per sensor, average temperature in Celsius. The
     reference's explicit AggregateFunction partial/final merge is
     Catalyst's partial HashAggregate, for free."""
-    s = _rebalance_scan(_sensors(spark, sf_dir))
+    s = _sensors(spark, sf_dir)
     out = s.groupBy(F.window("ts", "10 seconds"), "id").agg(
         F.sum(dec("temperature")).alias("s"), F.count(F.lit(1)).alias("c"))
     return out.select(
@@ -842,8 +856,7 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 pricing summary. Single scan + single partial/final
     hash aggregate on 6 groups; shipdate predicate pushed to parquet."""
     li = _t(spark, sf_dir, "lineitem")
-    filtered = _rebalance_scan(
-        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00"))
+    filtered = li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
     return filtered.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(dec("l_quantity", 10, 2)).cast("double").alias("sum_qty"),
         F.sum(dec("l_extendedprice", 10, 2)).cast("double").alias("sum_base_price"),
@@ -884,8 +897,8 @@ def q3_shipping_priority(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-03-15 00:00:00")
-    li = _rebalance_scan(_t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "1998-03-15 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -960,7 +973,7 @@ def q5_local_supplier(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01 00:00:00")
         & (F.col("o_orderdate") < "1997-01-01 00:00:00"))
-    li = _rebalance_scan(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1030,8 +1043,7 @@ def q10_returned_items(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01 00:00:00")
         & (F.col("o_orderdate") < "1997-07-01 00:00:00"))
-    li = _rebalance_scan(
-        _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1376,7 +1388,7 @@ def q18_large_volume_customer(spark, sf_dir):
     (measured 1.38 -> 0.91 s best-of-3 at sf0.1, byte-identical).
     Threshold 150 fits the testdata's ~4-lineitem orders (TPC-H's 300
     assumes 7)."""
-    li = _rebalance_scan(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(dec("l_quantity", 10, 2)).alias("sq"))
            .filter(F.col("sq") > 150))
@@ -2340,7 +2352,12 @@ def winnow_fingerprint_pairs(spark, sf_dir):
     hot = (f.groupBy("fp")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter(F.col("nd") > 50).select("fp"))
-    cold = f.join(F.broadcast(hot), "fp", "left_anti")
+    # r13: NO broadcast hint — `hot` is corpus-derived (fingerprints in
+    # > 50 docs grow with boilerplate volume at 100 TB), the exact class
+    # the r12 de-hint sweep removed elsewhere (VERDICT r12 #3). The
+    # left-anti join AQE-converts to broadcast while hot measures small;
+    # at scale the shuffle join stands.
+    cold = f.join(hot, "fp", "left_anti")
     l = cold.select(F.col("doc_id").alias("doc_a"),
                     F.col("n_fp").alias("n_a"), "fp")
     r = cold.select(F.col("doc_id").alias("doc_b"),
@@ -5151,7 +5168,9 @@ def doc_passage_dup_ratio(spark, sf_dir):
               .agg(F.count_distinct("doc_id").alias("nd"))
               .filter(F.col("nd") >= 2).select("h"))
     tot = c.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
-    dup = (c.join(F.broadcast(shared), "h", "left_semi")
+    # r13 de-hint: `shared` is corpus-derived (colliding hashes grow
+    # with the duplication rate); AQE broadcasts it while small
+    dup = (c.join(shared, "h", "left_semi")
            .groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup")))
     return (tot.join(dup, "doc_id", "left")
             .select("doc_id", "n_chunks",
@@ -8753,7 +8772,9 @@ def pipeline_curation_v2(spark, sf_dir):
     k = good.join(keep, "doc_id").localCheckpoint(eager=False)
     dirty = (bloom_benchmark_overlap(k, bench, n=8, frac_threshold=1.0)
              .select("doc_id"))
-    clean = k.join(F.broadcast(dirty), "doc_id", "left_anti")
+    # r13 de-hint: `dirty` is contamination-sized — unbounded if the
+    # corpus is heavily contaminated; AQE broadcasts it while small
+    clean = k.join(dirty, "doc_id", "left_anti")
     q4 = (F.col("quality_score") * 4).cast("int")
     bucket = ((F.lit(4) - q4) * 1024
               + F.least((F.col("n_words") / 16).cast("int"), F.lit(1023)))
@@ -11561,7 +11582,11 @@ def lsh_band_sweep(spark, sf_dir):
     out = None
     for b in (2, 4, 8):
         pred = (dedup.lsh_pairs_from_sigs(sigs, num_hashes=16, bands=b,
-                                          threshold=0.0)
+                                          threshold=0.0,
+                                          # sigs is already pinned above:
+                                          # don't persist a per-config
+                                          # copy (r12 ADVICE)
+                                          materialize=False)
                 .select("doc_a", "doc_b").distinct())
         # ONE action per config: n_pred and tp from the same left join
         stats = (pred.join(truth.withColumn("__t", F.lit(1)),

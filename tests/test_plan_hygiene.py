@@ -335,3 +335,95 @@ def test_pii_redaction_stays_jvm_side(spark, sf_dir):
     plan = explain_str(REGISTRY["pii_redaction_stats"].fn(spark, sf_dir),
                        "simple")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --- r13: suite-wide forced-broadcast audit (VERDICT r12 #4) ----------
+#
+# Every `F.broadcast(x)` in the package is a FORCED hint honored
+# regardless of runtime size — safe only for sides bounded by contract
+# (1-row scalar aggregates, fixed-cardinality dims, capped query/bench
+# sets, changelog deltas). The r12 sweep de-hinted 14 SF-scaled sides;
+# r13 de-hinted the winnow hot-fingerprint set, the passage-dup shared
+# hashes and the curation contamination set. This test freezes the
+# audit: a NEW broadcast site fails until its bounded-size argument is
+# reviewed and added below.
+AUDITED_BROADCASTS = {
+    # file (relative to the package) -> audited argument identifiers
+    "operators/bloom.py": {"bench_sh"},        # benchmark shingles (bench-sized by contract)
+    "operators/cdc.py": {"changed_keys"},      # CDC batch changelog
+    "operators/dedup.py": {"bench",            # benchmark set (contract)
+                           "changed_ids"},     # incremental changelog
+    "operators/graph.py": {"dangling"},        # 1-row dangling-mass scalar
+    "operators/joins.py": {"dim", "r2", "rules_now", "sw"},  # dimension tables (contract)
+    "operators/sampling.py": {"kdf",           # per-stratum quotas (catalog-sized)
+                              "lp",            # 512-bucket DSIR model
+                              "n_r", "n_t",    # 1-row totals
+                              "tgt"},          # 512-bucket targets
+    "operators/similarity.py": {"bench", "bench.select(",  # benchmark ids (contract)
+                                "candidates",  # top-k candidate ids (k-bounded)
+                                "cents",       # centroid set (sqrt-corpus budget)
+                                "changed_ids",  # incremental changelog
+                                "probes",      # nprobe cells per query
+                                "queries", "queries.select("},  # query set (contract)
+    "operators/sketches.py": {"n_total"},      # 1-row scalar
+    "operators/text.py": {"dfreq",             # vocab doc-freq (vocab-sized)
+                          "lang_prof", "langs",  # per-language profiles
+                          "n_docs", "total", "st", "stats"},  # 1-row scalars
+    "queries.py": {
+        # 1-row (or k-row, k literal) scalar aggregates used via
+        # crossJoin(broadcast(...)) or joined on a literal key
+        "a", "b", "at_k", "avg_bal", "est", "h_min", "k", "mad",
+        "max_rev", "med", "mn", "mr", "mx", "my", "n", "nv", "p",
+        "qs", "qv", "rk", "rolled", "snk", "st", "stats", "t", "tgt",
+        "tot", "total", "grp2", "pre", "bounds", "bounds.select(",
+        # fixed-cardinality dimensions (nation=25, region=5,
+        # event_type<=10, source<=small catalog)
+        "n1", "n2", "nat", "nation", "reg", "region", "long", "dist",
+        # capped-by-contract sets
+        "bench", "bench.select(", "bench_ids",  # benchmark set
+        "sw",                                   # stopword list literal
+    },
+}
+
+
+def test_no_unaudited_forced_broadcast():
+    import os
+    import re
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "examples_scala_spark")
+    offenders = []
+    for dirpath, _, filenames in os.walk(root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in filenames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            allowed = AUDITED_BROADCASTS.get(rel, set())
+            with open(path) as f:
+                src = f.read()
+            for m in re.finditer(
+                    r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_.]*)(\()?",
+                    src):
+                name = m.group(1) + (m.group(2) or "")
+                base = m.group(1)
+                if name in allowed or base in allowed:
+                    continue
+                line = src[:m.start()].count("\n") + 1
+                offenders.append(f"{rel}:{line}: F.broadcast({name}...)")
+    assert not offenders, (
+        "unaudited forced broadcast(s) — review that the side is "
+        "bounded by contract (never corpus-derived) and add to "
+        f"AUDITED_BROADCASTS:\n" + "\n".join(offenders))
+
+
+def test_winnow_no_forced_hot_broadcast(spark, sf_dir):
+    """r13 de-hint (VERDICT r12 #3): the winnow hot-fingerprint set is
+    corpus-derived (boilerplate grows with the corpus), so the
+    left-anti guard join must not be force-broadcast — the initial
+    plan shows a shuffle join (AQE converts it to broadcast while hot
+    measures small; at 100 TB the shuffle join stands)."""
+    plan = explain_str(REGISTRY["winnow_fingerprint_pairs"].fn(spark, sf_dir),
+                       "simple")
+    assert "BroadcastHashJoin" not in plan

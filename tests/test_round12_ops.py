@@ -287,6 +287,13 @@ class TestLazyCheckpointFold:
                                              checkpoint_every=k)
                            .collect())
                     for k in (1, 2, 3)]
-            assert outs[0] == outs[1] == outs[2]
+            # ranks are float sums over shuffled groups whose partial-
+            # aggregation order is not contractually stable across
+            # parallelism/Spark versions — compare with a tight
+            # tolerance, not bit equality (r12 ADVICE)
+            for other in outs[1:]:
+                assert [i for i, _ in outs[0]] == [i for i, _ in other]
+                for (_, a), (_, b) in zip(outs[0], other):
+                    assert a == pytest.approx(b, abs=1e-12)
         with pytest.raises(ValueError, match="checkpoint_every"):
             pagerank(nodes, edges, checkpoint_every=0)
