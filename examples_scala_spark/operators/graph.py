@@ -247,9 +247,20 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
             # 24.8 -> 21.6 s settled (first pair 79.9 -> 33.2),
             # 246 -> 226 jobs, rank sets bit-identical every round
             # (SCALE.md r12 "pagerank checkpoint thinning").
-            if (it % checkpoint_every == checkpoint_every - 1
-                    or it == iterations - 1):
-                ranks = ranks.localCheckpoint(eager=True)
+            # r13 job-fold: the LAST checkpoint is lazy — the caller's
+            # first action materializes it (one fewer Spark job per
+            # call; the final round's dangling broadcast builds exactly
+            # one level inside that action, the same bound as an
+            # intermediate thinned round). Intermediate cadence
+            # checkpoints stay eager: they are what bounds broadcast
+            # nesting across rounds. 10x interleaved A/B: ranks
+            # bit-identical, time neutral-to-better, 1 job saved;
+            # checkpoint_every=3 was probed at 10x in the same A/B and
+            # read inside the noise band both ways vs 2 — rejected,
+            # the r12-measured default 2 stands (OPTIMIZATION_r13.md).
+            last = it == iterations - 1
+            if it % checkpoint_every == checkpoint_every - 1 or last:
+                ranks = ranks.localCheckpoint(eager=not last)
     return ranks
 
 def triangle_stats(nodes: DataFrame, edges: DataFrame,
