@@ -5350,14 +5350,16 @@ def events_zscore_anomalies(spark, sf_dir):
     One shuffle (the stats agg); the fact side never moves."""
     ev = _t(spark, sf_dir, "events")
     v = dec("value", 14)
-    s = ev.groupBy("event_type").agg(
+    # st is per-event_type (fixed-cardinality enum) — bounded by
+    # contract, audited in tests/test_plan_hygiene.py
+    st = ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(v).cast("double").alias("total"),
         F.sum(v * v).cast("double").alias("total_sq"))
     m = F.col("total") / F.col("cnt")
     var = (F.col("total_sq") - F.col("total") * F.col("total") / F.col("cnt")) \
         / F.col("cnt")
-    return (ev.join(F.broadcast(s), "event_type")
+    return (ev.join(F.broadcast(st), "event_type")
             .filter((F.col("value") - m) * (F.col("value") - m) > 9 * var)
             .select("event_id", "event_type", "value",
                     F.round((F.col("value") - m) / F.sqrt(var), 6).alias("z")))
