@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scalar import ratio6
 from ..session import scoped_shuffle_partitions
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -335,8 +336,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .withColumn("jaccard",
                     F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
+        # count/count ratio: exact half-up at 6 dp (r13 tie class)
         .select("doc_a", "doc_b",
-                F.round(F.col("jaccard"), 6).alias("jaccard"))
+                ratio6(F.col("inter"),
+                       F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                .alias("jaccard"))
     )
     return out
 
@@ -388,7 +392,7 @@ def benchmark_overlap(docs: DataFrame, bench_docs: DataFrame, n: int = 5,
     return out.select(
         F.col(id_col), F.col("n_shingles").cast("bigint"),
         F.col("n_overlap").cast("bigint"),
-        F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+        ratio6(F.col("n_overlap"), F.col("n_shingles"))
          .alias("overlap_frac"),
         (F.col("n_overlap") / F.col("n_shingles") >= frac_threshold)
         .alias("contaminated"))
@@ -476,7 +480,7 @@ def substring_dup_stats(docs: DataFrame, L: int = 30,
     return out.select(
         F.col(id_col), F.col("n_positions").cast("bigint"),
         F.col("n_dup").cast("bigint"),
-        F.round(F.col("n_dup") / F.col("n_positions"), 6)
+        ratio6(F.col("n_dup"), F.col("n_positions"))
          .alias("dup_frac"))
 
 def substring_dedup_rewrite(docs: DataFrame, L: int = 30,
@@ -1012,4 +1016,6 @@ def setsim_prefix_join(docs: DataFrame, n: int = 3,
                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
             .select("doc_a", "doc_b",
-                    F.round(F.col("jaccard"), 6).alias("jaccard")))
+                    ratio6(F.col("inter"),
+                           F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                    .alias("jaccard")))

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import units6
+
 
 def _hash_col(id_col: str, salt: str) -> F.Column:
     # same idiom as the hash-split / importance samplers: first 15 hex
@@ -232,7 +234,8 @@ def dsir_importance(docs: DataFrame, target, n_buckets: int = 512,
             .select(F.col(id_col),
                     F.coalesce("n_feats", F.lit(0)).cast("bigint")
                      .alias("n_feats"),
-                    F.round(F.coalesce("units", F.lit(0)) / 1e9, 6)
+                    # signed nano-units: exact half-away (r13 tie class)
+                    units6(F.coalesce("units", F.lit(0)))
                      .alias("logweight")))
 
 
@@ -267,7 +270,7 @@ def gumbel_topk(weights: DataFrame, k: int = 100,
     win = Window.orderBy(F.desc("units"), id_col)
     return (top.withColumn("rnk", F.row_number().over(win).cast("long"))
             .select(id_col, weight_col,
-                    F.round(F.col("units") / 1e9, 6).alias("score"),
+                    units6(F.col("units")).alias("score"),
                     "rnk"))
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import ratio6
 from ..session import scoped_shuffle_partitions
 
 # tiny deterministic stopword lists per language for the n-gram/stopword
@@ -357,8 +358,8 @@ def bpe_encode_doc_stats(docs: DataFrame, k_merges: int = 12,
                      .alias("n_words"),
                     F.coalesce("n_subwords", F.lit(0)).cast("bigint")
                      .alias("n_subwords"),
-                    F.round(F.col("n_subwords")
-                            / F.col("n_words").cast("double"), 6)
+                    # count/count ratio: exact half-up (r13 tie class)
+                    ratio6(F.col("n_subwords"), F.col("n_words"))
                      .alias("fertility")))
 
 

@@ -34,6 +34,7 @@ from .sources.tables import (
 from .operators import aggregations as agg
 from .operators import dedup, joins, late_data, similarity, text, multimodal
 from .operators.aggregations import dec
+from .functions import scalar as scalar_fn
 
 
 @dataclass(frozen=True)
@@ -127,6 +128,35 @@ def _avg6(sc: str = "sc", cnt: str = "cnt") -> F.Column:
 #: DuckDB twin of _cents_sum + _avg6 as one aggregate expression.
 AVG6_SQL = ("((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 10000"
             " + count(*)) // (2 * count(*))) / 1e6")
+
+
+# --- engine-exact 6-dp ratios of nonnegative integers ------------------
+# The same round-half-tie class as _avg6, for the count/count ratio
+# sites (precision/recall, conditional probabilities, shares, dup
+# fractions — r12 VERDICT #3 inventory): round(double(a/b), 6) splits
+# between Spark (shortest-decimal-repr) and DuckDB (raw binary) when
+# the exact rational a/b terminates at a 6-dp half, i.e. when the
+# reduced denominator is 2^7 * 5^j — which count-valued denominators
+# hit (the r12 tie had cnt = 32 over cents: denominator 3200). The fix
+# computes half-up on the EXACT rational: one integer quotient
+# (2a*10^6 + b) div (2b), identical on both engines. Preconditions:
+# a >= 0, b > 0, a <= ~4.6e12 (2a*10^6 must fit BIGINT; counts at any
+# test SF are orders of magnitude below — widen to DECIMAL(38,0) at
+# the site if a corpus-scaled numerator can exceed it). Constant
+# denominators whose reduction has fewer than seven 2s (e.g. /5, /16)
+# can never tie and stay on F.round; transcendental values (log, exp,
+# sqrt) have no exact decimal expansion and stay on F.round.
+
+#: canonical implementations live with the scalar function surface so
+#: the operator modules share them
+_ratio6 = scalar_fn.ratio6
+_ratio6_dec = scalar_fn.ratio6_dec
+
+
+def R6(a: str, b: str) -> str:
+    """DuckDB twin of _ratio6 as a SQL fragment over expressions a, b."""
+    return (f"(((2 * CAST(({a}) AS BIGINT) * 1000000 + ({b}))"
+            f" // (2 * CAST(({b}) AS BIGINT))) / 1e6)")
 
 
 # ======================================================================
@@ -1813,7 +1843,8 @@ def dedup_canonical(spark, sf_dir):
       FROM pairs p JOIN lab a ON p.doc_a = a.doc_id
                    JOIN lab b ON p.doc_b = b.doc_id)
     SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
-           round(sum(sig_sim) / count(*), 6) AS avg_sig_sim,
+           {R6('SUM(CAST(sig_sim * 16 AS BIGINT))', 'count(*) * 16')}
+             AS avg_sig_sim,
            max(sig_sim) AS max_sig_sim
     FROM e GROUP BY src_a, src_b""",
     "llm", "dedup",
@@ -1848,8 +1879,10 @@ def dedup_source_overlap(spark, sf_dir):
                 "sig_sim")
             .groupBy("src_a", "src_b")
             .agg(F.count("*").cast("long").alias("n_pairs"),
-                 F.round(F.sum("sig_sim") / F.count("*"), 6)
-                 .alias("avg_sig_sim"),
+                 # sig_sim is an exact sixteenth: *16 -> exact integer,
+                 # so the mean is a count/count rational (_ratio6)
+                 _ratio6(F.sum((F.col("sig_sim") * 16).cast("long")),
+                         F.count("*") * 16).alias("avg_sig_sim"),
                  F.max("sig_sim").alias("max_sig_sim")))
 
 
@@ -1950,7 +1983,8 @@ def simhash_near_pairs(spark, sf_dir):
       WHERE l.doc_id < r.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+           ((2 * inter * 1000000 + (sa.sz + sb.sz - inter))
+            // (2 * (sa.sz + sb.sz - inter))) / 1e6 AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = doc_a
                JOIN sz sb ON sb.doc_id = doc_b
     WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""",
@@ -2327,7 +2361,9 @@ def doc_fingerprint(spark, sf_dir):
       WHERE l.doc_id < r.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, n_shared,
-           round(n_shared / least(n_a, n_b)::DOUBLE, 6) AS containment
+           ((2 * CAST(n_shared AS BIGINT) * 1000000 + least(n_a, n_b))
+            // (2 * CAST(least(n_a, n_b) AS BIGINT))) / 1e6
+             AS containment
     FROM p WHERE n_shared >= 2""",
     "llm", "dedup", "text",
 )
@@ -2369,8 +2405,8 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                  F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
             .filter(F.col("n_shared") >= 2)
             .select("doc_a", "doc_b", "n_shared",
-                    F.round(F.col("n_shared")
-                            / F.least(F.col("n_a"), F.col("n_b")), 6)
+                    _ratio6(F.col("n_shared"),
+                            F.least(F.col("n_a"), F.col("n_b")))
                      .alias("containment")))
 
 
@@ -2412,7 +2448,9 @@ def _dsir_sql(table: str = "documents") -> str:
       FROM fb JOIN lp USING (b) GROUP BY doc_id)
     SELECT d.doc_id,
            coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
-           round(coalesce(sc.units, 0) / 1e9, 6) AS logweight
+           (CASE WHEN coalesce(sc.units, 0) < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(coalesce(sc.units, 0))::BIGINT * 1000000 + 1000000000)
+                // 2000000000) / 1e6 AS logweight
     FROM {table} d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
 
 
@@ -2491,8 +2529,10 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False,
            coalesce(sum(p.n_words), 0)::BIGINT AS n_words,
            coalesce(sum(p.n_subwords), 0)::BIGINT AS n_subwords,
            CASE WHEN coalesce(sum(p.n_words), 0) = 0 THEN 0.0
-                ELSE round(sum(p.n_subwords)
-                           / sum(p.n_words)::DOUBLE, 6) END AS fertility
+                ELSE ((2 * sum(p.n_subwords)::BIGINT * 1000000
+                       + sum(p.n_words))
+                      // (2 * sum(p.n_words)::BIGINT)) / 1e6
+                END AS fertility
     FROM documents d LEFT JOIN perdoc p USING (doc_id)
     GROUP BY d.lang""")
         return "".join(sql)
@@ -2512,7 +2552,8 @@ def _bpe_oracle_sql(k: int = 12, apply: bool = False,
     SELECT d.doc_id,
            coalesce(p.n_words, 0)::BIGINT AS n_words,
            coalesce(p.n_subwords, 0)::BIGINT AS n_subwords,
-           round(p.n_subwords / p.n_words::DOUBLE, 6) AS fertility
+           ((2 * p.n_subwords::BIGINT * 1000000 + p.n_words)
+            // (2 * p.n_words::BIGINT)) / 1e6 AS fertility
     FROM documents d LEFT JOIN per p USING (doc_id)""")
         return "".join(sql)
     if apply:
@@ -2560,7 +2601,9 @@ def bpe_train_merges(spark, sf_dir):
                / 4503599627370498.0)) * 1e9)::BIGINT AS units
       FROM wts)
     SELECT doc_id, logweight,
-           round(units / 1e9, 6) AS score,
+           (CASE WHEN units < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(units)::BIGINT * 1000000 + 1000000000)
+                // 2000000000) / 1e6 AS score,
            row_number() OVER (ORDER BY units DESC, doc_id)::BIGINT
              AS rnk
     FROM g ORDER BY units DESC, doc_id LIMIT 100""",
@@ -2641,8 +2684,7 @@ def bpe_fertility_by_lang(spark, sf_dir):
     return out.select(
         "lang", "n_docs", "n_words", "n_subwords",
         F.when(F.col("n_words") == 0, F.lit(0.0))
-         .otherwise(F.round(F.col("n_subwords")
-                            / F.col("n_words").cast("double"), 6))
+         .otherwise(_ratio6(F.col("n_subwords"), F.col("n_words")))
          .alias("fertility"))
 
 
@@ -2886,7 +2928,10 @@ def substring_dedup_scrub(spark, sf_dir):
       GROUP BY doc_id)
     SELECT d.doc_id,
            coalesce(sc.n_trigrams, 0)::BIGINT AS n_trigrams,
-           round(-sc.units / sc.n_trigrams::DOUBLE / 1e9, 6)
+           (CASE WHEN -sc.units < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(sc.units)::HUGEINT * 1000000
+                 + sc.n_trigrams::HUGEINT * 1000000000)
+                // (2 * sc.n_trigrams::HUGEINT * 1000000000)) / 1e6
              AS avg_neg_logscore
     FROM documents d CROSS JOIN t LEFT JOIN sc USING (doc_id)
     WHERE d.doc_id >= t.thr""",
@@ -2967,9 +3012,12 @@ def doc_trigram_backoff_ppl(spark, sf_dir):
             .select("doc_id",
                     F.coalesce("n_trigrams", F.lit(0)).cast("bigint")
                      .alias("n_trigrams"),
-                    F.round(-F.col("units")
-                            / F.col("n_trigrams").cast("double")
-                            / 1e9, 6).alias("avg_neg_logscore")))
+                    # -units/(n*1e9): signed integer rational beyond
+                    # BIGINT headroom (r13 tie class)
+                    scalar_fn.sratio6_dec(
+                        -F.col("units"),
+                        F.col("n_trigrams") * F.lit(1_000_000_000))
+                    .alias("avg_neg_logscore")))
 
 
 @register(
@@ -3102,7 +3150,7 @@ def mixture_waterfill_alloc(spark, sf_dir):
       FROM r, lam)
     SELECT source, n AS n_tokens, w AS weight_units, capped,
            a::BIGINT AS alloc_tokens,
-           round(a::DOUBLE / n, 6) AS epochs
+           ((2 * a * 1000000 + n) // (2 * n::HUGEINT)) / 1e6 AS epochs
     FROM alloc""",
     "llm", "sampling", "mixture",
 )
@@ -3170,13 +3218,20 @@ def mixture_epoch_plan(spark, sf_dir):
     q = ((wnum - F.pmod(wnum, den)) / den).cast("decimal(38,0)")
     a = F.when(F.col("j") <= F.col("kk"),
                F.col("c").cast("decimal(38,0)")).otherwise(q)
+    # epochs = alloc/n is an integer/integer rational with a count
+    # denominator (the r13 tie class) — exact half-up at 6 dp in
+    # DECIMAL(38,0) (alloc is corpus-token-scaled, beyond _ratio6's
+    # BIGINT headroom), remainder-style like the floor division above
+    ep_num = a * F.lit(2_000_000) + F.col("n").cast("decimal(38,0)")
+    ep_den = F.col("n").cast("decimal(38,0)") * F.lit(2)
+    epochs = (((ep_num - F.pmod(ep_num, ep_den)) / ep_den)
+              .cast("decimal(38,0)").cast("double") / F.lit(1e6))
     return (r.crossJoin(F.broadcast(k)).crossJoin(F.broadcast(at_k))
             .select("source", F.col("n").alias("n_tokens"),
                     F.col("w").alias("weight_units"),
                     (F.col("j") <= F.col("kk")).alias("capped"),
                     a.cast("long").alias("alloc_tokens"),
-                    F.round(a.cast("double") / F.col("n"), 6)
-                    .alias("epochs")))
+                    epochs.alias("epochs")))
 
 
 def _substring_incremental_sql() -> str:
@@ -3228,7 +3283,9 @@ def _curation_v4_sql() -> str:
                / 4503599627370498.0)) * 1e9)::BIGINT AS units
       FROM wts),
     sel AS (
-      SELECT doc_id, logweight, round(units / 1e9, 6) AS score,
+      SELECT doc_id, logweight, (CASE WHEN units < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(units)::BIGINT * 1000000 + 1000000000)
+                // 2000000000) / 1e6 AS score,
              row_number() OVER (ORDER BY units DESC, doc_id)::BIGINT
                AS rnk
       FROM g ORDER BY units DESC, doc_id LIMIT 150)
@@ -4299,12 +4356,16 @@ def events_rollup(spark, sf_dir):
     WITH s AS (
       SELECT event_type, count(*)::BIGINT AS cnt,
              SUM(CAST(value AS DECIMAL(14,2)))::DOUBLE AS total,
-             SUM(CAST(value AS DECIMAL(14,2))
-                 * CAST(value AS DECIMAL(14,2)))::DOUBLE AS total_sq
+             SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS HUGEINT))
+               AS sc,
+             SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(14,2)) * 100 AS HUGEINT))
+               AS sc2
       FROM events GROUP BY event_type)
     SELECT event_type, cnt, total,
-           round(total / cnt, 6) AS mean,
-           round((total_sq - total * total / cnt) / cnt, 6) AS var_pop
+           ((2 * sc * 1000000 + 100 * cnt) // (200 * cnt)) / 1e6 AS mean,
+           ((2 * (sc2 * cnt - sc * sc) * 1000000 + 10000 * cnt * cnt)
+            // (2 * 10000 * cnt::HUGEINT * cnt)) / 1e6 AS var_pop
     FROM s""",
     "relational", "aggregates", "numeric_stability",
 )
@@ -4318,15 +4379,23 @@ def events_value_stats(spark, sf_dir):
     across engines."""
     ev = _t(spark, sf_dir, "events")
     v = dec("value", 14)
+    # exact integer cents (r13 tie class): mean = sc/(100n) and
+    # var = (sc2*n - sc^2)/(10^4 n^2) are integer rationals with
+    # count-valued denominators — half-up at 6 dp in DECIMAL(38,0)
+    c = (v * 100).cast("decimal(38,0)")
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(v).cast("double").alias("total"),
-        F.sum(v * v).cast("double").alias("total_sq"))
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"))
+    cnt = F.col("cnt").cast("decimal(38,0)")
+    sc, sc2 = F.col("sc").cast("decimal(38,0)"), \
+        F.col("sc2").cast("decimal(38,0)")
     return s.select(
         "event_type", "cnt", "total",
-        F.round(F.col("total") / F.col("cnt"), 6).alias("mean"),
-        F.round((F.col("total_sq") - F.col("total") * F.col("total")
-                 / F.col("cnt")) / F.col("cnt"), 6).alias("var_pop"))
+        _ratio6_dec(sc, cnt * 100).alias("mean"),
+        _ratio6_dec(sc2 * cnt - sc * sc,
+                    cnt * cnt * 10_000).alias("var_pop"))
 
 
 @register(
@@ -4346,7 +4415,8 @@ def events_value_stats(spark, sf_dir):
             FROM toks)
       GROUP BY bigram)
     SELECT bigram, cnt, first_cnt,
-           round(cnt / first_cnt::DOUBLE, 6) AS cond_p
+           ((2 * cnt * 1000000 + first_cnt) // (2 * first_cnt)) / 1e6
+             AS cond_p
     FROM bcnt JOIN ucnt ON string_split(bigram, ' ')[1] = w1
     ORDER BY cnt DESC, bigram LIMIT 50""",
     "llm", "text",
@@ -4372,7 +4442,7 @@ def bigram_cond_prob(spark, sf_dir):
     j = bcnt.join(ucnt, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
     return (j.select(
         "bigram", "cnt", "first_cnt",
-        F.round(F.col("cnt") / F.col("first_cnt"), 6).alias("cond_p"))
+        _ratio6(F.col("cnt"), F.col("first_cnt")).alias("cond_p"))
         .orderBy(F.col("cnt").desc(), "bigram").limit(50))
 
 
@@ -4448,9 +4518,11 @@ def stream_session_windows(spark, sf_dir):
              max(n_words) AS n_words, max(n_distinct) AS n_distinct
       FROM base GROUP BY doc_id, bigram)
     SELECT doc_id, max(n_words)::BIGINT AS n_words,
-           round(1.0 - max(n_distinct) / max(n_words)::DOUBLE, 6)
+           ((2 * (max(n_words) - max(n_distinct)) * 1000000
+             + max(n_words)) // (2 * max(n_words))) / 1e6
              AS dup_word_frac,
-           round(max(c) / sum(c)::DOUBLE, 6) AS top_bigram_frac
+           ((2 * max(c) * 1000000 + sum(c)) // (2 * sum(c)::BIGINT)) / 1e6
+             AS top_bigram_frac
     FROM bi GROUP BY doc_id""",
     "llm", "text", "quality",
 )
@@ -4496,9 +4568,9 @@ def doc_repetition_stats(spark, sf_dir):
                      .alias("n_distinct"),
                     max_run.alias("max_c"))
             .select("doc_id", "n_words",
-                    F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
-                     .alias("dup_word_frac"),
-                    F.round(F.col("max_c") / (F.col("n_words") - 1), 6)
+                    _ratio6(F.col("n_words") - F.col("n_distinct"),
+                            F.col("n_words")).alias("dup_word_frac"),
+                    _ratio6(F.col("max_c"), F.col("n_words") - 1)
                      .alias("top_bigram_frac")))
 
 
@@ -4584,7 +4656,8 @@ def funnel_conversion(spark, sf_dir):
       LEFT JOIN bench b USING (shingle)
       GROUP BY c.doc_id)
     SELECT o.doc_id, s.n_shingles, o.n_overlap,
-           round(o.n_overlap / s.n_shingles::DOUBLE, 6) AS overlap_frac,
+           ((2 * o.n_overlap * 1000000 + s.n_shingles)
+            // (2 * s.n_shingles::BIGINT)) / 1e6 AS overlap_frac,
            (o.n_overlap / s.n_shingles::DOUBLE >= 0.1) AS contaminated
     FROM ov o JOIN sz s USING (doc_id)""",
     "llm", "dedup", "decontamination",
@@ -5018,9 +5091,12 @@ def _corpus_stats_sql() -> str:
            count(*)::BIGINT AS n_docs,
            sum(n_words)::BIGINT AS total_words,
            sum(n_chars)::BIGINT AS total_chars,
-           round(sum(n_words)::DOUBLE / count(*), 6) AS mean_words,
-           round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
-           round(sum(q) / count(*), 6) AS mean_quality
+           ((2 * sum(n_words)::BIGINT * 1000000 + count(*))
+            // (2 * count(*))) / 1e6 AS mean_words,
+           ((2 * sum(n_chars)::BIGINT * 1000000 + count(*))
+            // (2 * count(*))) / 1e6 AS mean_chars,
+           ((2 * sum(CAST(q * 4 AS BIGINT)) * 1000000 + 4 * count(*))
+            // (2 * 4 * count(*))) / 1e6 AS mean_quality
     FROM g GROUP BY source, lang"""
 
 
@@ -5042,12 +5118,13 @@ def corpus_stats_by_source(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_words").cast("long").alias("total_words"),
                  F.sum("n_chars").cast("long").alias("total_chars"),
-                 F.round(F.sum("n_words") / F.count("*"), 6)
+                 _ratio6(F.sum("n_words"), F.count("*"))
                   .alias("mean_words"),
-                 F.round(F.sum("n_chars") / F.count("*"), 6)
+                 _ratio6(F.sum("n_chars"), F.count("*"))
                   .alias("mean_chars"),
-                 F.round(F.sum("q") / F.count("*"), 6)
-                  .alias("mean_quality")))
+                 # q is an exact quarter: *4 -> integer (r13 tie class)
+                 _ratio6(F.sum((F.col("q") * 4).cast("long")),
+                         F.count("*") * 4).alias("mean_quality")))
 
 
 @register(
@@ -5153,7 +5230,8 @@ def shared_passages(spark, sf_dir):
       GROUP BY doc_id)
     SELECT doc_id, n_chunks,
            coalesce(n_dup, 0)::BIGINT AS n_dup,
-           round(coalesce(n_dup, 0)::DOUBLE / n_chunks, 6) AS dup_ratio
+           ((2 * coalesce(n_dup, 0)::BIGINT * 1000000 + n_chunks)
+            // (2 * n_chunks)) / 1e6 AS dup_ratio
     FROM tot LEFT JOIN dup USING (doc_id)""",
     "llm", "dedup",
 )
@@ -5175,8 +5253,8 @@ def doc_passage_dup_ratio(spark, sf_dir):
     return (tot.join(dup, "doc_id", "left")
             .select("doc_id", "n_chunks",
                     F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
-                    F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_chunks"),
-                            6).alias("dup_ratio")))
+                    _ratio6(F.coalesce("n_dup", F.lit(0)),
+                            F.col("n_chunks")).alias("dup_ratio")))
 
 
 @register(
@@ -6916,10 +6994,11 @@ def semantic_dedup_snm(spark, sf_dir):
              ::BIGINT AS dropped_both,
            CASE WHEN sum(CASE WHEN NOT p.kept THEN 1 ELSE 0 END) = 0
                 THEN 1.0
-                ELSE round(
-                  sum(CASE WHEN NOT p.kept AND NOT s.kept
-                      THEN 1 ELSE 0 END)::DOUBLE
-                  / sum(CASE WHEN NOT p.kept THEN 1 ELSE 0 END), 6)
+                ELSE ((2 * sum(CASE WHEN NOT p.kept AND NOT s.kept
+                                    THEN 1 ELSE 0 END)::BIGINT * 1000000
+                       + sum(CASE WHEN NOT p.kept THEN 1 ELSE 0 END))
+                      // (2 * sum(CASE WHEN NOT p.kept
+                                  THEN 1 ELSE 0 END)::BIGINT)) / 1e6
            END AS drop_recall
     FROM ({_SEMDEDUP_SQL}) p JOIN ({_SEMDEDUP_SNM_SQL}) s
     USING (vec_id)""",
@@ -6960,8 +7039,8 @@ def semantic_dedup_snm_recall(spark, sf_dir):
     ).select(
         "n_vectors", "dropped_plain", "dropped_snm", "dropped_both",
         F.when(F.col("dropped_plain") == 0, F.lit(1.0))
-         .otherwise(F.round(F.col("dropped_both")
-                            / F.col("dropped_plain").cast("double"), 6))
+         .otherwise(_ratio6(F.col("dropped_both"),
+                            F.col("dropped_plain")))
          .alias("drop_recall"))
 
 
@@ -7630,7 +7709,7 @@ def stream_curation_gate(spark, sf_dir):
             du_arr, (bucket(f) + 1).cast("int")))
     scored = feats.select(
         "doc_id", F.size("fs").cast("long").alias("n_feats"),
-        F.round(units / 1e9, 6).alias("logweight"))
+        scalar_fn.units6(units).alias("logweight"))
     out = scored.filter(F.col("logweight") > 0)
     return _run_to_memory(spark, out, "stream_curation_gate_result")
 
@@ -7666,7 +7745,8 @@ def stream_curation_gate(spark, sf_dir):
       FROM c JOIN bench USING (b) GROUP BY c.doc_id)
     SELECT s.doc_id, s.n_buckets,
            COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
-           round(COALESCE(o.n_overlap, 0) / s.n_buckets::DOUBLE, 6)
+           ((2 * COALESCE(o.n_overlap, 0)::BIGINT * 1000000
+             + s.n_buckets) // (2 * s.n_buckets)) / 1e6
              AS overlap_frac
     FROM sz s LEFT JOIN ov o USING (doc_id)
     WHERE COALESCE(o.n_overlap, 0) / s.n_buckets::DOUBLE >= 0.25""",
@@ -7767,7 +7847,7 @@ def stream_decontaminate_gate(spark, sf_dir):
     o = F.size(F.array_intersect("bs", barr)).cast("long")
     scored = bs.filter(F.size("bs") > 0).select(
         "doc_id", n.alias("n_buckets"), o.alias("n_overlap"),
-        F.round(o / n.cast("double"), 6).alias("overlap_frac"))
+        _ratio6(o, n).alias("overlap_frac"))
     out = scored.filter(
         F.col("n_overlap") / F.col("n_buckets").cast("double") >= 0.25)
     return _run_to_memory(spark, out, "stream_decontaminate_gate_result")
@@ -8036,7 +8116,7 @@ def stream_trending_tokens(spark, sf_dir):
                AS p99
       FROM k)
     SELECT n_keys, total, p50, p99, max_n,
-           round(max_n / (total / CAST(n_keys AS DOUBLE)), 6)
+           ((2 * max_n * n_keys * 1000000 + total) // (2 * total)) / 1e6
              AS max_over_mean
     FROM s""",
     "llm", "skew", "diagnostics",
@@ -8060,8 +8140,8 @@ def key_skew_report(spark, sf_dir):
          .cast("long").alias("p99"))
     return s.select(
         "n_keys", "total", "p50", "p99", "max_n",
-        F.round(F.col("max_n")
-                / (F.col("total") / F.col("n_keys").cast("double")), 6)
+        # max/mean = max_n*n_keys/total: count rational (r13 tie class)
+        _ratio6(F.col("max_n") * F.col("n_keys"), F.col("total"))
         .alias("max_over_mean"))
 
 
@@ -8406,7 +8486,8 @@ def rerank_cross_encoder(spark, sf_dir):
       JOIN bench b USING (shingle)
       GROUP BY c.doc_id)
     SELECT o.doc_id, s.n_shingles, o.n_overlap,
-           round(o.n_overlap / s.n_shingles::DOUBLE, 6) AS overlap_frac,
+           ((2 * o.n_overlap * 1000000 + s.n_shingles)
+            // (2 * s.n_shingles::BIGINT)) / 1e6 AS overlap_frac,
            (o.n_overlap / s.n_shingles::DOUBLE >= 0.05) AS contaminated
     FROM ov o JOIN sz s USING (doc_id)""",
     "llm", "dedup", "decontamination", "bloom",
@@ -8585,7 +8666,8 @@ def corpus_shuffle_shards(spark, sf_dir):
       FROM p JOIN c USING (g) GROUP BY p.doc_id)
     SELECT d.doc_id, (d.n - 29)::BIGINT AS n_positions,
            coalesce(dup.n_dup, 0)::BIGINT AS n_dup,
-           round(coalesce(dup.n_dup, 0) / (d.n - 29)::DOUBLE, 6) AS dup_frac
+           ((2 * coalesce(dup.n_dup, 0)::BIGINT * 1000000 + (d.n - 29))
+            // (2 * (d.n - 29))) / 1e6 AS dup_frac
     FROM d LEFT JOIN dup USING (doc_id)""",
     "llm", "dedup", "text",
 )
@@ -8840,8 +8922,11 @@ def events_gap_fill(spark, sf_dir):
     d AS (SELECT q.doc_id, s.source, q.quality_score
           FROM q JOIN documents s USING (doc_id))
     SELECT doc_id, source, quality_score,
-           round(cume_dist() OVER (PARTITION BY source
-                                   ORDER BY quality_score), 6) AS pct
+           ((2 * (count(*) OVER (PARTITION BY source ORDER BY quality_score
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))::BIGINT * 1000000
+             + count(*) OVER (PARTITION BY source))
+            // (2 * count(*) OVER (PARTITION BY source))) / 1e6 AS pct
     FROM d""",
     "llm", "quality",
 )
@@ -8865,7 +8950,7 @@ def quality_percentile_by_source(spark, sf_dir):
     wt = Window.partitionBy("source")
     dist = g.select(
         "source", "quality_score",
-        F.round(F.sum("c").over(w) / F.sum("c").over(wt), 6).alias("pct"))
+        _ratio6(F.sum("c").over(w), F.sum("c").over(wt)).alias("pct"))
     return scored.join(F.broadcast(dist), ["source", "quality_score"])\
                  .select("doc_id", "source", "quality_score", "pct")
 
@@ -8959,20 +9044,23 @@ def ivf_incremental_assign(spark, sf_dir):
     """
     WITH op AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    n AS (SELECT count(DISTINCT o)::DOUBLE AS n_orders FROM op),
+    n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM op),
     supp AS (SELECT p, count(*)::BIGINT AS s FROM op GROUP BY p),
     pairs AS (
       SELECT a.p AS part_a, b.p AS part_b, count(*)::BIGINT AS pair_cnt
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
       GROUP BY a.p, b.p HAVING count(*) >= 3)
     SELECT part_a, part_b, pair_cnt,
-           round(pair_cnt / sa.s::DOUBLE, 6) AS confidence_a_b,
-           round(pair_cnt * n.n_orders / (sa.s * sb.s), 6) AS lift
+           ((2 * pair_cnt * 1000000 + sa.s) // (2 * sa.s)) / 1e6
+             AS confidence_a_b,
+           ((2 * pair_cnt * n.n_orders * 1000000 + sa.s * sb.s)
+            // (2 * sa.s * sb.s)) / 1e6 AS lift
     FROM pairs
     JOIN supp sa ON sa.p = part_a
     JOIN supp sb ON sb.p = part_b
     CROSS JOIN n
-    ORDER BY round(pair_cnt * n.n_orders / (sa.s * sb.s), 6) DESC,
+    ORDER BY ((2 * pair_cnt * n.n_orders * 1000000 + sa.s * sb.s)
+              // (2 * sa.s * sb.s)) / 1e6 DESC,
              part_a, part_b
     LIMIT 20""",
     "relational", "basket",
@@ -8989,7 +9077,7 @@ def part_cooccurrence_lift(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("o"),
                   F.col("l_partkey").alias("p")).distinct())
-    n = li.select(F.countDistinct("o").cast("double").alias("n_orders"))
+    n = li.select(F.countDistinct("o").cast("long").alias("n_orders"))
     supp = li.groupBy("p").agg(F.count("*").alias("s"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
@@ -9000,15 +9088,16 @@ def part_cooccurrence_lift(spark, sf_dir):
              .filter(F.col("pair_cnt") >= 3))
     sa = supp.select(F.col("p").alias("part_a"), F.col("s").alias("sa"))
     sb = supp.select(F.col("p").alias("part_b"), F.col("s").alias("sb"))
-    lift = F.round(F.col("pair_cnt") * F.col("n_orders")
-                   / (F.col("sa") * F.col("sb")), 6)
+    # lift/confidence are count rationals (r13 tie class): exact 6-dp
+    lift = _ratio6(F.col("pair_cnt") * F.col("n_orders"),
+                   F.col("sa") * F.col("sb"))
     # sa/sb are part-keyed (SF-scaled): no broadcast hint (r12) — the
     # scalar n stays hinted
     return (pairs.join(sa, "part_a")
             .join(sb, "part_b")
             .crossJoin(F.broadcast(n))
             .select("part_a", "part_b", "pair_cnt",
-                    F.round(F.col("pair_cnt") / F.col("sa"), 6)
+                    _ratio6(F.col("pair_cnt"), F.col("sa"))
                      .alias("confidence_a_b"),
                     lift.alias("lift"))
             .orderBy(F.col("lift").desc(), "part_a", "part_b")
@@ -9354,7 +9443,8 @@ def events_mad_anomalies(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM u)
     SELECT user_id, cents::BIGINT AS cents, cum::BIGINT AS cum_cents,
-           round(cum / t.total::DOUBLE, 6) AS cum_share,
+           ((2 * cum::BIGINT * 1000000 + t.total)
+            // (2 * t.total)) / 1e6 AS cum_share,
            CASE WHEN cum <= 0.5 * t.total THEN 'A'
                 WHEN cum <= 0.8 * t.total THEN 'B'
                 ELSE 'C' END AS revenue_class
@@ -9382,7 +9472,7 @@ def revenue_pareto_abc(spark, sf_dir):
     return (cum.crossJoin(F.broadcast(total))
             .select("user_id", "cents",
                     "cum_cents",
-                    F.round(F.col("cum_cents") / F.col("total"), 6)
+                    _ratio6(F.col("cum_cents"), F.col("total"))
                      .alias("cum_share"),
                     F.when(F.col("cum_cents") <= 0.5 * F.col("total"), "A")
                      .when(F.col("cum_cents") <= 0.8 * F.col("total"), "B")
@@ -9398,7 +9488,10 @@ def revenue_pareto_abc(spark, sf_dir):
                                    ORDER BY ts, event_id) AS prev
       FROM events)
     SELECT prev, event_type AS next, count(*)::BIGINT AS n,
-           round(count(*) / sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+           ((2 * count(*) * 1000000
+             + sum(count(*)) OVER (PARTITION BY prev))
+            // (2 * (sum(count(*)) OVER (PARTITION BY prev))::BIGINT))
+           / 1e6 AS p
     FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type""",
     "relational", "analytics",
 )
@@ -9417,7 +9510,7 @@ def event_type_transitions(spark, sf_dir):
          .agg(F.count("*").alias("n")))
     wp = Window.partitionBy("prev")
     return g.select("prev", "next", "n",
-                    F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"))
+                    _ratio6(F.col("n"), F.sum("n").over(wp)).alias("p"))
 
 
 @register(
@@ -9443,7 +9536,8 @@ def event_type_transitions(spark, sf_dir):
       WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
     jac AS (
       SELECT doc_a, doc_b,
-             round(i2 / (sa.sz + sb.sz - i2), 6) AS jaccard
+             ((2 * i2 * 1000000 + (sa.sz + sb.sz - i2))
+              // (2 * (sa.sz + sb.sz - i2))) / 1e6 AS jaccard
       FROM inter2 JOIN sz2 sa ON sa.doc_id = doc_a
                   JOIN sz2 sb ON sb.doc_id = doc_b)
     SELECT l.doc_a, l.doc_b, round(l.sig_sim, 6) AS sig_sim,
@@ -9816,7 +9910,8 @@ def neardup_triangle_stats(spark, sf_dir):
       WHERE l.doc_id < r.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+           ((2 * inter * 1000000 + (sa.sz + sb.sz - inter))
+            // (2 * (sa.sz + sb.sz - inter))) / 1e6 AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = doc_a
                JOIN sz sb ON sb.doc_id = doc_b
     WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""",
@@ -12452,8 +12547,15 @@ def quality_calibration_isotonic(spark, sf_dir):
       FROM cells),
     rel AS (
       SELECT event_type, day,
-             round(c + round(-sign(s) * ln(1.0 - 2 * abs(s)) * 1e9)::BIGINT
-                   / 1e9, 6) AS noisy_count
+             (CASE WHEN c::HUGEINT * 1000000000
+                        + round(-sign(s) * ln(1.0 - 2 * abs(s))
+                                * 1e9)::BIGINT < 0
+                   THEN -1 ELSE 1 END)
+             * ((2 * abs(c::HUGEINT * 1000000000
+                         + round(-sign(s) * ln(1.0 - 2 * abs(s))
+                                 * 1e9)::BIGINT) * 1000000
+                 + 1000000000::HUGEINT)
+                // (2 * 1000000000::HUGEINT)) / 1e6 AS noisy_count
       FROM n)
     SELECT event_type, day, noisy_count
     FROM rel WHERE noisy_count >= 10.0""",
@@ -12488,7 +12590,11 @@ def dp_noised_histogram(spark, sf_dir):
                     * 1e9).cast("long")
     return (cells
             .select("event_type", "day",
-                    F.round(F.col("c") + nanos / F.lit(1e9), 6)
+                    # (c*1e9 + nanos)/1e9: signed integer rational
+                    # beyond BIGINT headroom (r13 tie class)
+                    scalar_fn.sratio6_dec(
+                        F.col("c") * F.lit(1_000_000_000) + nanos,
+                        F.lit(1_000_000_000))
                      .alias("noisy_count"))
             .filter(F.col("noisy_count") >= 10.0))
 
