@@ -33,49 +33,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks ALL entries every time — including under the driver-identical
 # vanilla session (--vanilla).
 PRIORITY = [
-    # --- round-12: code touched this round (ADVICE fixes: early-firing
-    # legacy-checkpoint decode extracted to _decode_ef_state;
-    # connected_components max_iterations entry guard). Result hashes
-    # unchanged — all 7 call-graph consumers verified at 3 SFs locally
-    # — re-proved same-round in the gate out of caution ---
-    "stream_early_firing", "stream_early_firing_multibatch",
-    "dedup_clusters", "dedup_canonical", "leakage_free_split",
-    "pipeline_curation_v3", "doc_pagerank",
-    # frame_sample gained a zero-frame guard filter (hash-stable at
-    # 3 SFs — no zero-frame rows exist in the decode paths)
-    "frame_sample",
-    # the avg-rounding family moved to engine-exact integer half-up
-    # (_avg6): the full sf0.1 sweep caught stream_sliding_avg on a
-    # round-half tie (65.3103125) where Spark's round and DuckDB's
-    # disagree; all six rounded-average queries now compute the tie
-    # in integer cents on both engines. Re-proven at 3 SFs.
-    "stream_sliding_avg", "stream_windowed_avg", "stream_session_stats",
-    "stream_session_dynamic_gap", "w_session_dynamic_gap",
-    "events_gap_fill",
-    # --- round-12 queries.py review: forced F.broadcast hints removed
-    # from every SF-scaled side (customer/supplier/part and part-keyed
-    # aggregates) — a hard hint is honored regardless of size and
-    # would OOM at 100 TB; the planner still broadcasts these at test
-    # SF and AQE converts at runtime. Hashes re-proven at 3 SFs
-    # locally; re-proved same-round in the gate ---
-    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
-    "q10_returned_items", "q11_important_stock",
-    "q20_excess_availability", "q21_waiting_supplier",
-    "stream_static_enrich", "part_cooccurrence_lift",
-    "part_neighbors_cosine", "data_quality_checks",
-    # --- round-12: retire the r3 evidence generation (VERDICT r11 #2):
-    # the 17 remaining names whose latest driver row is r2/r3
-    # (doc_pagerank and q20_excess_availability, the other two of the
-    # 19, are already headed above as touched consumers). After this
-    # round no name's latest evidence predates r4 ---
-    "cdc_snapshot_merge", "doc_passage_dup_ratio",
-    "doc_sequence_packing", "events_multires_rollup",
-    "events_scd2_enrich", "events_scd2_intervals",
-    "flatmap_split_udtf", "minhash_incremental", "partition_backfill",
-    "stratified_reservoir",
-    "stream_incremental_state", "stream_rolling_max_state",
-    "stream_trending_tokens", "token_heavy_hitters", "user_hll_rollup",
-    "value_quantile_sketch", "weighted_reservoir_sample",
+    # --- round-13: the engine-exact rounding conversion (the r12
+    # VERDICT #3 tie-class pass). Every name below had a displayed
+    # ratio moved from round(double, 6) to the exact integer quotient
+    # WITH ITS ORACLE CHANGED IN LOCKSTEP (the `_avg6` pattern) — the
+    # one result-affecting class this round, so the gate re-proves
+    # them same-round. All re-proven locally at 3 SFs. Ordered
+    # most-delicate-first: signed/decimal-headroom sites, then the
+    # operator-shared families, then plain count/count outputs. ---
+    "label_centroids", "rater_agreement_kappa", "user_activity_gini",
+    "dp_noised_histogram", "doc_trigram_backoff_ppl",
+    "softdedup_weights", "pipeline_weighted_mixture",
+    "events_value_stats", "embedding_int8_quant",
+    "ab_test_zscores", "stream_ab_guardrail", "part_demand_abc_xyz",
+    "events_decayed_counts", "events_psi_drift",
+    "dsir_importance_weights", "dsir_resample_topk",
+    "pipeline_curation_v4", "stream_curation_gate",
+    "mixture_epoch_plan", "mixture_waterfill_alloc",
+    "dataset_mixture_rates",
+    # operator-shared ratio families (jaccard/overlap/fertility/
+    # quality): one operator edit feeds several declared queries
+    "ngram_jaccard_pairs", "setsim_jaccard_prefix", "minhash_accuracy",
+    "lsh_precision_recall", "lsh_tuning_sampled", "lsh_band_sweep",
+    "bloom_decontaminate", "decontaminate_overlap",
+    "decontamination_by_benchmark", "stream_decontaminate_gate",
+    "substring_dup_stats", "dup_ngram_char_fraction",
+    "top_ngram_char_fraction", "bpe_fertility_by_lang",
+    "bpe_encode_doc_stats", "quality_score",
+    "quality_percentile_by_source", "quality_calibration_isotonic",
+    "doc_rare_token_stats", "doc_repetition_stats",
+    "corpus_stats_by_source", "semantic_dedup_sweep",
+    "semantic_dedup_snm_recall", "part_neighbors_cosine",
+    "part_cooccurrence_lift", "neardup_triangle_stats",
+    "winnow_fingerprint_pairs", "dedup_source_overlap",
+    # plain count/count display ratios
+    "bigram_cond_prob", "doc_containment_pairs", "doc_passage_dup_ratio",
+    "doc_ngram_novelty", "vocab_coverage_curve",
+    "mutual_information_bands", "benford_price_audit",
+    "kanon_risk_audit", "key_skew_report", "revenue_pareto_abc",
+    "event_type_transitions", "funnel_time_percentiles",
+    "supplier_return_wilson", "ann_ndcg_mrr", "rerank_cross_encoder",
 ]
 
 

@@ -152,12 +152,30 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
 def lsh_pairs_from_sigs(sig: DataFrame, num_hashes: int = 16,
                         bands: int = 4, threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        materialize: bool = True) -> DataFrame:
+                        materialize: bool = True,
+                        max_bucket_docs: int | None = None) -> DataFrame:
     """Banding + bucket join + in-aggregate verification over an
     ALREADY-COMPUTED signature table — the re-banding entry point: a
     parameter sweep (or an incremental run against stored signatures)
     shingles the corpus once and tries several (bands, rows) splits
-    against the same `sig`."""
+    against the same `sig`.
+
+    `max_bucket_docs` (r13, VERDICT r12 #6): the per-band bucket join
+    is linear in TRUE collisions, but a degenerate band — every doc
+    sharing one band hash, e.g. a boilerplate header that dominates
+    short docs — produces a quadratic bucket whose pair OUTPUT is
+    itself quadratic, so no rewrite can keep it linear without
+    changing the result. When set, buckets with more than this many
+    docs are excluded from pair generation BEFORE the self-join — the
+    same boilerplate guard winnow_fingerprint_pairs applies to
+    fingerprints in > 50 docs and the prefix-filtered set-similarity
+    join applies via its df cap. This trades recall on boilerplate-
+    only pairs for a hard bound on per-bucket work (the guarded run
+    does O(sum min(|bucket|, N)^2) instead of O(sum |bucket|^2)).
+    Default None keeps the declared queries' results byte-identical;
+    at 100 TB set it to a few thousand (a true near-dup cluster that
+    large is boilerplate by definition — Lee et al. 2022 make the
+    same argument for ExactSubstr's hot suffixes)."""
     rows = num_hashes // bands
 
     # r12: the band self-join consumes `sig` on BOTH sides, and the
@@ -197,6 +215,16 @@ def lsh_pairs_from_sigs(sig: DataFrame, num_hashes: int = 16,
             F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}")) for b in range(bands)
         ])).alias("bucket"),
     )
+    if max_bucket_docs is not None:
+        # degenerate-bucket guard: pin the narrow (bucket, id, sig)
+        # rows so the hot-bucket aggregate and both join sides share
+        # one execution, then anti-join the oversized buckets away
+        band_kv = band_kv.localCheckpoint(eager=False)
+        hot = (band_kv.groupBy("bucket")
+               .agg(F.count("*").alias("nd"))
+               .filter(F.col("nd") > max_bucket_docs)
+               .select("bucket"))
+        band_kv = band_kv.join(hot, "bucket", "left_anti")
     pairs = (
         band_kv.alias("l")
         .join(band_kv.alias("r"), on="bucket")

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scalar import (ratio6, ratio6_dec, sratio6_dec)
+
 # deterministic pseudo-random hyperplane component for (plane, dim):
 # ((p*131 + d)*2654435761 mod 1000003)/1000003 - 0.5
 _M = 1_000_003
@@ -839,7 +841,12 @@ def label_centroids(emb: DataFrame, dim: int = 64,
         .agg(F.count("*").cast("long").alias("n"),
              F.sum(F.col("x").cast("decimal(28,12)")).alias("s"))
         .select("label", "dim", "n",
-                F.round(F.col("s").cast("double") / F.col("n"), 6)
+                # s is DECIMAL(28,12): *1e12 -> exact SIGNED integer;
+                # the mean is an integer rational (r13 tie class)
+                sratio6_dec((F.col("s") * F.lit(1_000_000_000_000))
+                            .cast("decimal(38,0)"),
+                            F.col("n").cast("decimal(38,0)")
+                            * F.lit(1_000_000_000_000))
                  .alias("centroid"))
     )
 
@@ -1034,8 +1041,7 @@ def semantic_dedup_sweep(emb: DataFrame,
                               1).otherwise(0)).cast("long")
                  .alias("n_dropped"))
             .select("threshold", "n_docs", "n_dropped",
-                    F.round(F.col("n_dropped")
-                            / F.col("n_docs").cast("double"), 6)
+                    ratio6(F.col("n_dropped"), F.col("n_docs"))
                     .alias("drop_frac")))
 
 
@@ -1528,8 +1534,8 @@ def rerank_cross_encoder(docs: DataFrame, candidates: DataFrame,
     enr = docs.join(F.broadcast(candidates), id_col)
     scored = enr.select(
         F.col(id_col), F.col("rrf"),
-        F.round(F.size(F.array_intersect(toks, qarr))
-                / F.size(F.array_union(toks, qarr)), 6).alias("ce_score"))
+        ratio6(F.size(F.array_intersect(toks, qarr)),
+               F.size(F.array_union(toks, qarr))).alias("ce_score"))
     out = scored.select(
         id_col, "rrf", "ce_score",
         F.round(F.col("ce_score") + rrf_weight * F.col("rrf"), 6)

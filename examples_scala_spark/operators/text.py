@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import ratio6
+from ..functions.scalar import ratio6, sratio6_dec
 from ..session import scoped_shuffle_partitions
 
 # tiny deterministic stopword lists per language for the n-gram/stopword
@@ -127,10 +127,13 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
+        # count/count ratios: exact half-up at 6 dp (r13 tie class);
+        # the score itself is an exact multiple of 0.25 (binary-exact,
+        # round(.,2) is the identity) and stays on F.round
+        ratio6(n_chars - (n_words - 1), n_words).alias("mean_word_len"),
+        ratio6(n_punct, n_chars).alias("punct_ratio"),
+        ratio6(n_digit, n_chars).alias("digit_ratio"),
+        ratio6(n_stop, n_words).alias("stop_ratio"),
         F.round(score, 2).alias("quality_score"),
     )
 
@@ -534,8 +537,8 @@ def rare_token_stats(docs: DataFrame, rare_df_num: int = 1,
         .select(
             F.col(id_col),
             "n_tokens", "n_terms", "n_rare",
-            F.round(F.col("n_terms") / F.col("n_tokens"), 6).alias("ttr"),
-            F.round(F.col("n_rare") / F.col("n_tokens"), 6)
+            ratio6(F.col("n_terms"), F.col("n_tokens")).alias("ttr"),
+            ratio6(F.col("n_rare"), F.col("n_tokens"))
              .alias("rare_ratio"),
         )
     )
@@ -772,7 +775,7 @@ def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
         F.col(id_col), "n_words", "word_chars",
         dc.alias("dup_ngram_chars"),
         F.when(F.col("word_chars") == 0, F.lit(0.0))
-         .otherwise(F.round(dc.cast("double") / F.col("word_chars"), 6))
+         .otherwise(ratio6(dc, F.col("word_chars")))
          .alias("dup_char_frac"))
 
 
@@ -858,19 +861,25 @@ def softdedup_weights(docs: DataFrame, n: int = 4,
     # a checkpoint here would hide the join inside RDD lineage).
     m = sc.select(
         F.col(id_col), "n_grams",
-        F.round(F.col("units") / F.col("n_grams").cast("double")
-                / F.lit(1_000_000_000.0), 6).alias("mean_logp"))
+        # signed nano-units over n_grams*1e9: exact half-away, DECIMAL
+        # headroom (r13 tie class)
+        sratio6_dec(F.col("units"),
+                    F.col("n_grams").cast("decimal(38,0)")
+                    * F.lit(1_000_000_000)).alias("mean_logp"))
     st = m.agg(F.min("mean_logp").alias("__mn"),
                F.max("mean_logp").alias("__mx"))
     out = (docs.select(F.col(id_col))
            .join(m, id_col, "left")
            .crossJoin(F.broadcast(st)))
+    # mean_logp/mn/mx are exact 6-dp micro-units by construction, so
+    # 1 - (m - mn)/(2*(mx - mn)) is an integer rational (r13 tie class)
+    am = F.round(F.col("mean_logp") * 1e6).cast("long")
+    amn = F.round(F.col("__mn") * 1e6).cast("long")
+    amx = F.round(F.col("__mx") * 1e6).cast("long")
     w = (F.when(F.col("n_grams").isNull(), F.lit(1.0))
          .when(F.col("__mx") == F.col("__mn"), F.lit(1.0))
-         .otherwise(F.round(
-             F.lit(1.0) - F.lit(0.5)
-             * (F.col("mean_logp") - F.col("__mn"))
-             / (F.col("__mx") - F.col("__mn")), 6)))
+         .otherwise(ratio6(2 * (amx - amn) - (am - amn),
+                           2 * (amx - amn))))
     return out.select(
         F.col(id_col),
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
@@ -944,7 +953,7 @@ def top_ngram_char_fraction(docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
             .select(F.col(id_col), F.col("e.n").alias("n"),
                     F.col("e.r.gram").alias("top_gram"),
                     F.col("e.r.cnt").alias("top_count"),
-                    F.round(F.col("e.r.cnt")
-                            * (F.length("e.r.gram") - (F.col("e.n") - 1))
-                            / F.col("wc"), 6).alias("top_char_frac")))
+                    ratio6(F.col("e.r.cnt")
+                           * (F.length("e.r.gram") - (F.col("e.n") - 1)),
+                           F.col("wc")).alias("top_char_frac")))
     return rows

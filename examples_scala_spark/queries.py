@@ -153,6 +153,18 @@ _ratio6 = scalar_fn.ratio6
 _ratio6_dec = scalar_fn.ratio6_dec
 
 
+def _ratio12_dec(num: F.Column, n_vals: F.Column) -> F.Column:
+    """round-half-up(num/(n_vals*10^12), 12) in DECIMAL(38,0) — the
+    12-dp variant of _ratio6_dec for the int8-quant MSE."""
+    d38 = "decimal(38,0)"
+    n = num.cast(d38)
+    d = n_vals.cast(d38) * F.lit(1_000_000_000_000)
+    n2 = n * F.lit(2_000_000_000_000) + d
+    d2 = d * F.lit(2)
+    return (((n2 - F.pmod(n2, d2)) / d2)
+            .cast(d38).cast("double") / F.lit(1e12))
+
+
 def R6(a: str, b: str) -> str:
     """DuckDB twin of _ratio6 as a SQL fragment over expressions a, b."""
     return (f"(((2 * CAST(({a}) AS BIGINT) * 1000000 + ({b}))"
@@ -2287,10 +2299,14 @@ def _quality_sql(rel: str = "documents") -> str:
              ({stop})::BIGINT AS n_stop
       FROM {rel})
     SELECT doc_id, n_chars_m, n_words,
-           round((n_chars_m - (n_words - 1)) / n_words, 6) AS mean_word_len,
-           round(n_punct / n_chars_m, 6) AS punct_ratio,
-           round(n_digit / n_chars_m, 6) AS digit_ratio,
-           round(n_stop / n_words, 6) AS stop_ratio,
+           ((2 * (n_chars_m - (n_words - 1)) * 1000000 + n_words)
+            // (2 * n_words)) / 1e6 AS mean_word_len,
+           ((2 * n_punct * 1000000 + n_chars_m)
+            // (2 * n_chars_m)) / 1e6 AS punct_ratio,
+           ((2 * n_digit * 1000000 + n_chars_m)
+            // (2 * n_chars_m)) / 1e6 AS digit_ratio,
+           ((2 * n_stop * 1000000 + n_words)
+            // (2 * n_words)) / 1e6 AS stop_ratio,
            round(
              (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN (n_chars_m - (n_words - 1)) / n_words >= 3
@@ -3047,11 +3063,15 @@ def doc_trigram_backoff_ppl(spark, sf_dir):
     SELECT r.source, r.n AS n_tokens,
            r.j <= lam.kk AS capped,
            CASE WHEN r.j <= lam.kk THEN r.n::DOUBLE
-                ELSE round((lam.b - lam.snk)::DOUBLE
-                           / (lam.m - lam.kk), 6) END AS alloc_tokens,
+                ELSE ((2 * (lam.b - lam.snk)::BIGINT * 1000000
+                       + (lam.m - lam.kk))
+                      // (2 * (lam.m - lam.kk))) / 1e6
+                END AS alloc_tokens,
            CASE WHEN r.j <= lam.kk THEN 1.0
-                ELSE round((lam.b - lam.snk)::DOUBLE
-                           / (lam.m - lam.kk) / r.n, 6) END AS rate
+                ELSE ((2 * (lam.b - lam.snk)::BIGINT * 1000000
+                       + (lam.m - lam.kk) * r.n)
+                      // (2 * (lam.m - lam.kk) * r.n)) / 1e6
+                END AS rate
     FROM r, lam""",
     "llm", "sampling", "mixture",
 )
@@ -3098,13 +3118,11 @@ def mixture_waterfill_alloc(spark, sf_dir):
                (F.col("j") <= F.col("kk")).alias("capped"),
                F.when(F.col("j") <= F.col("kk"),
                       F.col("n").cast("double"))
-                .otherwise(F.round(lam_num.cast("double")
-                                   / (F.col("m") - F.col("kk")), 6))
+                .otherwise(_ratio6(lam_num, F.col("m") - F.col("kk")))
                 .alias("alloc_tokens"),
                F.when(F.col("j") <= F.col("kk"), F.lit(1.0))
-                .otherwise(F.round(lam_num.cast("double")
-                                   / (F.col("m") - F.col("kk"))
-                                   / F.col("n"), 6)).alias("rate")))
+                .otherwise(_ratio6(lam_num, (F.col("m") - F.col("kk"))
+                                   * F.col("n"))).alias("rate")))
     return out
 
 
@@ -4836,9 +4854,11 @@ def doc_chunks(spark, sf_dir):
            count(*)::BIGINT AS n_terms,
            sum(CASE WHEN df * 5 <= n_docs THEN tf ELSE 0 END)::BIGINT
              AS n_rare,
-           round(count(*)::DOUBLE / sum(tf), 6) AS ttr,
-           round(sum(CASE WHEN df * 5 <= n_docs THEN tf ELSE 0 END)::DOUBLE
-                 / sum(tf), 6) AS rare_ratio
+           ((2 * count(*) * 1000000 + sum(tf))
+            // (2 * sum(tf)::BIGINT)) / 1e6 AS ttr,
+           ((2 * sum(CASE WHEN df * 5 <= n_docs THEN tf ELSE 0 END)::BIGINT
+             * 1000000 + sum(tf))
+            // (2 * sum(tf)::BIGINT)) / 1e6 AS rare_ratio
     FROM j GROUP BY doc_id""",
     "llm", "text",
 )
@@ -4859,7 +4879,11 @@ def doc_rare_token_stats(spark, sf_dir):
              (embedding[d.dim + 1]::DOUBLE)::DECIMAL(28,12) AS x
       FROM embeddings CROSS JOIN dims d)
     SELECT label, dim, count(*)::BIGINT AS n,
-           round(sum(x)::DOUBLE / count(*), 6) AS centroid
+           (CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END)
+           * ((2 * abs(CAST(sum(x) * 1000000000000 AS HUGEINT)) * 1000000
+               + count(*)::HUGEINT * 1000000000000)
+              // (2 * count(*)::HUGEINT * 1000000000000)) / 1e6
+             AS centroid
     FROM e GROUP BY label, dim""",
     "llm", "similarity",
 )
@@ -5894,8 +5918,10 @@ def stream_rolling_max_state(spark, sf_dir):
     t AS (SELECT sum(n_docs)::BIGINT AS total,
                  count(*)::BIGINT AS n_sources FROM s)
     SELECT source, n_docs,
-           round(least(1.0, (total::DOUBLE / n_sources) / n_docs), 6)
-             AS sample_rate,
+           CASE WHEN total >= n_sources * n_docs THEN 1.0
+                ELSE ((2 * total * 1000000 + n_sources * n_docs)
+                      // (2 * n_sources * n_docs)) / 1e6
+           END AS sample_rate,
            CAST(floor(n_docs * least(1.0, (total::DOUBLE / n_sources)
                                           / n_docs)) AS BIGINT)
              AS expected_kept
@@ -5920,7 +5946,12 @@ def dataset_mixture_rates(spark, sf_dir):
         / F.col("n_docs"))
     return (s.crossJoin(F.broadcast(t))
             .select("source", F.col("n_docs").cast("long").alias("n_docs"),
-                    F.round(rate, 6).alias("sample_rate"),
+                    F.when(F.col("total") >=
+                           F.col("n_sources") * F.col("n_docs"), F.lit(1.0))
+                     .otherwise(_ratio6(F.col("total"),
+                                        F.col("n_sources")
+                                        * F.col("n_docs")))
+                     .alias("sample_rate"),
                     F.floor(F.col("n_docs") * rate).cast("long")
                      .alias("expected_kept")))
 
@@ -6894,9 +6925,9 @@ def semantic_dedup_auto(spark, sf_dir):
            count(*)::BIGINT AS n_docs,
            sum(CASE WHEN pd.best_lower >= ts.threshold
                     THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
-           round(sum(CASE WHEN pd.best_lower >= ts.threshold
-                          THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6) AS drop_frac
+           ((2 * sum(CASE WHEN pd.best_lower >= ts.threshold
+                          THEN 1 ELSE 0 END)::BIGINT * 1000000
+             + count(*)) // (2 * count(*))) / 1e6 AS drop_frac
     FROM pd CROSS JOIN ts GROUP BY ts.threshold""",
     "llm", "dedup", "similarity", "diagnostics",
 )
@@ -8422,12 +8453,16 @@ def _rerank_cross_encoder_sql() -> str:
     WITH cand AS MATERIALIZED (SELECT doc_id, rrf FROM ({hybrid})),
     scored AS (
       SELECT d.doc_id, c.rrf,
-             round(len(list_intersect(
+             ((2 * len(list_intersect(
                      list_distinct(string_split_regex(trim(d.text), '\s+')),
-                     ['spark', 'join', 'window']))
-                   / len(list_distinct(list_concat(
+                     ['spark', 'join', 'window']))::BIGINT * 1000000
+               + len(list_distinct(list_concat(
                      list_distinct(string_split_regex(trim(d.text), '\s+')),
-                     ['spark', 'join', 'window'])))::DOUBLE, 6) AS ce_score
+                     ['spark', 'join', 'window']))))
+              // (2 * len(list_distinct(list_concat(
+                     list_distinct(string_split_regex(trim(d.text), '\s+')),
+                     ['spark', 'join', 'window'])))::BIGINT)) / 1e6
+               AS ce_score
       FROM documents d JOIN cand c USING (doc_id)),
     fin AS (
       SELECT doc_id, rrf, ce_score,
@@ -9599,8 +9634,10 @@ def minhash_accuracy(spark, sf_dir):
     np AS (SELECT count(*)::BIGINT AS n_pred FROM lsh),
     nt AS (SELECT count(*)::BIGINT AS n_true FROM t2)
     SELECT np.n_pred, nt.n_true, hits.tp,
-           round(hits.tp / np.n_pred::DOUBLE, 6) AS precision,
-           round(hits.tp / nt.n_true::DOUBLE, 6) AS recall
+           ((2 * hits.tp * 1000000 + np.n_pred)
+            // (2 * np.n_pred)) / 1e6 AS precision,
+           ((2 * hits.tp * 1000000 + nt.n_true)
+            // (2 * nt.n_true)) / 1e6 AS recall
     FROM np CROSS JOIN nt CROSS JOIN hits""",
     "llm", "dedup", "diagnostics",
 )
@@ -9626,8 +9663,8 @@ def lsh_precision_recall(spark, sf_dir):
         [(n_pred, n_true, tp)], "n_pred bigint, n_true bigint, tp bigint")
     return one.select(
         "n_pred", "n_true", "tp",
-        F.round(F.col("tp") / F.col("n_pred"), 6).alias("precision"),
-        F.round(F.col("tp") / F.col("n_true"), 6).alias("recall"))
+        _ratio6(F.col("tp"), F.col("n_pred")).alias("precision"),
+        _ratio6(F.col("tp"), F.col("n_true")).alias("recall"))
 
 
 @register(
@@ -9666,9 +9703,11 @@ def lsh_precision_recall(spark, sf_dir):
     nt AS (SELECT count(*)::BIGINT AS n_true FROM t2)
     SELECT np.n_pred, nt.n_true, hits.tp,
            (CASE WHEN np.n_pred > 0
-                 THEN round(hits.tp / np.n_pred::DOUBLE, 6) END) AS precision,
+                 THEN ((2 * hits.tp * 1000000 + np.n_pred)
+                       // (2 * np.n_pred)) / 1e6 END) AS precision,
            (CASE WHEN nt.n_true > 0
-                 THEN round(hits.tp / nt.n_true::DOUBLE, 6) END) AS recall
+                 THEN ((2 * hits.tp * 1000000 + nt.n_true)
+                       // (2 * nt.n_true)) / 1e6 END) AS recall
     FROM np CROSS JOIN nt CROSS JOIN hits""",
     "llm", "dedup", "diagnostics",
 )
@@ -9697,9 +9736,9 @@ def lsh_tuning_sampled(spark, sf_dir):
     return one.select(
         "n_pred", "n_true", "tp",
         F.when(F.col("n_pred") > 0,
-               F.round(F.col("tp") / F.col("n_pred"), 6)).alias("precision"),
+               _ratio6(F.col("tp"), F.col("n_pred"))).alias("precision"),
         F.when(F.col("n_true") > 0,
-               F.round(F.col("tp") / F.col("n_true"), 6)).alias("recall"))
+               _ratio6(F.col("tp"), F.col("n_true"))).alias("recall"))
 
 
 @register(
@@ -9864,8 +9903,9 @@ def events_trend_ols(spark, sf_dir):
            coalesce(dg.degree, 0)::BIGINT AS degree,
            coalesce(tc.triangles, 0)::BIGINT AS triangles,
            CASE WHEN coalesce(dg.degree, 0) >= 2
-                THEN round(2.0 * coalesce(tc.triangles, 0)
-                           / (dg.degree * (dg.degree - 1)), 6)
+                THEN ((2 * 2 * coalesce(tc.triangles, 0)::BIGINT
+                       * 1000000 + dg.degree * (dg.degree - 1))
+                      // (2 * dg.degree::BIGINT * (dg.degree - 1))) / 1e6
                 ELSE 0.0 END AS lcc
     FROM documents d
     LEFT JOIN dg ON dg.id = d.doc_id
@@ -10088,9 +10128,11 @@ def user_lifecycle_states(spark, sf_dir):
       FROM e GROUP BY event_type)
     SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
            CASE WHEN na > 0
-                THEN round(sa::DOUBLE / na::DOUBLE / 100, 6) END AS mean_a,
+                THEN ((2 * sa::HUGEINT * 1000000 + 100 * na)
+                      // (2 * 100 * na::HUGEINT)) / 1e6 END AS mean_a,
            CASE WHEN nb > 0
-                THEN round(sb::DOUBLE / nb::DOUBLE / 100, 6) END AS mean_b,
+                THEN ((2 * sb::HUGEINT * 1000000 + 100 * nb)
+                      // (2 * 100 * nb::HUGEINT)) / 1e6 END AS mean_b,
            CASE WHEN na > 1 AND nb > 1
                 AND (na * qa - sa * sa > 0 OR nb * qb - sb * sb > 0)
                 THEN round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
@@ -10145,8 +10187,10 @@ def ab_test_zscores(spark, sf_dir):
         "event_type",
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
-        F.when(F.col("na") > 0, F.round(sa / na / 100, 6)).alias("mean_a"),
-        F.when(F.col("nb") > 0, F.round(sb / nb / 100, 6)).alias("mean_b"),
+        F.when(F.col("na") > 0,
+               _ratio6_dec(F.col("sa"), F.col("na") * 100)).alias("mean_a"),
+        F.when(F.col("nb") > 0,
+               _ratio6_dec(F.col("sb"), F.col("nb") * 100)).alias("mean_b"),
         F.when(z_ok, F.round((sa / na - sb / nb)
                              / F.sqrt(va / na + vb / nb), 6)).alias("z"))
 
@@ -10214,7 +10258,7 @@ def inverted_index_postings(spark, sf_dir):
     mx AS (SELECT event_type, sum(n)::BIGINT AS nx FROM xy GROUP BY 1),
     my AS (SELECT band, sum(n)::BIGINT AS ny FROM xy GROUP BY 1)
     SELECT xy.event_type, xy.band::INT AS band, xy.n,
-           round(xy.n / total::DOUBLE, 6) AS p_xy,
+           ((2 * xy.n * 1000000 + total) // (2 * total)) / 1e6 AS p_xy,
            round(ln((xy.n::DOUBLE * total::DOUBLE)
                     / (nx::DOUBLE * ny::DOUBLE)), 6) AS pmi,
            round(xy.n / total::DOUBLE
@@ -10260,7 +10304,7 @@ def mutual_information_bands(spark, sf_dir):
              / (F.col("nx").cast("double") * F.col("ny").cast("double")))
     return j.select("event_type", F.col("band").cast("int").alias("band"),
                     "n",
-                    F.round(F.col("n") / F.col("total"), 6).alias("p_xy"),
+                    _ratio6(F.col("n"), F.col("total")).alias("p_xy"),
                     F.round(F.log(ratio), 6).alias("pmi"),
                     F.round(F.col("n") / F.col("total") * F.log(ratio), 6)
                      .alias("mi_term"))
@@ -10287,8 +10331,10 @@ def mutual_information_bands(spark, sf_dir):
       FROM sh l JOIN sh r USING (shingle)
       WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(i / sa.sz, 6) AS cont_a_in_b,
-           round(i / sb.sz, 6) AS cont_b_in_a
+           ((2 * i * 1000000 + sa.sz) // (2 * sa.sz)) / 1e6
+             AS cont_a_in_b,
+           ((2 * i * 1000000 + sb.sz) // (2 * sb.sz)) / 1e6
+             AS cont_b_in_a
     FROM inter JOIN sz sa ON sa.doc_id = doc_a
                JOIN sz sb ON sb.doc_id = doc_b
     WHERE i / sa.sz >= 0.8 OR i / sb.sz >= 0.8""",
@@ -10317,9 +10363,9 @@ def doc_containment_pairs(spark, sf_dir):
             .filter((F.col("i") / F.col("sz_a") >= 0.8)
                     | (F.col("i") / F.col("sz_b") >= 0.8))
             .select("doc_a", "doc_b",
-                    F.round(F.col("i") / F.col("sz_a"), 6)
+                    _ratio6(F.col("i"), F.col("sz_a"))
                      .alias("cont_a_in_b"),
-                    F.round(F.col("i") / F.col("sz_b"), 6)
+                    _ratio6(F.col("i"), F.col("sz_b"))
                      .alias("cont_b_in_a")))
 
 
@@ -10611,8 +10657,13 @@ def stream_cusum_drift(spark, sf_dir):
       UNION ALL
       SELECT pb AS item, pa AS neighbor, c FROM pairs),
     cos AS (
+      -- equal supports make the cosine an exact count rational (the
+      -- r13 tie class); unequal supports keep the float sqrt path,
+      -- whose value is never a terminating 7-dp decimal
       SELECT item, neighbor, c,
-             round(c / sqrt(si.s * sn.s), 6) AS cosine
+             CASE WHEN si.s = sn.s
+                  THEN ((2 * c * 1000000 + si.s) // (2 * si.s)) / 1e6
+                  ELSE round(c / sqrt(si.s * sn.s), 6) END AS cosine
       FROM sym JOIN supp si ON si.p = item
                JOIN supp sn ON sn.p = neighbor),
     rk AS (
@@ -10649,11 +10700,16 @@ def part_neighbors_cosine(spark, sf_dir):
     si = supp.select(F.col("p").alias("item"), F.col("s").alias("si"))
     sn = supp.select(F.col("p").alias("neighbor"), F.col("s").alias("sn"))
     # si/sn are part-keyed (SF-scaled): no broadcast hint (r12)
+    # equal supports make the cosine an exact count rational (the r13
+    # tie class); unequal supports keep the float sqrt path
     cos = (sym.join(si, "item")
            .join(sn, "neighbor")
            .select("item", "neighbor", "c",
-                   F.round(F.col("c")
-                           / F.sqrt(F.col("si") * F.col("sn")), 6)
+                   F.when(F.col("si") == F.col("sn"),
+                          _ratio6(F.col("c"), F.col("si")))
+                    .otherwise(
+                        F.round(F.col("c")
+                                / F.sqrt(F.col("si") * F.col("sn")), 6))
                     .alias("cosine")))
     w = Window.partitionBy("item").orderBy(F.col("cosine").desc(),
                                            F.col("neighbor"))
@@ -10735,7 +10791,8 @@ def source_token_entropy(spark, sf_dir):
                AS units
       FROM events CROSS JOIN mx)
     SELECT event_type, count(*)::BIGINT AS n_events,
-           round(sum(units) / 1000000000.0, 6) AS decayed_count
+           ((2 * sum(units)::HUGEINT * 1000000 + 1000000000)
+            // 2000000000) / 1e6 AS decayed_count
     FROM u GROUP BY event_type""",
     "relational", "timeseries",
 )
@@ -10761,7 +10818,8 @@ def events_decayed_counts(spark, sf_dir):
                   .alias("units")))
     return (u.groupBy("event_type")
             .agg(F.count("*").cast("bigint").alias("n_events"),
-                 F.round(F.sum("units") / 1_000_000_000.0, 6)
+                 # nano-unit sum beyond BIGINT ratio headroom at scale
+                 _ratio6_dec(F.sum("units"), F.lit(1_000_000_000))
                   .alias("decayed_count")))
 
 
@@ -10804,8 +10862,10 @@ def events_decayed_counts(spark, sf_dir):
              abs(n0 * nt1 - n1 * nt0) AS ks_num, nt0 * nt1 AS ks_den
       FROM w)
     SELECT event_type,
-           round(sum(psi_units) / 1000000000.0, 6) AS psi,
-           round(max(ks_num)::DOUBLE / max(ks_den), 6) AS max_band_gap
+           ((2 * sum(psi_units)::HUGEINT * 1000000 + 1000000000)
+            // 2000000000) / 1e6 AS psi,
+           ((2 * max(ks_num)::HUGEINT * 1000000 + max(ks_den))
+            // (2 * max(ks_den)::HUGEINT)) / 1e6 AS max_band_gap
     FROM terms GROUP BY event_type""",
     "relational", "analytics", "anomaly",
 )
@@ -10861,10 +10921,10 @@ def events_psi_drift(spark, sf_dir):
          .alias("ks_num"),
         (F.col("nt0") * F.col("nt1")).alias("ks_den"))
     return (terms.groupBy("event_type")
-            .agg(F.round(F.sum("psi_units") / 1_000_000_000.0, 6)
-                  .alias("psi"),
-                 F.round(F.max("ks_num").cast("double") / F.max("ks_den"),
-                         6).alias("max_band_gap")))
+            .agg(_ratio6_dec(F.sum("psi_units"),
+                             F.lit(1_000_000_000)).alias("psi"),
+                 _ratio6_dec(F.max("ks_num"), F.max("ks_den"))
+                 .alias("max_band_gap")))
 
 
 @register(
@@ -10877,7 +10937,7 @@ def events_psi_drift(spark, sf_dir):
     c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
     t AS (SELECT sum(n)::BIGINT AS total FROM c)
     SELECT digit, n,
-           round(n / total::DOUBLE, 6) AS observed,
+           ((2 * n * 1000000 + total) // (2 * total)) / 1e6 AS observed,
            round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
            round(abs(n / total::DOUBLE
                      - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
@@ -10902,7 +10962,7 @@ def benford_price_audit(spark, sf_dir):
                       / F.log(F.lit(10.0)), 6)
     return (c.crossJoin(F.broadcast(t))
             .select("digit", "n",
-                    F.round(F.col("n") / F.col("total"), 6)
+                    _ratio6(F.col("n"), F.col("total"))
                      .alias("observed"),
                     benford.alias("benford"),
                     F.round(F.abs(F.col("n") / F.col("total")
@@ -11087,7 +11147,8 @@ def order_cohort_ltv(spark, sf_dir):
            CASE WHEN 4 * (n * q - s * s) <= s * s THEN 'X'
                 WHEN (n * q - s * s) <= s * s THEN 'Y'
                 ELSE 'Z' END AS xyz_class,
-           round((n * q - s * s)::DOUBLE / (s * s)::DOUBLE, 6) AS cv2
+           ((2 * (n * q - s * s)::HUGEINT * 1000000 + (s * s)::HUGEINT)
+            // (2 * (s * s)::HUGEINT)) / 1e6 AS cv2
     FROM abc""",
     "relational", "analytics",
 )
@@ -11142,8 +11203,9 @@ def part_demand_abc_xyz(spark, sf_dir):
                     F.when(4 * var <= F.col("s") * F.col("s"), "X")
                      .when(var <= F.col("s") * F.col("s"), "Y")
                      .otherwise("Z").alias("xyz_class"),
-                    F.round(var.cast("double")
-                            / (F.col("s") * F.col("s")).cast("double"), 6)
+                    # n*q - s^2 over s^2: exact integer rational
+                    # beyond BIGINT headroom (r13 tie class)
+                    _ratio6_dec(var, F.col("s") * F.col("s"))
                      .alias("cv2")))
 
 
@@ -11293,7 +11355,8 @@ def ann_topk_ivfpq(spark, sf_dir):
                             + 0.9604 / (n * n::DOUBLE)))
              / (1 + 3.8416 / n) AS lb
       FROM s WHERE n > 0)
-    SELECT supplier, n, returns, round(rate, 6) AS return_rate,
+    SELECT supplier, n, returns,
+           ((2 * returns * 1000000 + n) // (2 * n)) / 1e6 AS return_rate,
            round(lb, 6) AS wilson_lb
     FROM wb""",
     "relational", "analytics",
@@ -11318,7 +11381,8 @@ def supplier_return_wilson(spark, sf_dir):
                            + 0.9604 / (F.col("n") * F.col("n"))))
           / (1 + 3.8416 / F.col("n")))
     return s.select("supplier", "n", "returns",
-                    F.round(rate, 6).alias("return_rate"),
+                    _ratio6(F.col("returns"), F.col("n"))
+                    .alias("return_rate"),
                     F.round(lb, 6).alias("wilson_lb"))
 
 
@@ -11490,9 +11554,11 @@ def lineitem_quantity_equidepth(spark, sf_dir):
       FROM e GROUP BY event_type)
     SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
            CASE WHEN na > 0
-                THEN round(sa::DOUBLE / na::DOUBLE / 100, 6) END AS mean_a,
+                THEN ((2 * sa::HUGEINT * 1000000 + 100 * na)
+                      // (2 * 100 * na::HUGEINT)) / 1e6 END AS mean_a,
            CASE WHEN nb > 0
-                THEN round(sb::DOUBLE / nb::DOUBLE / 100, 6) END AS mean_b,
+                THEN ((2 * sb::HUGEINT * 1000000 + 100 * nb)
+                      // (2 * 100 * nb::HUGEINT)) / 1e6 END AS mean_b,
            CASE WHEN na > 1 AND nb > 1
                 AND (na * qa - sa * sa > 0 OR nb * qb - sb * sb > 0)
                 THEN round((sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
@@ -11552,8 +11618,10 @@ def stream_ab_guardrail(spark, sf_dir):
         "event_type",
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
-        F.when(F.col("na") > 0, F.round(sa / na / 100, 6)).alias("mean_a"),
-        F.when(F.col("nb") > 0, F.round(sb / nb / 100, 6)).alias("mean_b"),
+        F.when(F.col("na") > 0,
+               _ratio6_dec(F.col("sa"), F.col("na") * 100)).alias("mean_a"),
+        F.when(F.col("nb") > 0,
+               _ratio6_dec(F.col("sb"), F.col("nb") * 100)).alias("mean_b"),
         F.when(z_ok, F.round((sa / na - sb / nb)
                              / F.sqrt(va / na + vb / nb), 6)).alias("z"))
 
@@ -11573,7 +11641,8 @@ def stream_ab_guardrail(spark, sf_dir):
       SELECT p.user_id, p.p_us - v.v_us AS us
       FROM p JOIN v USING (user_id))
     SELECT count(*)::BIGINT AS n_converted,
-           round(quantile_cont(us, 0.5) / 1000000.0, 6) AS p50_s,
+           ((2 * CAST(quantile_cont(us, 0.5) * 2 AS BIGINT) * 1000000
+             + 2000000) // (2 * 2000000)) / 1e6 AS p50_s,
            round(quantile_cont(us, 0.9) / 1000000.0, 6) AS p90_s,
            round(max(us) / 1000000.0, 6) AS max_s
     FROM lat""",
@@ -11602,8 +11671,10 @@ def funnel_time_percentiles(spark, sf_dir):
            .select((F.col("p_us") - F.col("v_us")).alias("us")))
     return lat.agg(
         F.count("*").cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(us, 0.5)") / 1_000_000.0, 6)
-         .alias("p50_s"),
+        # p50 of integer us is an exact half-integer: S/(2*10^6) is the
+        # r13 tie class (2*p50 = S recovers the integer exactly)
+        _ratio6((F.expr("percentile(us, 0.5)") * 2).cast("long"),
+                F.lit(2_000_000)).alias("p50_s"),
         F.round(F.expr("percentile(us, 0.9)") / 1_000_000.0, 6)
          .alias("p90_s"),
         F.round(F.max("us") / 1_000_000.0, 6).alias("max_s"))
@@ -11645,14 +11716,16 @@ def _lsh_band_sweep_sql() -> str:
            (SELECT count(*) FROM truth)::BIGINT AS n_true,
            (SELECT count(*) FROM lsh_{b} JOIN truth USING (doc_a, doc_b))
              ::BIGINT AS tp,
-           round((SELECT count(*) FROM lsh_{b} JOIN truth
-                  USING (doc_a, doc_b))
-                 / greatest((SELECT count(*) FROM lsh_{b}), 1)::DOUBLE, 6)
-             AS precision,
-           round((SELECT count(*) FROM lsh_{b} JOIN truth
-                  USING (doc_a, doc_b))
-                 / greatest((SELECT count(*) FROM truth), 1)::DOUBLE, 6)
-             AS recall""")
+           ((2 * (SELECT count(*) FROM lsh_{b} JOIN truth
+                   USING (doc_a, doc_b))::BIGINT * 1000000
+             + greatest((SELECT count(*) FROM lsh_{b}), 1))
+            // (2 * greatest((SELECT count(*) FROM lsh_{b}), 1)::BIGINT))
+           / 1e6 AS precision,
+           ((2 * (SELECT count(*) FROM lsh_{b} JOIN truth
+                   USING (doc_a, doc_b))::BIGINT * 1000000
+             + greatest((SELECT count(*) FROM truth), 1))
+            // (2 * greatest((SELECT count(*) FROM truth), 1)::BIGINT))
+           / 1e6 AS recall""")
     return ("WITH " + truth.lstrip()[0:] + ",\n    "
             + ",\n    ".join(per) + "\n" + "\n    UNION ALL".join(sel))
 
@@ -11697,9 +11770,9 @@ def lsh_band_sweep(spark, sf_dir):
             "tp bigint")
         row = row.select(
             "*",
-            F.round(F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1)), 6)
+            _ratio6(F.col("tp"), F.greatest(F.col("n_pred"), F.lit(1)))
              .alias("precision"),
-            F.round(F.col("tp") / F.greatest(F.col("n_true"), F.lit(1)), 6)
+            _ratio6(F.col("tp"), F.greatest(F.col("n_true"), F.lit(1)))
              .alias("recall"))
         out = row if out is None else out.unionByName(row)
     return out
@@ -11777,8 +11850,9 @@ def events_chi2_independence(spark, sf_dir):
            coalesce((SELECT max(cum) FROM rk WHERE rank <= k), 0)::BIGINT
              AS covered,
            t.total AS total_tokens,
-           round(coalesce((SELECT max(cum) FROM rk WHERE rank <= k), 0)
-                 / t.total::DOUBLE, 6) AS coverage
+           ((2 * coalesce((SELECT max(cum) FROM rk WHERE rank <= k),
+                          0)::BIGINT * 1000000 + t.total)
+            // (2 * t.total)) / 1e6 AS coverage
     FROM ks CROSS JOIN t""",
     "llm", "text", "diagnostics",
 )
@@ -11812,7 +11886,7 @@ def vocab_coverage_curve(spark, sf_dir):
                 .alias("covered")))
     return (cov.crossJoin(F.broadcast(t))
             .select("k", "covered", "total_tokens",
-                    F.round(F.col("covered") / F.col("total_tokens"), 6)
+                    _ratio6(F.col("covered"), F.col("total_tokens"))
                      .alias("coverage")))
 
 
@@ -12033,8 +12107,9 @@ def stream_distinct_sketch(spark, sf_dir):
              sum(rk::HUGEINT * x)::HUGEINT AS srx
       FROM r)
     SELECT n::BIGINT AS n_users, sx::BIGINT AS n_events,
-           round((2 * srx)::DOUBLE / (n * sx)::DOUBLE
-                 - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+           (CASE WHEN 2 * srx - (n + 1) * sx < 0 THEN -1 ELSE 1 END)
+           * ((2 * abs(2 * srx - (n + 1) * sx) * 1000000 + n * sx)
+              // (2 * n * sx)) / 1e6 AS gini
     FROM m""",
     "relational", "analytics",
 )
@@ -12063,10 +12138,11 @@ def user_activity_gini(spark, sf_dir):
     return m.select(
         F.col("n").cast("bigint").alias("n_users"),
         F.col("sx").cast("bigint").alias("n_events"),
-        F.round((2 * F.col("srx")).cast("double")
-                / (F.col("n") * F.col("sx")).cast("double")
-                - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
-                6).alias("gini"))
+        # gini = (2*srx - (n+1)*sx)/(n*sx): signed integer rational
+        # beyond BIGINT headroom (r13 tie class)
+        scalar_fn.sratio6_dec(
+            2 * F.col("srx") - (F.col("n") + 1) * F.col("sx"),
+            F.col("n") * F.col("sx")).alias("gini"))
 
 
 @register(
@@ -12157,8 +12233,9 @@ def events_runs_test(spark, sf_dir):
            min(sz)::BIGINT AS min_class_size,
            sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
            sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_below_k,
-           round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::DOUBLE
-                 / sum(sz)::DOUBLE, 6) AS pct_below_k
+           ((2 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+             * 1000000 + sum(sz))
+            // (2 * sum(sz)::BIGINT)) / 1e6 AS pct_below_k
     FROM cls GROUP BY c_mktsegment""",
     "llm", "privacy", "diagnostics",
 )
@@ -12192,8 +12269,7 @@ def kanon_risk_audit(spark, sf_dir):
                   .cast("long").alias("n_below_k"))
             .select("c_mktsegment", "n_customers", "n_classes",
                     "min_class_size", "n_singletons", "n_below_k",
-                    F.round(F.col("n_below_k").cast("double")
-                            / F.col("n_customers").cast("double"), 6)
+                    _ratio6(F.col("n_below_k"), F.col("n_customers"))
                      .alias("pct_below_k")))
 
 
@@ -12266,8 +12342,9 @@ def compaction_bin_packing(spark, sf_dir):
     SELECT doc_id, count(*)::BIGINT AS n_shingles,
            sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
              AS n_novel,
-           round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
-                     END)::DOUBLE / count(*)::DOUBLE, 6) AS novelty
+           ((2 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                     END)::BIGINT * 1000000 + count(*))
+            // (2 * count(*))) / 1e6 AS novelty
     FROM f GROUP BY doc_id""",
     "llm", "text", "dedup",
 )
@@ -12304,9 +12381,7 @@ def doc_ngram_novelty(spark, sf_dir):
                     F.coalesce("n_novel", F.lit(0)).cast("long")
                      .alias("n_novel"))
             .withColumn("novelty",
-                        F.round(F.col("n_novel").cast("double")
-                                / F.col("n_shingles").cast("double"),
-                                6)))
+                        _ratio6(F.col("n_novel"), F.col("n_shingles"))))
 
 
 # ======================================================================
@@ -12360,7 +12435,8 @@ def _ndcg_sql() -> str:
     SELECT i.query_id,
            coalesce(n_results, 0)::BIGINT AS n_results,
            coalesce(n_hits, 0)::BIGINT AS n_hits,
-           round(coalesce(dcg_nanos, 0)::DOUBLE / idcg_nanos, 6)
+           ((2 * coalesce(dcg_nanos, 0)::BIGINT * 1000000 + idcg_nanos)
+            // (2 * idcg_nanos)) / 1e6
              AS ndcg_at_5,
            coalesce(CASE first_hit {mrr} END, 0.0) AS mrr_at_5
     FROM ideal i LEFT JOIN sys ON i.query_id = sys.query_id"""
@@ -12426,9 +12502,8 @@ def ann_ndcg_mrr(spark, sf_dir):
                      .alias("n_results"),
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                      .alias("n_hits"),
-                    F.round(F.coalesce("dcg_nanos", F.lit(0))
-                            .cast("double") / F.col("idcg_nanos"), 6)
-                     .alias("ndcg_at_5"),
+                    _ratio6(F.coalesce("dcg_nanos", F.lit(0)),
+                            F.col("idcg_nanos")).alias("ndcg_at_5"),
                     F.coalesce(mrr, F.lit(0.0)).alias("mrr_at_5")))
 
 
@@ -12474,7 +12549,7 @@ def _calibration_sql() -> str:
       SELECT band, max(m) AS cal FROM inner_min GROUP BY band)
     SELECT b.band,
            b.n AS n_docs, b.pos AS n_pos,
-           round(b.pos::DOUBLE / b.n, 6) AS rate,
+           ((2 * b.pos * 1000000 + b.n) // (2 * b.n)) / 1e6 AS rate,
            round(cal, 6) AS calibrated
     FROM bands b JOIN fit USING (band)"""
 
@@ -12526,8 +12601,7 @@ def quality_calibration_isotonic(spark, sf_dir):
             .select("band",
                     F.col("n").alias("n_docs"),
                     F.col("pos").alias("n_pos"),
-                    F.round(F.col("pos").cast("double") / F.col("n"), 6)
-                     .alias("rate"),
+                    _ratio6(F.col("pos"), F.col("n")).alias("rate"),
                     F.round("cal", 6).alias("calibrated")))
 
 
@@ -12657,16 +12731,24 @@ def _kappa_sql() -> str:
              sum((NOT keep_a AND NOT keep_b)::INT)::BIGINT AS n00
       FROM qa JOIN gkeep USING (doc_id))
     SELECT n, n11, n10, n01, n00,
-           round((n11 + n00)::DOUBLE / n, 6) AS po,
-           round(((n11 + n10) * (n11 + n01)
-                  + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n), 6)
-             AS pe,
-           round((n * (n11 + n00)
+           ((2 * (n11 + n00) * 1000000 + n) // (2 * n)) / 1e6 AS po,
+           ((2 * ((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00))::HUGEINT * 1000000
+             + n::HUGEINT * n)
+            // (2 * n::HUGEINT * n)) / 1e6 AS pe,
+           (CASE WHEN n * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)) < 0
+                 THEN -1 ELSE 1 END)
+           * ((2 * abs(n::HUGEINT * (n11 + n00)
+                       - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00))) * 1000000
+               + (n::HUGEINT * n
                   - ((n11 + n10) * (n11 + n01)
-                     + (n01 + n00) * (n10 + n00)))::DOUBLE
-                 / (n * n
-                    - ((n11 + n10) * (n11 + n01)
-                       + (n01 + n00) * (n10 + n00))), 6) AS kappa
+                     + (n01 + n00) * (n10 + n00))))
+              // (2 * (n::HUGEINT * n
+                       - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00))))) / 1e6 AS kappa
     FROM cm"""
 
 
@@ -12706,10 +12788,12 @@ def rater_agreement_kappa(spark, sf_dir):
     cross = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
     return cm.select(
         "n", "n11", "n10", "n01", "n00",
-        F.round((n11 + n00).cast("double") / n, 6).alias("po"),
-        F.round(cross.cast("double") / (n * n), 6).alias("pe"),
-        F.round((n * (n11 + n00) - cross).cast("double")
-                / (n * n - cross), 6).alias("kappa"))
+        # po/pe/kappa are integer rationals (r13 tie class); kappa is
+        # signed and its products exceed BIGINT headroom at scale
+        _ratio6(n11 + n00, n).alias("po"),
+        _ratio6_dec(cross, n * n).alias("pe"),
+        scalar_fn.sratio6_dec(n * (n11 + n00) - cross,
+                              n * n - cross).alias("kappa"))
 
 
 @register(
@@ -12742,7 +12826,9 @@ def rater_agreement_kappa(spark, sf_dir):
            round(mn, 6) AS mn, round(mx, 6) AS mx,
            round(scale, 9) AS scale,
            err_units,
-           round(err_units::DOUBLE / n_vals / 1e12, 12) AS mse
+           ((2 * err_units::HUGEINT * 1000000000000
+             + n_vals::HUGEINT * 1000000000000)
+            // (2 * n_vals::HUGEINT * 1000000000000)) / 1e12 AS mse
     FROM p JOIN u USING (dim)""",
     "llm", "similarity", "diagnostics",
 )
@@ -12786,8 +12872,10 @@ def embedding_int8_quant(spark, sf_dir):
                     F.round("mx", 6).alias("mx"),
                     F.round("scale", 9).alias("scale"),
                     "err_units",
-                    F.round(F.col("err_units").cast("double")
-                            / F.col("n_vals") / 1e12, 12).alias("mse")))
+                    # u/(n*1e12) at 12 dp: exact integer rational in
+                    # DECIMAL(38,0) (r13 tie class, 12-dp variant)
+                    _ratio12_dec(F.col("err_units"), F.col("n_vals"))
+                    .alias("mse")))
 
 
 @register(
@@ -13260,8 +13348,9 @@ def ann_hamming_recall(spark, sf_dir):
     SELECT t.doc_id, n_words, word_chars,
            COALESCE(dup_ngram_chars, 0)::BIGINT AS dup_ngram_chars,
            CASE WHEN word_chars = 0 THEN 0.0
-                ELSE round(COALESCE(dup_ngram_chars, 0)::DOUBLE
-                           / word_chars, 6) END AS dup_char_frac
+                ELSE ((2 * COALESCE(dup_ngram_chars, 0)::BIGINT * 1000000
+                       + word_chars) // (2 * word_chars)) / 1e6
+                END AS dup_char_frac
     FROM tot t LEFT JOIN dchars d ON t.doc_id = d.doc_id""",
     "llm", "text", "quality",
 )
@@ -13309,7 +13398,8 @@ def dup_ngram_char_fraction(spark, sf_dir):
                                 ORDER BY cnt DESC, gram) AS rn
       FROM c)
     SELECT doc_id, n::BIGINT AS n, gram AS top_gram, cnt AS top_count,
-           round(cnt * (length(gram) - (n - 1)) / wc::DOUBLE, 6)
+           ((2 * cnt * (length(gram) - (n - 1)) * 1000000 + wc)
+            // (2 * wc::BIGINT)) / 1e6
              AS top_char_frac
     FROM r WHERE rn = 1""",
     "llm", "text", "quality",
@@ -13365,7 +13455,11 @@ def top_ngram_char_fraction(spark, sf_dir):
       FROM dgc d JOIN lp USING (gram) GROUP BY 1),
     m AS (
       SELECT doc_id, n_grams,
-             round(units / n_grams::DOUBLE / 1000000000, 6) AS mean_logp
+             (CASE WHEN units < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(units)::HUGEINT * 1000000
+                 + n_grams::HUGEINT * 1000000000)
+                // (2 * n_grams::HUGEINT * 1000000000)) / 1e6
+               AS mean_logp
       FROM sc),
     st AS (SELECT min(mean_logp) AS mn, max(mean_logp) AS mx FROM m)
     SELECT doc.doc_id,
@@ -13373,8 +13467,16 @@ def top_ngram_char_fraction(spark, sf_dir):
            m.mean_logp AS mean_logp,
            CASE WHEN m.n_grams IS NULL THEN 1.0
                 WHEN st.mx = st.mn THEN 1.0
-                ELSE round(1 - 0.5 * (m.mean_logp - st.mn)
-                           / (st.mx - st.mn), 6)
+                ELSE ((2 * (2 * (CAST(round(st.mx * 1000000) AS BIGINT)
+                               - CAST(round(st.mn * 1000000) AS BIGINT))
+                          - (CAST(round(m.mean_logp * 1000000) AS BIGINT)
+                             - CAST(round(st.mn * 1000000) AS BIGINT)))
+                       * 1000000
+                       + 2 * (CAST(round(st.mx * 1000000) AS BIGINT)
+                              - CAST(round(st.mn * 1000000) AS BIGINT)))
+                      // (2 * 2 * (CAST(round(st.mx * 1000000) AS BIGINT)
+                                   - CAST(round(st.mn * 1000000)
+                                          AS BIGINT)))) / 1e6
            END AS softdedup_weight
     FROM documents doc LEFT JOIN m USING (doc_id) CROSS JOIN st""",
     "llm", "dedup", "quality",
@@ -13427,10 +13529,12 @@ def _weighted_mixture_sql() -> str:
              sum(kp * units)::HUGEINT AS eff_units
       FROM u GROUP BY source)
     SELECT source, n_docs, n_kept,
-           round(eff_units / 1000000000000.0, 6) AS eff_weight,
+           ((2 * eff_units * 1000000 + 1000000000000::HUGEINT)
+            // (2 * 1000000000000::HUGEINT)) / 1e6 AS eff_weight,
            CASE WHEN sum(eff_units) OVER () = 0 THEN 0.0
-                ELSE round(eff_units::DOUBLE
-                           / sum(eff_units) OVER (), 6) END AS eff_share
+                ELSE ((2 * eff_units * 1000000 + sum(eff_units) OVER ())
+                      // (2 * sum(eff_units) OVER ())) / 1e6
+           END AS eff_share
     FROM agg"""
 
 
@@ -13487,13 +13591,12 @@ def pipeline_weighted_mixture(spark, sf_dir):
     w = Window.partitionBy()
     return agg.select(
         "source", "n_docs", "n_kept",
-        F.round(F.col("eff_units").cast("double")
-                / F.lit(1_000_000_000_000.0), 6)
-        .alias("eff_weight"),
+        # micro-unit sums beyond BIGINT headroom: exact 6-dp in DECIMAL
+        _ratio6_dec(F.col("eff_units"),
+                    F.lit(1_000_000_000_000)).alias("eff_weight"),
         F.when(F.sum("eff_units").over(w) == 0, F.lit(0.0))
-         .otherwise(F.round(F.col("eff_units").cast("double")
-                            / F.sum("eff_units").over(w).cast("double"),
-                            6))
+         .otherwise(_ratio6_dec(F.col("eff_units"),
+                                F.sum("eff_units").over(w)))
          .alias("eff_share"))
 
 

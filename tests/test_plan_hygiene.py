@@ -421,9 +421,25 @@ def test_no_unaudited_forced_broadcast():
 def test_winnow_no_forced_hot_broadcast(spark, sf_dir):
     """r13 de-hint (VERDICT r12 #3): the winnow hot-fingerprint set is
     corpus-derived (boilerplate grows with the corpus), so the
-    left-anti guard join must not be force-broadcast — the initial
-    plan shows a shuffle join (AQE converts it to broadcast while hot
-    measures small; at 100 TB the shuffle join stands)."""
-    plan = explain_str(REGISTRY["winnow_fingerprint_pairs"].fn(spark, sf_dir),
-                       "simple")
+    left-anti guard join must not be FORCE-broadcast. The planner may
+    still auto-broadcast it from size estimates at bench SF (that is
+    the point of the de-hint — the decision becomes size-driven), so
+    the assertion disables auto-broadcast and checks no broadcast
+    remains: a forced F.broadcast hint would survive the thresholds."""
+    saved = {c: spark.conf.get(c, None) for c in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "-1")
+        plan = explain_str(
+            REGISTRY["winnow_fingerprint_pairs"].fn(spark, sf_dir),
+            "simple")
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
     assert "BroadcastHashJoin" not in plan

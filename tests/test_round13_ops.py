@@ -108,3 +108,42 @@ def test_ratio6_null_propagation(spark):
     (div0,) = con.execute(
         "SELECT " + RATIO6_SQL.format(a="3", b="0")).fetchone()
     assert div0 is None
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """VERDICT r12 #6: a degenerate band (every doc sharing one band
+    hash) produces a quadratic bucket. max_bucket_docs excludes
+    oversized buckets from pair generation; pairs that also collide in
+    a healthy band survive; default None is byte-identical to before."""
+    from examples_scala_spark.operators.dedup import lsh_pairs_from_sigs
+
+    n = 30
+    rows = []
+    for i in range(n):
+        # band 0 (mh_0..3) identical for ALL docs -> one hot bucket of
+        # n docs; bands 1-3 unique per doc EXCEPT docs 0/1 which also
+        # share band 1 (mh_4..7) — a legitimate near-dup pair
+        sig = [7, 7, 7, 7] + [100 + 10 * i + r for r in range(12)]
+        if i == 1:
+            sig[4:8] = [100, 101, 102, 103]  # doc 0's band 1 (mh_4..7)
+        rows.append(tuple([i] + sig))
+    schema = "doc_id bigint, " + ", ".join(f"mh_{j} bigint"
+                                           for j in range(16))
+    sig_df = spark.createDataFrame(rows, schema)
+
+    # threshold 8/16: docs 0/1 share bands 0+1 (8 equal minima);
+    # hot-bucket-only pairs share just band 0 (4 equal minima)
+    unguarded = lsh_pairs_from_sigs(sig_df, threshold=0.25).collect()
+    assert len(unguarded) == n * (n - 1) // 2  # the quadratic bucket
+
+    guarded = lsh_pairs_from_sigs(sig_df, threshold=0.25,
+                                  max_bucket_docs=10).collect()
+    assert [(r.doc_a, r.doc_b) for r in guarded] == [(0, 1)]
+    # the surviving pair's similarity is unchanged by the guard
+    (full,) = [r for r in unguarded if (r.doc_a, r.doc_b) == (0, 1)]
+    (kept,) = guarded
+    assert kept.sig_sim == full.sig_sim
+
+    # default None stays byte-identical
+    default = lsh_pairs_from_sigs(sig_df, threshold=0.25).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, unguarded))
